@@ -1,0 +1,61 @@
+"""Testdata catalog: parquet table loading and view registration.
+
+The driver's tables (TESTDATA.md) are one parquet file per table under
+``{sf_dir}/{name}.parquet``. At 100 TB scale the same call reads a
+partitioned parquet/Delta directory — ``spark.read.parquet`` is already
+the scan operator with Catalyst predicate pushdown, column pruning and
+partition pruning (SURVEY.md A1-A5).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table. Filters/projections applied on the result are
+    pushed into the parquet reader by Catalyst (check PushedFilters /
+    ReadSchema in .explain("formatted")).
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects; read it as a long (legacy conf) and convert ns → µs with
+    integer division (ns epochs exceed 2^53, so float division would
+    lose precision), matching DuckDB's truncating ns→µs conversion.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return df.withColumn(
+            "ts",
+            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+        )
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so plans can use spark.sql."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

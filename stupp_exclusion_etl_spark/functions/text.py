@@ -1,0 +1,93 @@
+"""Text-analysis column functions (SURVEY.md §2 B12 + north-star text ops).
+
+All of these are pure Catalyst expressions (no Python in the hot path):
+tokenization, shingling, token counting, language-ID scoring, quality
+scoring, and document fingerprinting run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A BPE-ish tokenizer regex: word pieces or single non-word non-space
+# characters — an approximation of subword pre-tokenization.
+BPE_TOKEN_RE = r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"
+
+# Tiny deterministic stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, dropping empty tokens (the reference's
+    empty-value filter semantics, reference clients/exclusion_requests.py:158)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish regex tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0)).cast("long")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Word k-shingles. Documents shorter than k words become a single
+    whole-document shingle so every doc has ≥1 shingle."""
+    joined = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def stopword_hits(toks: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of `lang` (case-insensitive)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t)))).cast("long")
+
+
+def lang_id(toks: Column) -> Column:
+    """N-gram/stopword heuristic language ID: argmax of per-language
+    stopword hit counts, deterministic tie-break by language order
+    (en > de > fr > und for all-zero)."""
+    en, de, fr = (stopword_hits(toks, lang) for lang in ("en", "de", "fr"))
+    return (
+        F.when((en >= de) & (en >= fr) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de > 0), F.lit("de"))
+        .when(fr > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def punct_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: rewards moderate length,
+    low punctuation density, and presence of stopwords (fluency proxy).
+    Purely arithmetic → identical in any engine."""
+    t = tokens(text)
+    n_tok = F.size(t).cast("double")
+    n_chars = F.length(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_ratio = punct_count(text).cast("double") / F.greatest(n_chars, F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
+    sw = stopword_hits(t, "en").cast("double") / F.greatest(n_tok, F.lit(1.0))
+    sw_score = F.least(sw * 5.0, F.lit(1.0))
+    return len_score * 0.4 + punct_score * 0.3 + sw_score * 0.3
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercase, whitespace collapsed). Identical across engines, so
+    exact near-dup grouping is oracle-testable."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(normalized)

@@ -1,0 +1,50 @@
+"""Vector (embedding) column functions for similarity search (B13).
+
+Embeddings are `array<float>` columns. All math is expressed with
+higher-order Catalyst functions (zip_with / aggregate) upcast to double
+— JVM-side, codegen'd, no Python. A vectorized pandas-UDF variant is
+provided for wide batch scoring where Arrow transfer + numpy BLAS wins
+(hundreds of dims × millions of rows).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product with left-to-right double accumulation (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm2(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def cosine_pandas():
+    """Arrow-vectorized cosine for the numpy fast path (lazy: pandas_udf
+    creation needs an active SparkSession)."""
+
+    @pandas_udf("double")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        av = np.stack(a.to_numpy())
+        bv = np.stack(b.to_numpy())
+        num = (av * bv).sum(axis=1)
+        den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
+        return pd.Series(num / den)
+
+    return _udf

@@ -1,0 +1,203 @@
+"""Deduplication operators (SURVEY.md §2 B9 + north-star dedup family).
+
+Exact dedup, keep-latest (the reference's upsert-by-key semantics,
+reference __main__.py:8-24), MinHash+LSH, SimHash, n-gram Jaccard, and
+embedding-cosine near-dup. Every sketch uses the engine-portable md5
+primitives from functions.hashing so results are oracle-checkable.
+
+Scale design:
+- MinHash signatures are computed in ONE hash aggregate (n_hashes agg
+  expressions over exploded shingles) → a single shuffle on doc id.
+- Candidate pairs come from an equi-join on (band, band_key) — never a
+  cartesian. Pathologically hot buckets (boilerplate docs) are capped
+  with `max_bucket` to bound join fan-out, the standard LSH skew guard.
+- Jaccard verification joins only candidate pairs, not all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from stupp_exclusion_etl_spark.functions.hashing import salted_md5
+from stupp_exclusion_etl_spark.functions.text import shingles, tokens
+
+
+def dedup_exact(df: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Exact dedup = hash groupBy on the key columns (dropDuplicates)."""
+    return df.dropDuplicates(keys) if keys else df.dropDuplicates()
+
+
+def keep_latest(df: DataFrame, keys: list[str], order_by: list[Column]) -> DataFrame:
+    """Last-write-wins upsert semantics on plain tables: keep exactly
+    one row per key, the first under `order_by` (pass descending
+    recency). One shuffle on the key; on Delta this is MERGE INTO."""
+    w = W.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def canonical_repr(df: DataFrame, group_col: Column, id_col: str) -> DataFrame:
+    """Deterministic exact-dedup representative: min id per group key.
+    Unlike dropDuplicates (arbitrary survivor) this is reproducible and
+    therefore oracle-testable."""
+    return df.groupBy(group_col.alias("group_key")).agg(F.min(id_col).alias(id_col))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 12,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: h_i = min over shingles of
+    md5(f"{i}:{shingle}"). All n_hashes minima are computed in one
+    groupBy over the exploded shingles — one shuffle total."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("s")
+    )
+    aggs = [F.min(salted_md5(i, F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int, band_size: int) -> DataFrame:
+    """Split a signature into bands; band_key = md5 of the concatenated
+    hashes, so equal band_key ⇔ equal band (w.h.p.)."""
+    n_bands = n_hashes // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * band_size + r}") for r in range(band_size)]
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 12,
+    band_size: int = 3,
+    shingle_k: int = 3,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id1 < id2) that collide in ≥1 LSH
+    band. `max_bucket` drops degenerate buckets to bound fan-out."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
+    bands = lsh_bands(sigs, id_col, n_hashes, band_size)
+    if max_bucket is not None:
+        counts = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
+        bands = (
+            bands.join(counts, ["band", "band_key"])
+            .filter(F.col("__n") <= max_bucket)
+            .drop("__n")
+        )
+    a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
+    b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens. Per token, the first 4 md5
+    hex chars give a 16-bit value; each fingerprint bit is the sign of
+    the sum of (2*bit-1) across tokens. Pure expressions (explode-free:
+    aggregate over the token array)."""
+    toks = tokens(text)
+    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+
+    def bit_balance(b: int) -> Column:
+        # sum over tokens of (2*bit_b - 1)
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + (F.shiftright(tok_val(t), b) % 2) * 2 - 1,
+        )
+
+    fp = F.lit(0).cast("long")
+    for b in range(16):
+        fp = fp + F.when(bit_balance(b) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return fp
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via an inverted-index join:
+    explode distinct shingles, equi-join on shingle, count
+    intersections, then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
+    Returns (id1, id2, jaccard). At scale, run AFTER the LSH filter so
+    the shingle join only sees candidates."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id1"), "s")
+    b = sh.select(F.col("id").alias("id2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: Column,
+    threshold: float = 0.99,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs within buckets (e.g. an LSH or
+    cluster-label bucket) — the bucketed equi-join keeps this linear in
+    bucket size instead of a full cartesian."""
+    from stupp_exclusion_etl_spark.functions.vectors import cosine
+
+    e = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket_col.alias("bk"))
+    a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), "bk")
+    b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("cos_sim", cosine(F.col("v1"), F.col("v2")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
+    )

@@ -1,0 +1,126 @@
+"""Similarity search over embedding columns (SURVEY.md §2 B13).
+
+- `brute_force_topk`: exact cosine top-K — broadcast the query vector,
+  score every row JVM-side, TakeOrderedAndProject for the top-K (no
+  global sort). The correctness baseline.
+- `lsh_assign_buckets` + `ann_topk_lsh`: random-hyperplane LSH — the
+  scale path. Hyperplane components are derived deterministically from
+  md5 so bucket assignment is reproducible across engines and runs.
+- `ivf_topk`: IVF-style two-stage search against a provided centroid
+  table: route each query to its `n_probe` nearest centroids, then
+  score only vectors in those cells — at 100 TB this turns a full scan
+  into a partition-pruned read when vectors are written partitioned by
+  cell id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.functions.vectors import cosine, dot
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Exact top-K by cosine: (id, cos_sim), ties broken by id."""
+    scored = vectors.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def hyperplane(dim: int, plane_idx: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component d is the first
+    8 md5 hex chars of "plane:{i}:{d}" mapped to [-0.5, 0.5)."""
+    comps = [
+        (
+            F.conv(F.substring(F.md5(F.lit(f"plane:{plane_idx}:{d}")), 1, 8), 16, 10).cast(
+                "double"
+            )
+            / F.lit(float(2**32))
+            - F.lit(0.5)
+        )
+        for d in range(dim)
+    ]
+    return F.array(*comps)
+
+
+def lsh_assign_buckets(
+    vectors: DataFrame, vec_col: str, dim: int, n_planes: int = 8
+) -> DataFrame:
+    """Sign-of-projection LSH bucket id in [0, 2^n_planes)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = dot(F.col(vec_col), hyperplane(dim, p))
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return vectors.withColumn("lsh_bucket", bucket)
+
+
+def ann_topk_lsh(
+    vectors: DataFrame,
+    query: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Approximate top-K: score only vectors in the query's LSH bucket.
+    Recall is tunable via n_planes (fewer planes → bigger buckets);
+    multi-probe = union over neighbor buckets."""
+    vb = lsh_assign_buckets(vectors, vec_col, dim, n_planes)
+    qb = lsh_assign_buckets(
+        query.withColumnRenamed(query_vec_col, "__qv"), "__qv", dim, n_planes
+    ).withColumnRenamed("lsh_bucket", "__qbucket")
+    cand = vb.join(
+        F.broadcast(qb), F.col("lsh_bucket") == F.col("__qbucket"), "inner"
+    )
+    scored = cand.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+    centroid_vec_col: str = "centroid",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """IVF two-stage ANN: pick the query's n_probe nearest centroids,
+    then exact-score only vectors assigned to those cells. `vectors`
+    must carry its cell assignment (write-time k-means or any
+    partitioner); the cell filter prunes partitions on a cell-
+    partitioned table."""
+    probe_cells = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            F.col(cell_col),
+            cosine(F.col(centroid_vec_col), F.col(query_vec_col)).alias("__c"),
+        )
+        .orderBy(F.col("__c").desc())
+        .limit(n_probe)
+        .select(cell_col)
+    )
+    cand = vectors.join(F.broadcast(probe_cells), cell_col)
+    scored = cand.crossJoin(F.broadcast(query)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

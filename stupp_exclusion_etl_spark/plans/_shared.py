@@ -1,0 +1,28 @@
+"""Shared helpers for query plans.
+
+Float policy: every double-typed aggregate/computed output column is
+rounded to a fixed decimal count on BOTH the Spark side and the DuckDB
+oracle side. Sums of money-like 2-4dp inputs are decimal-exact at 4dp,
+so ROUND(x, 4) lands on a grid point far from any rounding boundary and
+the two engines agree bit-for-bit after rounding regardless of
+accumulation order. (SURVEY.md §5 oracle-differential strategy.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# The A17 fan-out analog: the reference iterates 83 HTS codes serially
+# (reference config.py:58-142); we express the same scan as ONE
+# partition-pruned `isin` filter (FIXTURES.md stand-in: part.p_size).
+CODES = [3, 7, 11, 15, 19, 23, 27, 31, 35, 39, 43, 47]
+
+
+def r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+def revenue() -> Column:
+    """TPC-H style revenue measure: extendedprice * (1 - discount)."""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))

@@ -1,0 +1,186 @@
+"""Aggregation plans (SURVEY.md §2 B5).
+
+The reference only counts records per HTS code in log lines
+(reference __main__.py:53-55); this is the full aggregation surface:
+hash aggregates with map-side partials, distinct, approx-distinct,
+rollup/cube/grouping-sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table, register_views
+from stupp_exclusion_etl_spark.plans._shared import r4, revenue
+from stupp_exclusion_etl_spark.plans.registry import register
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("B5",),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: 2-key hash agg, 9 measures.
+    Partial aggregation happens map-side (6 groups total), so the
+    shuffle moves ~6 rows per partition regardless of input size."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = revenue()
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        r4(F.sum("l_quantity")).alias("sum_qty"),
+        r4(F.sum("l_extendedprice")).alias("sum_base_price"),
+        r4(F.sum(disc_price)).alias("sum_disc_price"),
+        r4(F.sum(charge)).alias("sum_charge"),
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r4(F.avg("l_discount")).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+        r4(F.min("l_extendedprice")).alias("min_price"),
+        r4(F.max("l_extendedprice")).alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B5",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi count-distinct: Catalyst expands to a partial-dedup expand
+    plan; at 100 TB prefer approx_count_distinct when ±2% is fine."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines → rows-only check
+    tags=("B5",),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale answer to
+    distinct counting — constant memory per group, one pass, no expand.
+    Sketch values are engine-specific, so no SQL oracle (rows-only)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("B5",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals + grand total via plan-level
+    Expand — one shuffle, not one job per level."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("l_quantity")).alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("B5",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("B5",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface (Catalyst plans the
+    same Expand as rollup/cube)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+    tags=("B5",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )

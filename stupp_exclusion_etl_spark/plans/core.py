@@ -1,0 +1,246 @@
+"""Core scan/filter/project/sort/limit plans (SURVEY.md §2 A1-A10, A17, B1-B3, B7).
+
+Each plan is the Spark-idiomatic form of a reference behavior; the
+reference hand-implements pushdown at its HTTP source
+(reference clients/exclusion_requests.py:78-90), Catalyst derives the
+same rewrites for free over parquet (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans._shared import CODES, r4, revenue
+from stupp_exclusion_etl_spark.plans.registry import register
+
+_CODES_SQL = ", ".join(str(c) for c in CODES)
+
+
+@register(
+    "flagship_code_revenue",
+    oracle=f"""
+    SELECT p.p_size AS code,
+           CAST(count(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN ({_CODES_SQL})
+    GROUP BY p.p_size
+    ORDER BY revenue DESC, code
+    LIMIT 10
+    """,
+    tags=("A1", "A2", "A3", "A4", "A12", "A17", "B5", "B7"),
+)
+def flagship_code_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's core semantic in one statement: code-list scan
+    fan-out (A17) + equality pushdown (A2) + enrichment join (A12) +
+    aggregate + server-side top-K (A3+A4).
+
+    Scale notes: the `part` side after the `isin` filter is small →
+    broadcast hash join (no shuffle of lineitem); the aggregation is a
+    partial (map-side) hash agg before the single shuffle on p_size;
+    top-K plans as TakeOrderedAndProject, never a global sort.
+    """
+    part = table(spark, sf_dir, "part").filter(F.col("p_size").isin(CODES))
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_size").alias("code"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            r4(F.sum(revenue())).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("code"))
+        .limit(10)
+    )
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    """,
+    tags=("A1", "A5", "B1", "B2"),
+)
+def scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + filter reaching the parquet scan: ReadSchema prunes
+    to 4 columns, PushedFilters carries the shipdate bound (A5/B1)."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    )
+
+
+@register(
+    "point_lookup",
+    oracle="""
+    SELECT o_orderkey AS ID, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey = 42
+    """,
+    tags=("A15", "B3"),
+)
+def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup by primary key — the DynamoDB hash-key read the
+    reference's table layout exists for (reference __main__.py:45,
+    SURVEY.md §1.3). Parquet row-group stats prune the scan."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") == 42)
+        .select(
+            F.col("o_orderkey").alias("ID"),
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+    )
+
+
+@register(
+    "filter_eq",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_size
+    FROM part WHERE p_type = 'ECONOMY' AND p_size = 15
+    """,
+    tags=("A2", "B3"),
+)
+def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality predicate — the reference pushes HTSUSCode equality into
+    its remote payload (reference clients/exclusion_requests.py:81-82);
+    Catalyst pushes ours into parquet."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") == 15))
+        .select("p_partkey", "p_name", "p_type", "p_size")
+    )
+
+
+@register(
+    "filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_discount > 0.05
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    tags=("B3",),
+)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric + date range predicates — the thickness/diameter interval
+    query surface implied by the reference's GSIs (__main__.py:40-43)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") > 0.05)
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "filter_in",
+    oracle=f"""
+    SELECT p_size AS code, CAST(count(*) AS BIGINT) AS n_parts
+    FROM part WHERE p_size IN ({_CODES_SQL})
+    GROUP BY p_size
+    """,
+    tags=("A17", "B3"),
+)
+def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-list scan: the reference's 83-way serial fan-out
+    (reference __main__.py:47-48) as one partitioned filter."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size").isin(CODES))
+        .groupBy(F.col("p_size").alias("code"))
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+@register(
+    "filter_like_regex",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE '%bolt%' AND regexp_matches(p_brand, '^Brand#1[0-9]$')
+    """,
+    tags=("B3", "B10"),
+)
+def filter_like_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String LIKE + regex predicates (B3)."""
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%") & F.col("p_brand").rlike("^Brand#1[0-9]$"))
+        .select("p_partkey", "p_name", "p_brand")
+    )
+
+
+@register(
+    "filter_null_and_empty",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '4-NOT SPECIFIED') AS priority
+    FROM orders
+    WHERE NULLIF(o_orderpriority, '4-NOT SPECIFIED') IS NOT NULL
+      AND length(o_orderstatus) > 0
+    """,
+    tags=("A8", "B3"),
+)
+def filter_null_and_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-check + empty-value filter — the reference drops pairs whose
+    stringified value is empty (reference clients/exclusion_requests.py:158)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "priority", F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED"))
+    )
+    return o.filter(
+        F.col("priority").isNotNull() & (F.length("o_orderstatus") > 0)
+    ).select("o_orderkey", "priority")
+
+
+@register(
+    "project_rename_literal",
+    oracle="""
+    SELECT o_orderkey AS ID,
+           o_totalprice AS total,
+           'https://example.invalid/orders/' || CAST(o_orderkey AS VARCHAR) AS URL
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("A7", "A9", "A10", "B2"),
+)
+def project_rename_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rename + drop + derived literal column: the reference strips key
+    prefixes (A7, clients/exclusion_requests.py:45-48), deletes the
+    CSRF token column (A9, :161-164) and adds a URL column (A10, :160)."""
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumnRenamed("o_orderkey", "ID")
+        .withColumn(
+            "URL",
+            F.concat(F.lit("https://example.invalid/orders/"), F.col("ID").cast("string")),
+        )
+        .select("ID", F.col("o_totalprice").alias("total"), "URL")
+    )
+
+
+@register(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tags=("A3", "A4", "B7"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort+limit pushdown (A3/A4): plans as TakeOrderedAndProject —
+    per-partition top-K then a single merge, no global sort shuffle."""
+    return (
+        table(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

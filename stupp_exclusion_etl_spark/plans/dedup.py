@@ -1,0 +1,149 @@
+"""Deduplication plans (SURVEY.md §2 B9 + north-star dedup family).
+
+All sketches are md5-based (functions.hashing) so the DuckDB oracle
+reproduces them bit-for-bit — the LSH/SimHash results here are
+value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.functions.text import fingerprint
+from stupp_exclusion_etl_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from stupp_exclusion_etl_spark.plans.registry import register
+
+# --- shared oracle SQL fragments -------------------------------------------
+
+_TOKENS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+# k=3 word shingles, whole-doc fallback for short docs (matches
+# functions.text.shingles).
+_SHINGLES = f"""
+    CASE WHEN len({_TOKENS}) >= 3
+         THEN list_transform(range(1, len({_TOKENS}) - 1),
+                             i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i+1] || ' ' || {_TOKENS}[i+2])
+         ELSE [array_to_string({_TOKENS}, ' ')] END
+"""
+
+_N_HASHES = 12
+_BAND_SIZE = 3
+_MINHASH_AGGS = ",\n       ".join(
+    f"min(md5('{i}:' || s)) AS h{i}" for i in range(_N_HASHES)
+)
+_BAND_SELECTS = "\n    UNION ALL\n".join(
+    f"""SELECT doc_id, {b} AS band,
+        md5({" || '|' || ".join(f"h{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))}) AS band_key
+        FROM sigs"""
+    for b in range(_N_HASHES // _BAND_SIZE)
+)
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("B9", "A15"),
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint with a deterministic
+    canonical representative (min doc_id) — reproducible, unlike an
+    arbitrary-survivor dropDuplicates."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex AS (SELECT doc_id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS})
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    """,
+    tags=("B9",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12)+LSH(4 bands × 3) candidate near-dup pairs over
+    3-word shingles. One shuffle for signatures, one equi-join on
+    (band, band_key) for candidates — never a cartesian (operators.dedup)."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
+    ).select(F.col("id1").cast("long"), F.col("id2").cast("long"))
+
+
+def _simhash_oracle() -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {j}, 1)) - 1)"
+    val = " + ".join(
+        f"{nib.format(j=j + 1)} * {16 ** (3 - j)}" for j in range(4)
+    )
+    bit_sums = ",\n         ".join(
+        f"SUM((((v >> {b}) & 1) * 2 - 1)) AS s{b}" for b in range(16)
+    )
+    fp = " + ".join(f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, u.t FROM documents, UNNEST({_TOKENS}) AS u(t)),
+    vals AS (
+      SELECT doc_id, ({val}) AS v
+      FROM (SELECT doc_id, substr(md5(t), 1, 4) AS h FROM toks)),
+    bits AS (
+      SELECT doc_id, {bit_sums} FROM vals GROUP BY doc_id)
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("B9",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints per document (operators.dedup.simhash16):
+    near-dups share fingerprints within small Hamming distance; exact
+    16-bit values are oracle-checked."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex AS (SELECT DISTINCT doc_id AS id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY id),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id1, id2,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id1
+    JOIN sizes sb ON sb.id = id2
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.03
+    """,
+    tags=("B9",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.03 via inverted-index join
+    (operators.dedup.ngram_jaccard_pairs). At scale this runs on LSH
+    candidates only; here it runs raw to value-check the math."""
+    d = table(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(d, "doc_id", "text", shingle_k=3, threshold=0.03)
+    return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))

@@ -1,0 +1,190 @@
+"""Event-stream plans (SURVEY.md §2 B14 + as-of join).
+
+Batch-mode window()/session_window() aggregations are oracle-testable;
+the true Structured Streaming variants (watermark, foreachBatch) live
+in streaming/ and are exercised by `stream_tumbling_micro_batch`
+(rows-only) and unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans._shared import r4
+from stupp_exclusion_etl_spark.plans.registry import register
+
+# window start for a tumbling window of `sec` seconds, as DuckDB SQL
+_BUCKET = "make_timestamp((epoch_us(ts) // ({sec} * 1000000)) * ({sec} * 1000000))"
+
+
+@register(
+    "events_tumbling_window",
+    oracle=f"""
+    SELECT {_BUCKET.format(sec=600)} AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("B14", "A14"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute window aggregation — batch-mode window();
+    identical grouping runs under Structured Streaming with a watermark
+    (streaming.windows.tumbling_agg)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT {_BUCKET.format(sec=300)} AS w1, value FROM events
+    ), expanded AS (
+      SELECT w1 AS window_start, value FROM assigned
+      UNION ALL
+      SELECT w1 - INTERVAL 5 MINUTE, value FROM assigned
+    )
+    SELECT window_start, CAST(count(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS sum_value
+    FROM expanded GROUP BY 1
+    """,
+    tags=("B14",),
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (10 min length, 5 min slide): each event lands in
+    exactly 2 windows; window() expands rows plan-side, no UDF."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged)
+    SELECT user_id, min(ts) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+    tags=("B14",),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap via session_window() —
+    Spark merges events whose gaps are < 30 min; the oracle reproduces
+    it with the gaps-and-islands window idiom."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), r4(F.sum("value")).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts,
+           c.ts AS right_ts, ROUND(c.value, 4) AS right_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("B4", "B14"),
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators.joins.asof_join): for every purchase, the
+    most recent prior click by the same user — union + carry-forward
+    window, one shuffle, no per-row subquery."""
+    from stupp_exclusion_etl_spark.operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value")
+    )
+    out = asof_join(purchases, clicks, on="user_id", right_cols=["ts", "value"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("right_ts"),
+        F.round("right_value", 4).alias("right_value"),
+    )
+
+
+@register(
+    "stream_tumbling_micro_batch",
+    oracle=None,  # true Structured Streaming execution — rows-only;
+    # batch/stream equivalence is asserted in tests/test_streaming.py
+    tags=("B14", "A14"),
+)
+def stream_tumbling_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tumbling aggregation executed as a REAL micro-batch
+    Structured Streaming job (readStream → watermark → window agg →
+    availableNow trigger → memory sink). Same plan as
+    events_tumbling_window, streaming execution mode."""
+    from stupp_exclusion_etl_spark.streaming.windows import run_tumbling_stream
+
+    return run_tumbling_stream(spark, sf_dir)
+
+
+@register(
+    "events_micro_batch_counts",
+    oracle="""
+    SELECT CAST(event_id // 20 AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT) AS batch_size
+    FROM events GROUP BY 1
+    """,
+    tags=("A14",),
+)
+def events_micro_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 20-record sink batching (A14,
+    reference __main__.py:61-66) as a deterministic batch assignment;
+    sinks.batched.micro_batches does the physical per-partition
+    chunking for real sinks."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy((F.col("event_id") / 20).cast("long").alias("batch_id"))
+        .agg(F.count(F.lit(1)).alias("batch_size"))
+    )

@@ -1,0 +1,163 @@
+"""Nested-type, JSON, and scalar-function plans (SURVEY.md §2 A11, B10, B11).
+
+The reference extracts JSON arrays-of-structs out of HTML script blobs
+(reference clients/exclusion_requests.py:100-106) and stores nested
+maps/lists; these plans exercise from_json, explode, struct/map ops,
+and the string/date scalar family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans._shared import r4
+from stupp_exclusion_etl_spark.plans.registry import register
+
+
+@register(
+    "nested_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("A11", "B11"),
+)
+def nested_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload column → typed struct via from_json (A11 analog),
+    then aggregate on the extracted field."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "p", F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("p.k").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+    )
+
+
+@register(
+    "nested_from_json_explode",
+    oracle="""
+    SELECT n_nationkey, n_name AS OriginCountry
+    FROM nation
+    """,
+    tags=("A11", "B11"),
+)
+def nested_from_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's 'Source Countries' pattern end-to-end: build the
+    inline-script JSON array string, regexp-extract it, from_json to
+    array<struct>, explode back to rows
+    (reference clients/exclusion_requests.py:100-103)."""
+    n = table(spark, sf_dir, "nation")
+    blob = F.concat(
+        F.lit('var data = [{"OriginCountry": "'), F.col("n_name"), F.lit('"}];')
+    )
+    arr_schema = T.ArrayType(T.StructType([T.StructField("OriginCountry", T.StringType())]))
+    parsed = n.withColumn(
+        "countries",
+        F.from_json(F.regexp_extract(blob, r'\[\{"OriginCountry"[^\]]*\]', 0), arr_schema),
+    )
+    return parsed.select(
+        "n_nationkey", F.explode("countries").alias("c")
+    ).select("n_nationkey", F.col("c.OriginCountry").alias("OriginCountry"))
+
+
+@register(
+    "nested_array_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 6) AS l2_sq,
+           ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS comp_sum
+    FROM embeddings
+    """,
+    tags=("B11", "B13"),
+)
+def nested_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array reductions with higher-order functions (no explode, no
+    shuffle — per-row aggregate inside codegen)."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    s = F.aggregate(F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("n_dims"),
+        F.round(sq, 6).alias("l2_sq"),
+        F.round(s, 6).alias("comp_sum"),
+    )
+
+
+@register(
+    "nested_map_ops",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST((CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END)
+              + (CASE WHEN l_discount*100 > 25 THEN 1 ELSE 0 END)
+              + (CASE WHEN l_tax*100 > 25 THEN 1 ELSE 0 END) AS INTEGER) AS n_large,
+           CAST(3 AS INTEGER) AS n_keys
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("B11",),
+)
+def nested_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column ops: build a map, map_filter it, count entries
+    (the reference's dict-of-attributes record model, SURVEY.md §1.1;
+    empty-value map_filter = A8)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("disc_pct"), F.col("l_discount") * 100,
+        F.lit("tax_pct"), F.col("l_tax") * 100,
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.size(F.map_filter(m, lambda k, v: v > 25)).alias("n_large"),
+        F.size(F.transform_keys(m, lambda k, v: F.upper(k))).alias("n_keys"),
+    )
+
+
+@register(
+    "func_string_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mon,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           date_trunc('month', o_orderdate) AS month_start,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+           CAST(regexp_extract(o_orderpriority, '^([0-9]+)', 1) AS BIGINT) AS prio_num,
+           lower(replace(o_orderpriority, '-', '_')) AS prio_slug,
+           substr(trim(o_orderstatus), 1, 1) AS status_c
+    FROM orders WHERE o_orderkey < 2000
+    """,
+    tags=("B10",),
+)
+def func_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date scalar family (B10): year/month/quarter/date_trunc/
+    datediff + trim/replace/lower/substr/regexp_extract — the reference
+    only ever strips and replaces strings (A7, A13 trim note)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mon"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since"),
+        F.regexp_extract("o_orderpriority", r"^([0-9]+)", 1).cast("long").alias("prio_num"),
+        F.lower(F.replace("o_orderpriority", F.lit("-"), F.lit("_"))).alias("prio_slug"),
+        F.substring(F.trim(F.col("o_orderstatus")), 1, 1).alias("status_c"),
+    )

@@ -1,0 +1,83 @@
+"""Set-operation plans (SURVEY.md §2 B8).
+
+The reference runs three parallel entity pipelines that never combine
+(reference __main__.py:36-121); here they union/intersect/except as one
+plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans.registry import register
+
+
+@register(
+    "setop_union_pipelines",
+    oracle="""
+    SELECT 'customer' AS entity, c_custkey AS id, c_name AS name FROM customer
+      WHERE c_acctbal > 9500
+    UNION ALL
+    SELECT 'supplier' AS entity, s_suppkey AS id, s_name AS name FROM supplier
+      WHERE s_acctbal > 9500
+    """,
+    tags=("B8",),
+)
+def setop_union_pipelines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName of two entity pipelines with a discriminator column —
+    the three serial reference pipelines as one combined plan."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9500)
+        .select(
+            F.lit("customer").alias("entity"),
+            F.col("c_custkey").alias("id"),
+            F.col("c_name").alias("name"),
+        )
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(
+            F.lit("supplier").alias("entity"),
+            F.col("s_suppkey").alias("id"),
+            F.col("s_name").alias("name"),
+        )
+    )
+    return c.unionByName(s)
+
+
+@register(
+    "setop_intersect",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("B8",),
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct): parts appearing in both returned and
+    accepted lineitems."""
+    li = table(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    a = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return r.intersect(a)
+
+
+@register(
+    "setop_except",
+    oracle="""
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem
+    """,
+    tags=("B8",),
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): parts never ordered."""
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    li = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
+    return p.exceptAll(li).distinct()

@@ -1,0 +1,129 @@
+"""Similarity-search plans (SURVEY.md §2 B13 + north-star ANN family)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.operators.similarity import (
+    ann_topk_lsh,
+    brute_force_topk,
+    ivf_topk,
+)
+from stupp_exclusion_etl_spark.plans.registry import register
+
+_DIM = 64
+
+# Double-precision dot/norm oracle fragments over FLOAT[] columns.
+_DOT = (
+    "list_sum(list_transform(range(1, {n}+1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    d = _DOT.format(n=_DIM, a=a, b=b)
+    na = _DOT.format(n=_DIM, a=a, b=a)
+    nb = _DOT.format(n=_DIM, a=b, b=b)
+    return f"({d}) / (sqrt({na}) * sqrt({nb}))"
+
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_cos("e.embedding", "q.qe")}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("B13",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 vs the vec_id=0 query vector —
+    the ANN correctness baseline (operators.similarity.brute_force_topk):
+    broadcast query, codegen'd zip_with/aggregate dot product,
+    TakeOrderedAndProject top-K."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+@register(
+    "sim_ann_lsh_topk",
+    oracle=None,  # bucket membership is engine-portable but the 8-plane
+    # projection SQL is impractical; checked by unit test against
+    # brute force recall instead (tests/test_similarity.py)
+    tags=("B13",),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucketing
+    (operators.similarity.ann_topk_lsh): only the query's bucket is
+    scored. At 100 TB the table is written bucketed by lsh_bucket so
+    the candidate read is partition-pruned."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ann_topk_lsh(
+        e.filter(F.col("vec_id") != 0), q, dim=_DIM, k=10, n_planes=4
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=None,  # two-stage ANN routing: recall-checked against brute
+    # force in tests/test_similarity.py (rows-only for the driver)
+    tags=("B13",),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style two-stage ANN (operators.similarity.ivf_topk): label
+    column stands in for the k-means cell id; centroids are per-cell
+    mean vectors; the query probes its 2 nearest cells and scores only
+    those vectors. On a cell-partitioned table the candidate read is
+    partition-pruned."""
+    e = table(spark, sf_dir, "embeddings")
+    exploded = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+        .select(F.col("label").alias("cell"), "centroid")
+    )
+    vectors = e.filter(F.col("vec_id") != 0).withColumn("cell", F.col("label"))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return ivf_topk(vectors, cent, q, k=10, n_probe=2)
+
+
+@register(
+    "sim_pairwise_label_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND({_cos("a.embedding", "b.embedding")}, 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id < 60 AND b.vec_id < 60
+    """,
+    tags=("B13", "B9"),
+)
+def sim_pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed pairwise cosine (embedding near-dup pattern,
+    operators.dedup.embedding_neardup_pairs): equi-join on the bucket
+    (label) bounds the pair count — never an all-pairs cartesian."""
+    from stupp_exclusion_etl_spark.functions.vectors import cosine
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"), "label")
+    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"), "label")
+    return (
+        a.join(b, "label")
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim")
+        )
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis plans (SURVEY.md §2 B12 + north-star text ops)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.functions.text import (
+    BPE_TOKEN_RE,
+    STOPWORDS,
+    bpe_token_count,
+    lang_id,
+    punct_count,
+    quality_score,
+    token_count,
+    tokens,
+)
+from stupp_exclusion_etl_spark.plans.registry import register
+
+_TOKENS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    SELECT u.t AS token, CAST(count(*) AS BIGINT) AS n
+    FROM documents, UNNEST({_TOKENS}) AS u(t)
+    GROUP BY u.t
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+    tags=("B12",),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency top-20: tokenize → explode → count → top-K.
+    Map-side partial agg keeps the shuffle at vocabulary size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "text_doc_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct
+    FROM documents
+    """,
+    tags=("B12",),
+)
+def text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens + BPE-ish regex
+    tokens + char/punct counts (all codegen'd expressions)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars_calc"),
+        punct_count(F.col("text")).cast("long").alias("n_punct"),
+    )
+
+
+def _lang_oracle() -> str:
+    def hits(lang: str) -> str:
+        inlist = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        return f"len(list_filter({_TOKENS}, t -> list_contains([{inlist}], lower(t))))"
+
+    en, de, fr = hits("en"), hits("de"), hits("fr")
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} > 0 THEN 'en'
+                WHEN {de} >= {fr} AND {de} > 0 THEN 'de'
+                WHEN {fr} > 0 THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM documents
+    """
+
+
+@register("text_lang_id", oracle=_lang_oracle(), tags=("B12",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (functions.text.lang_id) next to
+    the labeled lang column."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", lang_id(tokens(F.col("text"))).alias("predicted_lang")
+    )
+
+
+def _quality_oracle() -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS}) AS DOUBLE) AS n_tok,
+             CAST(length(text) AS DOUBLE) AS n_chars,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(len(list_filter({_TOKENS}, t -> list_contains([{inlist}], lower(t)))) AS DOUBLE) AS sw_hits
+      FROM documents)
+    SELECT doc_id,
+           ROUND(least(n_tok / 50.0, 1.0) * 0.4
+               + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
+               + least(sw_hits / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3, 6) AS quality
+    FROM t
+    """
+
+
+@register("text_quality_score", oracle=_quality_oracle(), tags=("B12",))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring (functions.text.quality_score):
+    length + punctuation-density + stopword-fluency mix in [0,1]."""
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(quality_score(F.col("text")), 6).alias("quality"))
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.t AS token FROM documents, UNNEST({_TOKENS}) AS u(t)),
+    tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY token),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      FROM scored)
+    WHERE rn = 1 AND doc_id < 100
+    """,
+    tags=("B12",),
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-lite: top term per document (docs 0-99). tf from a
+    doc×token agg, df from a token agg, idf = ln(N/df); the df side is
+    vocabulary-sized → broadcast back onto tf."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar: one job over parquet row-group stats
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")), 6
+        ).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "tfidf")
+    )

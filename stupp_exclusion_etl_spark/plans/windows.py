@@ -1,0 +1,150 @@
+"""Window-function plans (SURVEY.md §2 B6) + keep-latest upsert semantics (A15/B9).
+
+The reference's keyed upsert (last-write-wins by ID,
+reference __main__.py:8-24) is exactly `row_number() == 1` over a key
+window ordered by recency — the MERGE stand-in for plain parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans._shared import r4
+from stupp_exclusion_etl_spark.plans.registry import register
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("B6",),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: the scalable per-group top-K (one
+    shuffle on the partition key; no global sort)."""
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_size, p_partkey, p_retailprice,
+           CAST(rank() OVER w AS BIGINT) AS price_rank,
+           CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+    FROM part
+    WHERE p_size <= 5
+    WINDOW w AS (PARTITION BY p_size ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    tags=("B6",),
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank with deterministic tie-break."""
+    w = W.partitionBy("p_size").orderBy(F.col("p_retailprice").desc(), "p_partkey")
+    return (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_size", "p_partkey", "p_retailprice")
+        .withColumn("price_rank", F.rank().over(w).cast("long"))
+        .withColumn("price_dense_rank", F.dense_rank().over(w).cast("long"))
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 4) AS price,
+           ROUND(lag(o_totalprice) OVER w, 4) AS prev_price,
+           ROUND(lead(o_totalprice) OVER w, 4) AS next_price
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("B6",),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over an event-ordered per-key window."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r4(F.col("o_totalprice")).alias("price"),
+            r4(F.lag("o_totalprice").over(w)).alias("prev_price"),
+            r4(F.lead("o_totalprice").over(w)).alias("next_price"),
+        )
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spent,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS order_seq
+    FROM orders WHERE o_custkey < 100
+    """,
+    tags=("B6",),
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running aggregate with an explicit ROWS frame."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r4(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+            ).alias("running_spent"),
+            F.row_number().over(w).cast("long").alias("order_seq"),
+        )
+    )
+
+
+@register(
+    "upsert_keep_latest",
+    oracle="""
+    SELECT o_custkey AS ID, o_orderkey, o_orderdate, o_totalprice
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    tags=("A15", "B9", "B6"),
+)
+def upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed last-write-wins upsert (A15, reference __main__.py:8-24):
+    keep the most recent record per key. Implemented via the dedup
+    operator (window row_number==1); on a table format this is
+    MERGE INTO (see sinks.upsert)."""
+    from stupp_exclusion_etl_spark.operators.dedup import keep_latest
+
+    out = keep_latest(
+        table(spark, sf_dir, "orders"),
+        keys=["o_custkey"],
+        order_by=[F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return out.select(
+        F.col("o_custkey").alias("ID"), "o_orderkey", "o_orderdate", "o_totalprice"
+    )

@@ -1,0 +1,82 @@
+"""Streaming window/watermark operators (SURVEY.md §2 B14).
+
+The transformation logic is shared with the batch plans — the same
+groupBy(window(...)) expression runs in both modes; only the source
+(readStream) and sink (writeStream + watermark) differ. That is the
+point of Structured Streaming: one declarative plan, two execution
+modes.
+
+The reference's 20-record buffer flush (A14, reference __main__.py:61-66)
+maps to micro-batch triggers + foreachBatch here.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(ev: DataFrame, minutes: int = 10, watermark: str | None = None) -> DataFrame:
+    """Tumbling-window count/sum per event_type; with `watermark` set
+    (e.g. '15 minutes') late events beyond the bound are dropped and
+    state is evicted — required for append-mode streaming output."""
+    if watermark is not None:
+        ev = ev.withWatermark("ts", watermark)
+    return (
+        ev.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (schema pinned from a batch
+    read; ts converted ns→µs exactly as the batch catalog does)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource wants a directory: stream the sf dir, glob-
+    # filtered to the events file.
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
+    # so the values align with the batch NTZ reading.
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_tumbling_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    minutes: int = 10,
+    watermark: str = "15 minutes",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Execute the tumbling aggregation as a real micro-batch streaming
+    job (availableNow trigger → memory sink) and return the result
+    table. Complete output mode: every window is emitted once the
+    bounded input is drained."""
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    agg = tumbling_agg(events_stream(spark, sf_dir), minutes, watermark)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    if q.isActive:
+        q.stop()
+    return spark.table(name)
