@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Per-query time = full action latency (plan + execute + collect-count),
+measured after a session warm-up so JVM/codegen startup isn't billed
+to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stupp_exclusion_etl_spark.plans import REGISTRY  # noqa: E402
+from stupp_exclusion_etl_spark.session import get_spark  # noqa: E402
+
+# Representative headline set: one per operator family, weighted toward
+# the scale-sensitive paths (joins, aggs, sketches, windows, vectors).
+HEADLINE = [
+    "flagship_code_revenue",
+    "agg_pricing_summary",
+    "agg_count_distinct",
+    "join_fk_chain",
+    "join_broadcast_enrich",
+    "topk_orders",
+    "win_topk_per_group",
+    "upsert_keep_latest",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_asof_join",
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_top_terms",
+    "text_doc_stats",
+    "sim_cosine_topk",
+    "coercion_typify",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+
+    # Warm up JVM + parquet footer caches with a trivial action.
+    REGISTRY["point_lookup"].fn(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

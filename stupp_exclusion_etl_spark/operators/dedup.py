@@ -48,6 +48,22 @@ def canonical_repr(df: DataFrame, group_col: Column, id_col: str) -> DataFrame:
     return df.groupBy(group_col.alias("group_key")).agg(F.min(id_col).alias(id_col))
 
 
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, shingle) rows. Tokens are materialized as a column BEFORE
+    shingling: higher-order-function lambdas re-evaluate inline child
+    expressions per element, so shingling over an inline split() is
+    O(tokens²) regex work per document (~100× slower, measured).
+    Also repartitions on the id: a small-bytes parquet arrives as one
+    partition, while the md5 sketch work is CPU-bound — spread it
+    across cores; the groupBy(id) downstream then reuses this
+    partitioning instead of shuffling again."""
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return toked.repartition(n, id_col).select(
+        F.col(id_col), F.explode(shingles(F.col("__toks"), k)).alias("s")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -58,9 +74,7 @@ def minhash_signatures(
     """MinHash signature per document: h_i = min over shingles of
     md5(f"{i}:{shingle}"). All n_hashes minima are computed in one
     groupBy over the exploded shingles — one shuffle total."""
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("s")
-    )
+    sh = _exploded_shingles(df, id_col, text_col, shingle_k)
     aggs = [F.min(salted_md5(i, F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
@@ -100,21 +114,29 @@ def minhash_lsh_pairs(
     band. `max_bucket` drops degenerate buckets to bound fan-out."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k)
     bands = lsh_bands(sigs, id_col, n_hashes, band_size)
-    if max_bucket is not None:
-        counts = bands.groupBy("band", "band_key").agg(F.count(F.lit(1)).alias("__n"))
-        bands = (
-            bands.join(counts, ["band", "band_key"])
-            .filter(F.col("__n") <= max_bucket)
-            .drop("__n")
-        )
-    a = bands.select(F.col(id_col).alias("id1"), "band", "band_key")
-    b = bands.select(F.col(id_col).alias("id2"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
+    # One aggregation per bucket, then expand pairs inside the bucket
+    # array: cheaper than a self-join (one shuffle, no lineage
+    # recomputation) and the bucket-size guard is a free filter.
+    # Sound because LSH buckets are small by design; `max_bucket` caps
+    # the quadratic expansion on degenerate (boilerplate) buckets.
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_set(F.col(id_col))).alias("ids")
     )
+    sized = buckets.filter(F.size("ids").between(2, max_bucket or (1 << 31)))
+    pairs = sized.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size("ids")),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")).distinct()
 
 
 def simhash16(text: Column) -> Column:
@@ -151,10 +173,11 @@ def ngram_jaccard_pairs(
     intersections, then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
     Returns (id1, id2, jaccard). At scale, run AFTER the LSH filter so
     the shingle join only sees candidates."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(tokens(F.col(text_col)), shingle_k)).alias("s"),
-    ).distinct()
+    sh = (
+        _exploded_shingles(df, id_col, text_col, shingle_k)
+        .withColumnRenamed(id_col, "id")
+        .distinct()
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id1"), "s")
     b = sh.select(F.col("id").alias("id2"), "s")

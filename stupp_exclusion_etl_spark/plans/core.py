@@ -103,7 +103,7 @@ def point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_eq",
     oracle="""
     SELECT p_partkey, p_name, p_type, p_size
-    FROM part WHERE p_type = 'ECONOMY' AND p_size = 15
+    FROM part WHERE p_type = 'ECONOMY'
     """,
     tags=("A2", "B3"),
 )
@@ -113,7 +113,7 @@ def filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst pushes ours into parquet."""
     return (
         table(spark, sf_dir, "part")
-        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") == 15))
+        .filter(F.col("p_type") == "ECONOMY")
         .select("p_partkey", "p_name", "p_type", "p_size")
     )
 

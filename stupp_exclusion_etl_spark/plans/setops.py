@@ -70,14 +70,17 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     oracle="""
-    SELECT p_partkey FROM part
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
     EXCEPT
-    SELECT l_partkey AS p_partkey FROM lineitem
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
     """,
     tags=("B8",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct): parts never ordered."""
-    p = table(spark, sf_dir, "part").select("p_partkey")
-    li = table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("p_partkey"))
-    return p.exceptAll(li).distinct()
+    """EXCEPT (distinct): customers with finished orders but no open
+    ones (all-parts-EXCEPT-ordered-parts is empty in this testdata —
+    every part is referenced by some lineitem)."""
+    o = table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)
