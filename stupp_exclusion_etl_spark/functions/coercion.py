@@ -88,6 +88,11 @@ def typify_tag_pandas():
     int/float exactly; bool is none of them). Returned lazily because
     pandas_udf creation needs an active SparkSession."""
 
+    import re
+
+    int_re = re.compile(INT_RE)
+    float_re = re.compile(FLOAT_RE)
+
     def one(v: object) -> str | None:
         if v is None:
             return "null"
@@ -101,16 +106,17 @@ def typify_tag_pandas():
         low = s.lower()
         if "e" in low or "inf" in low or "nan" in low:
             return "string"
-        try:
-            int(s)
+        # Same regex gate as the Catalyst expression (typify_tag), NOT a
+        # bare int()/float(): Python parses accept underscores
+        # ("1_000") and non-ASCII digits, which the engine rejects as
+        # strings — a documented, deliberate tightening of the
+        # reference semantics. Trim matches F.trim (spaces only).
+        t = s.strip(" ")
+        if int_re.fullmatch(t) and -(2**63) <= int(t) < 2**63:
             return "long"
-        except ValueError:
-            pass
-        try:
-            float(s)
+        if float_re.fullmatch(t):
             return "double"
-        except ValueError:
-            return "string"
+        return "string"
 
     @pandas_udf("string")
     def _udf(raw: pd.Series) -> pd.Series:

@@ -70,19 +70,36 @@ def ann_topk_lsh(
     dim: int,
     k: int = 10,
     n_planes: int = 8,
+    multi_probe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "q",
 ) -> DataFrame:
     """Approximate top-K: score only vectors in the query's LSH bucket.
-    Recall is tunable via n_planes (fewer planes → bigger buckets);
-    multi-probe = union over neighbor buckets."""
+    Recall is tunable two ways: fewer planes → bigger buckets, and
+    ``multi_probe`` = Hamming radius of extra buckets probed (radius 1
+    adds the n_planes single-bit-flip neighbors — near-misses where the
+    query sat close to one hyperplane). The probe list stays tiny and
+    broadcast; the big side is only ever equi-joined on its bucket id,
+    so a bucket-partitioned table serves this with partition pruning."""
     vb = lsh_assign_buckets(vectors, vec_col, dim, n_planes)
     qb = lsh_assign_buckets(
         query.withColumnRenamed(query_vec_col, "__qv"), "__qv", dim, n_planes
-    ).withColumnRenamed("lsh_bucket", "__qbucket")
+    )
+    probes = [F.col("lsh_bucket")]
+    if multi_probe >= 1:
+        probes += [F.col("lsh_bucket").bitwiseXOR(1 << p) for p in range(n_planes)]
+    if multi_probe >= 2:
+        probes += [
+            F.col("lsh_bucket").bitwiseXOR((1 << p) | (1 << r))
+            for p in range(n_planes)
+            for r in range(p + 1, n_planes)
+        ]
+    qprobes = qb.select(
+        F.col("__qv"), F.explode(F.array(*probes)).alias("__qbucket")
+    )
     cand = vb.join(
-        F.broadcast(qb), F.col("lsh_bucket") == F.col("__qbucket"), "inner"
+        F.broadcast(qprobes), F.col("lsh_bucket") == F.col("__qbucket"), "inner"
     )
     scored = cand.select(
         F.col(id_col),

@@ -1,0 +1,96 @@
+"""Multimodal-column plans (north-star multimodal family).
+
+The payload/metadata derivation (operators.multimodal.attach_media) is
+deterministic from ``documents.text``, so even the byte-level plans are
+fully oracle-checkable: DuckDB re-derives the same payload via
+``encode(text)`` (the corpus is pure ASCII — verified — so char ops
+equal byte ops on the oracle side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.operators.multimodal import (
+    attach_media,
+    byte_histogram,
+    sample_frames,
+)
+from stupp_exclusion_etl_spark.plans.registry import register
+
+# Oracle-side re-derivation of attach_media's metadata.
+_MT = "['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]"
+_NB = "octet_length(encode(text))"
+
+
+@register(
+    "mm_payload_stats",
+    oracle=f"""
+    SELECT {_MT} AS media_type,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum({_NB}) AS BIGINT) AS total_bytes,
+           CAST(max({_NB}) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("B1", "B5"),
+)
+def mm_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only scan over media columns: per-type doc count and
+    byte volume. The plan touches only the metadata struct — parquet
+    column pruning never reads payload bytes (check ReadSchema)."""
+    d = attach_media(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return d.groupBy(F.col("media.media_type").alias("media_type")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("media.n_bytes").alias("total_bytes"),
+        F.max("media.n_bytes").alias("max_bytes"),
+    )
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(u.f AS BIGINT) AS frame_no
+    FROM (SELECT doc_id, 1 + {_NB} // 32 AS n_frames
+          FROM documents WHERE {_MT} = 'video'),
+         UNNEST(range(0, CAST(n_frames AS BIGINT), 4)) AS u(f)
+    """,
+    tags=("B11", "B14"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling over video rows — pure Catalyst
+    sequence+explode from metadata; zero decode, zero Python
+    (operators.multimodal.sample_frames)."""
+    d = attach_media(table(spark, sf_dir, "documents"), "doc_id", "text")
+    out = sample_frames(d, "doc_id", every_k=4)
+    return out.select("doc_id", F.col("frame_no").cast("long"))
+
+
+@register(
+    "mm_byte_histogram",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ord(u.c) // 32 AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+         UNNEST(split(text, '')) AS u(c)
+    GROUP BY 1, 2
+    """,
+    tags=("B15", "B12"),
+)
+def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (operators.multimodal.byte_histogram): 8-bin byte
+    histogram per document as (doc_id, bin, cnt). This is the tested
+    plumbing a real media decoder drops into — numpy vectorized per
+    Arrow batch, repartitioned by id for core spread. Oracle side
+    re-derives per-char (ASCII corpus ⇒ char == byte)."""
+    d = attach_media(
+        table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100),
+        "doc_id",
+        "text",
+    )
+    out = byte_histogram(d, "doc_id", "payload", n_bins=8)
+    return out.select(F.col("id").alias("doc_id"), "bin", "cnt")

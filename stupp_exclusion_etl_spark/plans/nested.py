@@ -161,3 +161,32 @@ def func_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.replace("o_orderpriority", F.lit("-"), F.lit("_"))).alias("prio_slug"),
         F.substring(F.trim(F.col("o_orderstatus")), 1, 1).alias("status_c"),
     )
+
+
+@register(
+    "nested_double_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(json_extract_string(
+                json_object('body', props), '$.body'), '$.k') AS BIGINT) AS k
+    FROM events WHERE event_id < 500
+    """,
+    tags=("A19", "B11"),
+)
+def nested_double_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-JSON-encoded payload decode — the reference's
+    json.loads(json.loads(r.text)) pattern (reference
+    clients/exclusion_requests.py:116,138): wrap props in an envelope
+    whose body is a JSON *string*, then from_json twice — outer parse
+    yields the inner JSON text, inner parse yields the typed struct."""
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    enveloped = ev.withColumn(
+        "wire", F.to_json(F.struct(F.col("props").alias("body")))
+    )
+    outer = F.from_json(
+        "wire", T.StructType([T.StructField("body", T.StringType())])
+    )
+    inner = F.from_json(
+        outer["body"], T.StructType([T.StructField("k", T.LongType())])
+    )
+    return enveloped.select("event_id", inner["k"].alias("k"))

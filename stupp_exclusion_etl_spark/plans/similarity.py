@@ -59,14 +59,15 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("B13",),
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH bucketing
-    (operators.similarity.ann_topk_lsh): only the query's bucket is
-    scored. At 100 TB the table is written bucketed by lsh_bucket so
-    the candidate read is partition-pruned."""
+    """Approximate top-10 via random-hyperplane LSH bucketing with
+    1-bit multi-probe (operators.similarity.ann_topk_lsh): the query's
+    bucket plus its single-bit-flip neighbors are scored. At 100 TB the
+    table is written bucketed by lsh_bucket so the candidate read is
+    partition-pruned."""
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return ann_topk_lsh(
-        e.filter(F.col("vec_id") != 0), q, dim=_DIM, k=10, n_planes=4
+        e.filter(F.col("vec_id") != 0), q, dim=_DIM, k=10, n_planes=4, multi_probe=1
     )
 
 
@@ -79,9 +80,11 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style two-stage ANN (operators.similarity.ivf_topk): label
     column stands in for the k-means cell id; centroids are per-cell
-    mean vectors; the query probes its 2 nearest cells and scores only
+    mean vectors; the query probes its 4 nearest cells and scores only
     those vectors. On a cell-partitioned table the candidate read is
-    partition-pruned."""
+    partition-pruned. (The synthetic labels correlate only weakly with
+    cosine proximity, so recall/probe here is a floor — real k-means
+    cells concentrate neighbors far better.)"""
     e = table(spark, sf_dir, "embeddings")
     exploded = e.select("label", F.posexplode("embedding").alias("pos", "x"))
     cent = (
@@ -97,7 +100,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vectors = e.filter(F.col("vec_id") != 0).withColumn("cell", F.col("label"))
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return ivf_topk(vectors, cent, q, k=10, n_probe=2)
+    return ivf_topk(vectors, cent, q, k=10, n_probe=4)
 
 
 @register(

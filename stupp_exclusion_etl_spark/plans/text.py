@@ -166,3 +166,32 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & (F.col("doc_id") < 100))
         .select("doc_id", "token", "tfidf")
     )
+
+
+def _rolling_oracle() -> str:
+    # hex8 → BIGINT via nibble positions (engine-portable: DuckDB has no
+    # conv(); matches functions.hashing.rolling_hash's conv(md5[1:8],16,10)).
+    nib = "(strpos('0123456789abcdef', substr(md5(t), {j}, 1)) - 1)"
+    hex8 = " + ".join(
+        f"CAST({16 ** (7 - j)} AS BIGINT) * {nib.format(j=j + 1)}" for j in range(8)
+    )
+    return f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+                          list_transform({_TOKENS}, t -> {hex8})),
+             (acc, h) -> (acc * 257 + h) % 1000000007) AS fp
+    FROM documents
+    """
+
+
+@register("text_fingerprint_rolling", oracle=_rolling_oracle(), tags=("B12", "A13"))
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint
+    (functions.hashing.rolling_hash): h = Σ tok_i·257^i mod p computed
+    left-to-right with F.aggregate — whole-stage codegen, no UDF, no
+    shuffle (per-row expression)."""
+    from stupp_exclusion_etl_spark.functions.hashing import rolling_hash
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", rolling_hash(tokens(F.col("text"))).alias("fp"))

@@ -1,0 +1,80 @@
+"""Keyed-upsert sink tests (SURVEY.md A14-A16): last-write-wins by key,
+idempotent re-runs, GSI-style partitioned writes, bounded batching."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.sinks.upsert import (
+    foreach_batched_writer,
+    micro_batches,
+    partitioned_index_write,
+    upsert_parquet,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, status string, version long")
+
+
+def test_upsert_last_write_wins_and_idempotent(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v1 = _df(spark, [(1, "pending", 1), (2, "pending", 1)])
+    upsert_parquet(v1, path, keys=["id"], order_by=[F.col("version").desc()])
+    v2 = _df(spark, [(2, "granted", 2), (3, "pending", 1)])
+    for _ in range(2):  # second run = re-delivery; must be a no-op
+        upsert_parquet(v2, path, keys=["id"], order_by=[F.col("version").desc()])
+        got = {r.id: (r.status, r.version) for r in spark.read.parquet(path).collect()}
+        assert got == {1: ("pending", 1), 2: ("granted", 2), 3: ("pending", 1)}
+
+
+def test_upsert_out_of_order_delivery_keeps_newest(spark, tmp_path):
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        _df(spark, [(1, "granted", 5)]), path, ["id"], [F.col("version").desc()]
+    )
+    # stale update arrives late: must NOT clobber the newer row
+    upsert_parquet(
+        _df(spark, [(1, "pending", 2)]), path, ["id"], [F.col("version").desc()]
+    )
+    got = spark.read.parquet(path).collect()
+    assert [(r.status, r.version) for r in got] == [("granted", 5)]
+
+
+def test_partitioned_index_write_prunes(spark, tmp_path):
+    path = str(tmp_path / "idx")
+    df = _df(spark, [(i, "granted" if i % 2 else "denied", 1) for i in range(10)])
+    partitioned_index_write(df, path, ["status"])
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("status=")
+    ) == ["status=denied", "status=granted"]
+    scan = spark.read.parquet(path).filter(F.col("status") == "granted")
+    assert scan.count() == 5
+    # equality predicate on the partition column must prune, not filter
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan
+
+
+def test_micro_batches_bounded(spark):
+    df = spark.range(0, 101).repartition(2)
+    sizes = [r.batch_rows for r in micro_batches(df, batch_size=20).collect()]
+    assert sum(sizes) == 101
+    assert max(sizes) <= 20
+
+
+def test_foreach_batched_writer_chunks(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def write_fn(records):
+        assert 0 < len(records) <= 20
+        fn = os.path.join(out, f"{records[0]['id']}_{len(records)}")
+        with open(fn, "w") as f:
+            f.write(str(len(records)))
+
+    df = _df(spark, [(i, "s", 1) for i in range(45)]).coalesce(1)
+    foreach_batched_writer(df, write_fn, batch_size=20)
+    total = sum(int(open(os.path.join(out, f)).read()) for f in os.listdir(out))
+    assert total == 45
