@@ -20,7 +20,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from stupp_exclusion_etl_spark.functions.hashing import salted_md5
+from stupp_exclusion_etl_spark.functions.hashing import (
+    MINHASH_P,
+    md5_base_long,
+    minhash_params,
+)
 from stupp_exclusion_etl_spark.functions.text import shingles, tokens
 
 
@@ -72,25 +76,32 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
-    md5(f"{i}:{shingle}"). All n_hashes minima are computed in one
-    groupBy over the exploded shingles — one shuffle total."""
+    (a_i·md5base(shingle) + b_i) mod p — ONE md5 per shingle plus
+    n_hashes codegen'd affine maps (12× less hashing than n independent
+    salted md5s; the affine family is the standard Carter-Wegman
+    construction). All minima are computed in one groupBy over the
+    exploded shingles — one shuffle total, and the shuffle carries
+    longs, not hex strings."""
     sh = _exploded_shingles(df, id_col, text_col, shingle_k)
-    aggs = [F.min(salted_md5(i, F.col("s"))).alias(f"h{i}") for i in range(n_hashes)]
-    return sh.groupBy(id_col).agg(*aggs)
+    based = sh.select(id_col, (md5_base_long(F.col("s")) % MINHASH_P).alias("hb"))
+    aggs = [
+        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_params(n_hashes))
+    ]
+    return based.groupBy(id_col).agg(*aggs)
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int, band_size: int) -> DataFrame:
-    """Split a signature into bands; band_key = md5 of the concatenated
-    hashes, so equal band_key ⇔ equal band (w.h.p.)."""
+    """Split a signature into bands; band_key = the band's hashes
+    joined with '|' (exact band identity — no re-hash needed, equal
+    key ⇔ equal band)."""
     n_bands = n_hashes // band_size
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|", *[F.col(f"h{b * band_size + r}") for r in range(band_size)]
-                    )
+                F.concat_ws(
+                    "|", *[F.col(f"h{b * band_size + r}") for r in range(band_size)]
                 ).alias("band_key"),
             )
             for b in range(n_bands)

@@ -18,7 +18,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from stupp_exclusion_etl_spark.functions.vectors import cosine, dot
+from stupp_exclusion_etl_spark.functions.vectors import cosine, dot, norm2
+
+
+def _with_qnorm(query: DataFrame, query_vec_col: str) -> DataFrame:
+    """Precompute the query vector's norm on the (tiny) broadcast side —
+    saves one 64-element aggregate per scored row versus recomputing it
+    inside cosine()."""
+    return query.withColumn("__qn", norm2(F.col(query_vec_col)))
+
+
+def _cos_with_qnorm(vec: Column, qvec: Column) -> Column:
+    return dot(vec, qvec) / (norm2(vec) * F.col("__qn"))
 
 
 def brute_force_topk(
@@ -30,9 +41,11 @@ def brute_force_topk(
     query_vec_col: str = "q",
 ) -> DataFrame:
     """Exact top-K by cosine: (id, cos_sim), ties broken by id."""
-    scored = vectors.crossJoin(F.broadcast(query)).select(
+    scored = vectors.crossJoin(F.broadcast(_with_qnorm(query, query_vec_col))).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+        F.round(_cos_with_qnorm(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "cos_sim"
+        ),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -95,15 +108,15 @@ def ann_topk_lsh(
             for p in range(n_planes)
             for r in range(p + 1, n_planes)
         ]
-    qprobes = qb.select(
-        F.col("__qv"), F.explode(F.array(*probes)).alias("__qbucket")
+    qprobes = _with_qnorm(qb, "__qv").select(
+        F.col("__qv"), F.col("__qn"), F.explode(F.array(*probes)).alias("__qbucket")
     )
     cand = vb.join(
         F.broadcast(qprobes), F.col("lsh_bucket") == F.col("__qbucket"), "inner"
     )
     scored = cand.select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+        F.round(_cos_with_qnorm(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
@@ -136,8 +149,10 @@ def ivf_topk(
         .select(cell_col)
     )
     cand = vectors.join(F.broadcast(probe_cells), cell_col)
-    scored = cand.crossJoin(F.broadcast(query)).select(
+    scored = cand.crossJoin(F.broadcast(_with_qnorm(query, query_vec_col))).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos_sim"),
+        F.round(_cos_with_qnorm(F.col(vec_col), F.col(query_vec_col)), 6).alias(
+            "cos_sim"
+        ),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)

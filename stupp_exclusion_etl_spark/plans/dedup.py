@@ -33,12 +33,27 @@ _SHINGLES = f"""
 
 _N_HASHES = 12
 _BAND_SIZE = 3
+
+# Affine MinHash family — identical literals to the Spark side
+# (functions.hashing.minhash_params; one md5 base per shingle).
+from stupp_exclusion_etl_spark.functions.hashing import (  # noqa: E402
+    MINHASH_P,
+    minhash_params,
+)
+
+# First 15 md5 hex chars of the shingle as BIGINT (DuckDB has no conv():
+# positional nibble decode).
+_MD5_BASE = " + ".join(
+    f"CAST({16 ** (14 - j)} AS BIGINT) * (strpos('0123456789abcdef', substr(md5(s), {j + 1}, 1)) - 1)"
+    for j in range(15)
+)
 _MINHASH_AGGS = ",\n       ".join(
-    f"min(md5('{i}:' || s)) AS h{i}" for i in range(_N_HASHES)
+    f"min(({a} * hb + {b}) % {MINHASH_P}) AS h{i}"
+    for i, (a, b) in enumerate(minhash_params(_N_HASHES))
 )
 _BAND_SELECTS = "\n    UNION ALL\n".join(
     f"""SELECT doc_id, {b} AS band,
-        md5({" || '|' || ".join(f"h{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))}) AS band_key
+        concat_ws('|', {", ".join(f"h{b * _BAND_SIZE + r}" for r in range(_BAND_SIZE))}) AS band_key
         FROM sigs"""
     for b in range(_N_HASHES // _BAND_SIZE)
 )
@@ -72,7 +87,8 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
     ex AS (SELECT doc_id, u.s FROM toks, UNNEST(shingles) AS u(s)),
-    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM ex GROUP BY doc_id),
+    based AS (SELECT doc_id, ({_MD5_BASE}) % {MINHASH_P} AS hb FROM ex),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM based GROUP BY doc_id),
     bands AS ({_BAND_SELECTS})
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM bands a

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", str(ui).lower())
+        # 8g measured fastest for the local[32] bench: a 32g heap
+        # regressed the same suite ~2× (GC geometry), and nothing here
+        # spills at test scale. Cluster deployments size executors
+        # separately anyway.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
