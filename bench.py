@@ -39,8 +39,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "text_top_terms",
+    "text_fingerprint_rolling",
     "text_doc_stats",
     "sim_cosine_topk",
+    "mm_byte_histogram",
     "coercion_typify",
 ]
 

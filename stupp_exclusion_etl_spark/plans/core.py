@@ -244,3 +244,51 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "ingest_normalize_attrs",
+    oracle="""
+    SELECT p_partkey AS ID,
+           p_name AS name,
+           p_retailprice AS price,
+           'https://example.test/part/' || CAST(p_partkey AS VARCHAR) AS URL
+    FROM part
+    WHERE p_retailprice > 0
+    """,
+    tags=("A6", "A7", "A8", "A9", "A10"),
+)
+def ingest_normalize_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scrape-normalization path end-to-end over a
+    map<string,string> record column (sources.ingest): build raw attrs
+    with prefixed keys ('BIS232Request.Name'), a CSRF token, and empty
+    values — then strip prefixes (A7, transform_keys), drop the token
+    (A9) and empties (A8, map_filter), keep URL provenance (A10), and
+    promote entries back to typed columns with guarded casts
+    (reference clients/exclusion_requests.py:39-54,153-165)."""
+    from pyspark.sql import types as T
+
+    from stupp_exclusion_etl_spark.sources.ingest import normalize_attrs, promote
+
+    p = table(spark, sf_dir, "part")
+    raw = p.select(
+        F.create_map(
+            F.lit("BIS232Request.ID"), F.col("p_partkey").cast("string"),
+            F.lit("BIS232Request.Name"), F.col("p_name"),
+            F.lit("JSONData.Price"), F.col("p_retailprice").cast("string"),
+            F.lit("__RequestVerificationToken"), F.lit("tok-123"),
+            F.lit("Comment"), F.lit(""),  # empty → dropped by A8
+        ).alias("attrs"),
+        F.concat(
+            F.lit("https://example.test/part/"), F.col("p_partkey").cast("string")
+        ).alias("URL"),
+    )
+    norm = normalize_attrs(raw, "attrs", "URL")
+    typed = promote(
+        norm,
+        "attrs",
+        {"ID": T.LongType(), "Name": T.StringType(), "Price": T.DoubleType()},
+    )
+    return typed.filter(F.col("Price") > 0).select(
+        "ID", F.col("Name").alias("name"), F.col("Price").alias("price"), "URL"
+    )

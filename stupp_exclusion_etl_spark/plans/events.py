@@ -188,3 +188,36 @@ def events_micro_batch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy((F.col("event_id") / 20).cast("long").alias("batch_id"))
         .agg(F.count(F.lit(1)).alias("batch_size"))
     )
+
+
+@register(
+    "stream_stateful_user_sessions",
+    oracle="""
+    WITH d AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '30 minutes' OR
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           max(ts) AS last_ts,
+           CAST(sum(brk) AS BIGINT) AS n_sessions
+    FROM d GROUP BY user_id
+    """,
+    tags=("B14", "B15"),
+)
+def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState,
+    streaming.stateful.user_activity_state): per-user event totals,
+    last-seen timestamp, and 30-minute-gap session counts, with the
+    gap state carried ACROSS micro-batches — not expressible with
+    built-in window aggs. Runs as a real availableNow micro-batch job;
+    on the bounded events table the final snapshot equals the batch
+    gaps-and-islands SQL, so even this operator is value-checked."""
+    from stupp_exclusion_etl_spark.streaming.stateful import (
+        run_user_activity_stream,
+    )
+
+    return run_user_activity_stream(spark, sf_dir)

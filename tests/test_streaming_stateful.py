@@ -1,0 +1,94 @@
+"""Differential test for the applyInPandasWithState operator: on
+bounded input the final snapshot must equal the batch gaps-and-islands
+computation — cross-batch state correctness reduces to this plus the
+state continuation logic (seeded first-gap check), which is unit-tested
+directly on the pandas function."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.functions.metrics import observed_counts
+from stupp_exclusion_etl_spark.streaming.stateful import (
+    _update_user,
+    run_user_activity_stream,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_stateful_stream_equals_batch(spark):
+    got = {
+        r.user_id: (r.n_events, r.last_ts, r.n_sessions)
+        for r in run_user_activity_stream(spark, SF_SMALL).collect()
+    }
+    ev = table(spark, SF_SMALL, "events")
+    lag = F.lag("ts").over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+    want = {
+        r.user_id: (r.n_events, r.last_ts, r.n_sessions)
+        for r in (
+            ev.withColumn(
+                "brk",
+                F.when(
+                    lag.isNull()
+                    | (F.col("ts") - lag > F.expr("INTERVAL 30 MINUTES")),
+                    1,
+                ).otherwise(0),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("ts").alias("last_ts"),
+                F.sum("brk").alias("n_sessions"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
+
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self.exists = True
+        self._v = v
+
+
+def _pdf(ts_minutes):
+    return pd.DataFrame(
+        {
+            "user_id": [1] * len(ts_minutes),
+            "ts": pd.to_datetime([f"2026-01-01 00:{m:02d}:00" for m in ts_minutes]),
+            "event_id": list(range(len(ts_minutes))),
+        }
+    )
+
+
+def test_state_continues_across_batches():
+    st = _FakeState()
+    # batch 1: two events 5 min apart → 1 session
+    list(_update_user((1,), iter([_pdf([0, 5])]), st))
+    assert st.get[0] == 2 and st.get[2] == 1
+    # batch 2: 31+ min after last → new session; then close event
+    out = list(_update_user((1,), iter([_pdf([37, 40])]), st))
+    assert st.get[0] == 4 and st.get[2] == 2
+    assert out[0]["n_sessions"].iloc[0] == 2
+
+
+def test_observed_counts_no_extra_job(spark):
+    df = table(spark, SF_SMALL, "orders")
+    observed, obs = observed_counts(df, "orders_load", value_col="o_totalprice")
+    n = observed.count()
+    metrics = obs.get
+    assert metrics["n_rows"] == n
+    assert metrics["nulls_o_totalprice"] == 0
+    assert metrics["sum_o_totalprice"] > 0
