@@ -52,8 +52,11 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
 
-    # Warm up JVM + parquet footer caches with a trivial action.
+    # Warm up JVM + parquet footer caches with a trivial action, and
+    # the Python worker daemons (Arrow path) with a no-op mapInPandas —
+    # startup costs aren't query costs.
     REGISTRY["point_lookup"].fn(spark, sf_dir).count()
+    spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -60,7 +60,11 @@ def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, k: int) -> Dat
     Also repartitions on the id: a small-bytes parquet arrives as one
     partition, while the md5 sketch work is CPU-bound — spread it
     across cores; the groupBy(id) downstream then reuses this
-    partitioning instead of shuffling again."""
+    partitioning instead of shuffling again. The partition count is
+    EXPLICIT (not AQE-advisory): AQE sizes partitions by shuffle-map
+    bytes, and the expensive part here — explode + md5 per shingle —
+    happens after the exchange, so AQE would coalesce a few MB of text
+    onto one core and serialize the sketch."""
     toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     n = df.sparkSession.sparkContext.defaultParallelism
     return toked.repartition(n, id_col).select(

@@ -114,8 +114,11 @@ def byte_histogram(
 
     numpy does the per-byte work vectorized inside each Arrow batch;
     the input is repartitioned by id so the CPU-bound stage spreads
-    across every core rather than inheriting parquet file locality
-    (one small file = one partition = one busy core).
+    across cores rather than inheriting parquet file locality (one
+    small file = one partition = one busy core). The partition count is
+    left to AQE coalescing: tiny inputs collapse to a few Python tasks
+    (per-task Arrow/worker overhead dominates them), huge inputs fan
+    out to the shuffle-partition ceiling.
     """
     import numpy as np
     import pandas as pd
@@ -134,10 +137,9 @@ def byte_histogram(
                     cnts.append(int(hist[b]))
             yield pd.DataFrame({"id": ids, "bin": bins, "cnt": cnts})
 
-    n = df.sparkSession.sparkContext.defaultParallelism
     src = df.select(
         F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
-    ).repartition(n, "id")
+    ).repartition("id")
     return src.mapInPandas(extract, _HIST_SCHEMA)
 
 
