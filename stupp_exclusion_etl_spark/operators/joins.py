@@ -103,3 +103,29 @@ def asof_join(
         *[F.col(f"__matched.{c}").alias(f"right_{c}") for c in right_cols],
     )
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join: a hot key on the big side would send
+    its entire volume to one reducer; salting splits each key into
+    `n_salts` sub-keys (big side: pseudo-random salt per row; small
+    side: replicated across all salts) so the hot key spreads over
+    n_salts tasks. Result is identical to big.join(small, on, how).
+
+    AQE's skew-join handles most cases at runtime (enabled in
+    session.get_spark); explicit salting remains for deterministic
+    plans, non-AQE engines, and full-outer shapes AQE won't split.
+    """
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
+    )
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [on, "__salt"], how).drop("__salt")

@@ -184,3 +184,79 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") >= 12)
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS F,
+           CAST(count(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS O,
+           CAST(count(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("B5",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide conditional aggregation): order counts per segment ×
+    status. Explicit pivot values keep it one pass — omitting them
+    costs an extra distinct-scan job to discover columns."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+           ROUND(covar_samp(l_extendedprice, l_discount), 4) AS cov_pd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B5",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/corr/covar) — single-pass
+    moment accumulators, map-side partials like any hash agg."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        r4(F.var_samp("l_quantity")).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        r4(F.covar_samp("l_extendedprice", "l_discount")).alias("cov_pd"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("B5",),
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group. Exact
+    percentile needs the group's values collected per reducer — fine
+    per-group; for a 100 TB global percentile use approx_percentile
+    (t-digest-style sketch, map-side mergeable, see
+    agg_approx_distinct's rows-only pattern)."""
+    o = table(spark, sf_dir, "orders")
+    pct = F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.element_at(pct, 1)).alias("p25"),
+        r4(F.element_at(pct, 2)).alias("p50"),
+        r4(F.element_at(pct, 3)).alias("p75"),
+    )

@@ -1,0 +1,100 @@
+"""Tests for the 100 TB scale patterns: skew salting, bucketed
+(co-located) joins, and pushdown/pruning plan shapes. These assert on
+physical plans, not just results — the plan IS the deliverable at
+scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.operators.joins import salted_join
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_equals_plain_join(spark):
+    o = table(spark, SF_SMALL, "orders").select("o_custkey", "o_orderkey")
+    c = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey").groupBy("c_mktsegment").count()
+    salted = (
+        salted_join(o, c, "o_custkey", n_salts=4).groupBy("c_mktsegment").count()
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    o = table(spark, SF_SMALL, "orders").select("o_custkey", "o_orderkey")
+    # half the customers, left-outer: unmatched orders must survive once
+    c = table(spark, SF_SMALL, "customer").filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    plain = o.join(c, "o_custkey", "left").select("o_orderkey", "c_mktsegment")
+    salted = salted_join(o, c, "o_custkey", n_salts=4, how="left").select(
+        "o_orderkey", "c_mktsegment"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Write both join sides bucketed on the key; the sort-merge join
+    must read them co-located — zero Exchange operators in the plan
+    (the GSI/bucketing story for repeated 100 TB joins)."""
+    o = table(spark, SF_SMALL, "orders")
+    c = table(spark, SF_SMALL, "customer")
+    try:
+        for name, df, key in (("b_orders", o, "o_custkey"), ("b_cust", c, "c_custkey")):
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", str(tmp_path / name))
+                .saveAsTable(name)
+            )
+        bo, bc = spark.table("b_orders"), spark.table("b_cust")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bo.join(bc, bo.o_custkey == bc.c_custkey).select(
+                "o_orderkey", "c_mktsegment"
+            )
+            assert j.count() > 0
+            plan = _plan(j)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_scan_pushdown_and_pruning(spark):
+    """Filter + projection must reach the parquet scan: PushedFilters
+    carries the predicate, ReadSchema is pruned to selected columns."""
+    li = (
+        table(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(li)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45" in plan
+    rs = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_orderkey" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_comment" not in rs
+
+
+def test_broadcast_join_no_big_side_shuffle(spark):
+    """Enrichment join (A12) must broadcast the dimension — the fact
+    side is never exchanged."""
+    from stupp_exclusion_etl_spark.plans.registry import REGISTRY
+
+    plan = _plan(REGISTRY["join_broadcast_enrich"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
