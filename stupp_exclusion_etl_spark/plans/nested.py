@@ -190,3 +190,36 @@ def nested_double_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         outer["body"], T.StructType([T.StructField("k", T.LongType())])
     )
     return enveloped.select("event_id", inner["k"].alias("k"))
+
+
+@register(
+    "func_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_extendedprice - 1000.0), 4) AS abs_delta,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q7,
+           CAST(floor(sqrt(l_extendedprice)) AS BIGINT) AS floor_sqrt_p,
+           ROUND(ln(l_extendedprice + 1.0), 6) AS ln_p,
+           ROUND(pow(1.0 + l_discount, 3), 6) AS disc_cubed,
+           CAST(l_partkey % 97 AS BIGINT) AS bucket97,
+           CAST(sign(l_discount - 0.05) AS BIGINT) AS disc_sign
+    FROM lineitem WHERE l_orderkey < 1000
+    """,
+    tags=("B10",),
+)
+def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (B10): abs/ceil/floor/sqrt/ln/pow/mod/sign —
+    all codegen'd JVM expressions (arithmetic on measures, the
+    reference's numeric-parse-only surface generalized)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 4).alias("abs_delta"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("long").alias("ceil_q7"),
+        F.floor(F.sqrt("l_extendedprice")).cast("long").alias("floor_sqrt_p"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("ln_p"),
+        F.round(F.pow(F.col("l_discount") + 1.0, 3), 6).alias("disc_cubed"),
+        (F.col("l_partkey") % 97).cast("long").alias("bucket97"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
+    )

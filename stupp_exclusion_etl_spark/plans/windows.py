@@ -148,3 +148,37 @@ def upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("o_custkey").alias("ID"), "o_orderkey", "o_orderdate", "o_totalprice"
     )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(count(*) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+             RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_last_90d
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+    tags=("B6",),
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): per customer, how many
+    of their orders fall in the trailing 90-day window ending at each
+    order. The frame bound is over the ordering VALUE (days), so ties
+    and gaps behave per SQL RANGE semantics — distinct from
+    win_running_sum's ROWS frame."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 5000)
+    days = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-90, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey", F.count(F.lit(1)).over(w).alias("n_last_90d")
+    )
