@@ -163,3 +163,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     out = ngram_jaccard_pairs(d, "doc_id", "text", shingle_k=3, threshold=0.03)
     return out.select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           ROUND(
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+              * sqrt(list_sum(list_transform(range(1, 65),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+           6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+          >= 0.35
+    """,
+    tags=("B9", "B13"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs ≥ 0.35 within buckets
+    (threshold fits this corpus: its vectors are near-random, max
+    in-bucket cosine ≈ 0.47; real embedding near-dups sit ≥ 0.9)
+    (operators.dedup.embedding_neardup_pairs; bucket = label, standing
+    in for an LSH/cluster bucket): the bucketed equi-join keeps the
+    pair count linear in bucket size — never an all-pairs cartesian.
+    At 100 TB the buckets come from lsh_assign_buckets and the table
+    is written bucketed on them."""
+    from stupp_exclusion_etl_spark.operators.dedup import embedding_neardup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(e, "vec_id", "embedding", F.col("label"), 0.35)
+    return out.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
