@@ -260,3 +260,35 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.element_at(pct, 2)).alias("p50"),
         r4(F.element_at(pct, 3)).alias("p75"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    SELECT l_returnflag, 'qty' AS measure, ROUND(SUM(l_quantity), 4) AS total
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'price', ROUND(SUM(l_extendedprice), 4)
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT l_returnflag, 'tax', ROUND(SUM(l_tax), 4)
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("B2", "B5"),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: wide per-flag totals to long (flag, measure,
+    total) rows — one aggregation pass then a zero-shuffle unpivot,
+    vs the oracle's triple-scan UNION ALL formulation."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        r4(F.sum("l_quantity")).alias("qty"),
+        r4(F.sum("l_extendedprice")).alias("price"),
+        r4(F.sum("l_tax")).alias("tax"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "tax"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )

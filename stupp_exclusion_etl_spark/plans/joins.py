@@ -206,3 +206,47 @@ def join_interval_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("x").alias("probe_x"))
         .agg(F.count("p_partkey").alias("n_covering"))
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, CAST(count(p.p_partkey) AS BIGINT) AS n_covering
+    FROM (SELECT o_orderkey, o_totalprice / 100.0 AS x
+          FROM orders WHERE o_orderkey < 300) o
+    LEFT JOIN (SELECT p_partkey,
+                      p_retailprice - 50.0 AS lo,
+                      p_retailprice + 50.0 AS hi
+               FROM part) p
+      ON o.x BETWEEN p.lo AND p.hi
+    GROUP BY o.o_orderkey
+    """,
+    tags=("B4",),
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment with BOTH sides large — the bucketed
+    decomposition (operators.joins.range_join_bucketed): intervals
+    explode into ~1-2 coarse buckets each, probes hash to one, and the
+    equi-join on bucket + residual BETWEEN replaces the quadratic
+    nested loop. A left join against the probe set restores probes
+    covered by no interval (the bucketed form is inner by nature)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    probes = o.select("o_orderkey", (F.col("o_totalprice") / 100.0).alias("x"))
+    iv = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_retailprice") - 50.0).alias("lo"),
+        (F.col("p_retailprice") + 50.0).alias("hi"),
+    )
+    from stupp_exclusion_etl_spark.operators.joins import range_join_bucketed
+
+    hits = range_join_bucketed(probes, "x", iv, "lo", "hi", bucket_width=100.0)
+    counts = hits.groupBy("o_orderkey").agg(
+        F.count("p_partkey").alias("n_covering")
+    )
+    return (
+        probes.select("o_orderkey")
+        .join(counts, "o_orderkey", "left")
+        .select(
+            "o_orderkey", F.coalesce("n_covering", F.lit(0)).alias("n_covering")
+        )
+    )
