@@ -117,17 +117,28 @@ def run_user_activity_stream(
         "ts", F.col("ts").cast("timestamp_ntz")
     )
     name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        user_activity_state(ev)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    # State-store partition count is frozen from shuffle partitions at
+    # checkpoint creation; a vanilla session's 200 means 200 state
+    # tasks per micro-batch. Scope a parallelism-sized value to this
+    # run (restored after) — on a cluster, size it to executor count.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
+    try:
+        q = (
+            user_activity_state(ev)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     snap = spark.table(name)
     # Multiple micro-batches emit multiple snapshots per user; the
     # per-user maximum n_events row is the final one (monotone state).

@@ -69,14 +69,23 @@ def run_tumbling_stream(
     bounded input is drained."""
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     agg = tumbling_agg(events_stream(spark, sf_dir), minutes, watermark)
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
+    # Scope state-store partitioning to parallelism (see
+    # streaming.stateful.run_user_activity_stream).
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(timeout_sec)
-    if q.isActive:
-        q.stop()
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_sec)
+        if q.isActive:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
