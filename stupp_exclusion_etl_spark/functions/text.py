@@ -91,3 +91,41 @@ def fingerprint(text: Column) -> Column:
     exact near-dup grouping is oracle-testable."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(normalized)
+
+
+#: Characteristic character trigrams per language (tiny public-knowledge
+#: profiles; real systems learn these from corpora — the operator shape
+#: is identical).
+TRIGRAM_PROFILES = {
+    "en": ("the", "ing", "and", "ion"),
+    "de": ("der", "sch", "ein", "und"),
+    "fr": ("les", "des", "ent", "que"),
+    "es": ("los", "ción", "ado", "ent"),
+}
+
+
+def trigram_hits(text: Column, lang: str) -> Column:
+    """Total occurrences of a language's profile trigrams, counted with
+    the replace-length trick — pure codegen, no explode, no regex."""
+    low = F.lower(text)
+    total = F.lit(0).cast("long")
+    for tri in TRIGRAM_PROFILES[lang]:
+        occ = (F.length(low) - F.length(F.replace(low, F.lit(tri)))) / len(tri)
+        total = total + occ.cast("long")
+    return total
+
+
+def lang_id_ngram(text: Column) -> Column:
+    """Character-n-gram language ID (the north-star's n-gram heuristic,
+    complementing the stopword-profile lang_id): argmax of profile-
+    trigram occurrence counts, first-listed language wins ties, 'und'
+    when nothing matches."""
+    hits = {lang: trigram_hits(text, lang) for lang in TRIGRAM_PROFILES}
+    en, de, fr, es = hits["en"], hits["de"], hits["fr"], hits["es"]
+    return (
+        F.when((en >= de) & (en >= fr) & (en >= es) & (en > 0), F.lit("en"))
+        .when((de >= fr) & (de >= es) & (de > 0), F.lit("de"))
+        .when((fr >= es) & (fr > 0), F.lit("fr"))
+        .when(es > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )

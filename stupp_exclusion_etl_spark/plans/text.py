@@ -195,3 +195,39 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_hash(tokens(F.col("text"))).alias("fp"))
+
+
+def _lang_ngram_oracle() -> str:
+    from stupp_exclusion_etl_spark.functions.text import TRIGRAM_PROFILES
+
+    def hits(lang: str) -> str:
+        terms = " + ".join(
+            f"CAST((length(lower(text)) - length(replace(lower(text), '{t}', ''))) / {len(t)} AS BIGINT)"
+            for t in TRIGRAM_PROFILES[lang]
+        )
+        return f"({terms})"
+
+    en, de, fr, es = (hits(lang) for lang in ("en", "de", "fr", "es"))
+    return f"""
+    SELECT doc_id, lang,
+           CASE WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} AND {en} > 0 THEN 'en'
+                WHEN {de} >= {fr} AND {de} >= {es} AND {de} > 0 THEN 'de'
+                WHEN {fr} >= {es} AND {fr} > 0 THEN 'fr'
+                WHEN {es} > 0 THEN 'es'
+                ELSE 'und' END AS predicted_lang
+    FROM documents
+    """
+
+
+@register("text_lang_id_ngram", oracle=_lang_ngram_oracle(), tags=("B12",))
+def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-n-gram language ID (functions.text.lang_id_ngram): profile-
+    trigram occurrence counting via the replace-length trick — whole-
+    stage codegen, no tokenization, no explode; the n-gram counterpart
+    to the stopword-profile text_lang_id."""
+    from stupp_exclusion_etl_spark.functions.text import lang_id_ngram
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", "lang", lang_id_ngram(F.col("text")).alias("predicted_lang")
+    )
