@@ -1,0 +1,50 @@
+"""Quality gates for the rows-only queries: where no SQL oracle
+exists, assert the property that makes the result right — sketch error
+bounds for approx-distinct, batch equivalence for the streaming job."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans.registry import REGISTRY
+from tests.conftest import SF_SMALL
+
+
+def test_approx_distinct_within_error_bound(spark):
+    """HLL++ at rsd=0.02: each group's estimate must sit within ~10
+    relative standard deviations of the exact count (an astronomically
+    safe bound; Spark's HLL is seedless, so this is deterministic)."""
+    approx = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    li = table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r.l_returnflag: (r.parts, r.orders)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, (ep, eo) in approx.items():
+        xp, xo = exact[k]
+        assert abs(ep - xp) <= 0.2 * xp + 5, (k, ep, xp)
+        assert abs(eo - xo) <= 0.2 * xo + 5, (k, eo, xo)
+
+
+def test_stream_tumbling_equals_batch_window(spark):
+    """The micro-batch streaming job and the batch window() aggregation
+    share the same expression (streaming.windows.tumbling_agg) — their
+    results must be identical on bounded input."""
+    from stupp_exclusion_etl_spark.streaming.windows import tumbling_agg
+
+    stream = REGISTRY["stream_tumbling_micro_batch"].fn(spark, SF_SMALL)
+    batch = tumbling_agg(table(spark, SF_SMALL, "events"), minutes=10)
+    key = lambda r: (r.window_start, r.event_type)  # noqa: E731
+    got = {key(r): (r.n, r.sum_value) for r in stream.collect()}
+    want = {key(r): (r.n, r.sum_value) for r in batch.collect()}
+    assert got == want
