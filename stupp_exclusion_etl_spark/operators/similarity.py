@@ -52,18 +52,20 @@ def brute_force_topk(
 
 def hyperplane(dim: int, plane_idx: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d is the first
-    8 md5 hex chars of "plane:{i}:{d}" mapped to [-0.5, 0.5)."""
+    8 md5 hex chars of "plane:{i}:{d}" mapped to [-0.5, 0.5).
+    Components are computed driver-side (hashlib) and emitted as plain
+    double literals — relying on Catalyst to constant-fold dim×planes
+    md5/conv expression trees was measured NOT happening inside the
+    zip_with lambda, i.e. 256 md5s per scored row."""
+    import hashlib
+
     comps = [
-        (
-            F.conv(F.substring(F.md5(F.lit(f"plane:{plane_idx}:{d}")), 1, 8), 16, 10).cast(
-                "double"
-            )
-            / F.lit(float(2**32))
-            - F.lit(0.5)
-        )
+        int(hashlib.md5(f"plane:{plane_idx}:{d}".encode()).hexdigest()[:8], 16)
+        / float(2**32)
+        - 0.5
         for d in range(dim)
     ]
-    return F.array(*comps)
+    return F.array(*[F.lit(c) for c in comps])
 
 
 def lsh_assign_buckets(
