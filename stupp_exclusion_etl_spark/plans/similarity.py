@@ -117,16 +117,29 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed pairwise cosine (embedding near-dup pattern,
     operators.dedup.embedding_neardup_pairs): equi-join on the bucket
-    (label) bounds the pair count — never an all-pairs cartesian."""
-    from stupp_exclusion_etl_spark.functions.vectors import cosine
+    (label) bounds the pair count — never an all-pairs cartesian; norms
+    precomputed per vector, one dot product per pair."""
+    from stupp_exclusion_etl_spark.functions.vectors import dot, norm2
 
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
-    a = e.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"), "label")
-    b = e.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"), "label")
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60).select(
+        "vec_id", "embedding", "label", norm2(F.col("embedding")).alias("n")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id1"), F.col("embedding").alias("v1"),
+        F.col("n").alias("n1"), "label",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id2"), F.col("embedding").alias("v2"),
+        F.col("n").alias("n2"), "label",
+    )
     return (
         a.join(b, "label")
         .filter(F.col("id1") < F.col("id2"))
         .select(
-            "id1", "id2", F.round(cosine(F.col("v1"), F.col("v2")), 6).alias("cos_sim")
+            "id1",
+            "id2",
+            F.round(
+                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+            ).alias("cos_sim"),
         )
     )
