@@ -123,3 +123,13 @@ def typify_tag_pandas():
         return raw.map(one)
 
     return _udf
+
+
+def typify_array(raw_array: Column) -> Column:
+    """The reference's heterogeneous-list normalization (A13 `L` type,
+    reference clients/dynamodb.py:66-67: list elements are recursively
+    typed and may mix types). Spark arrays are homogeneous, so the
+    lossless shape is an array of the typify variant struct — each
+    element carries its own (tag, long_val, double_val, str_val)
+    (SURVEY.md §7 'heterogeneous lists' risk item)."""
+    return F.transform(raw_array, typify)

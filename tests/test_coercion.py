@@ -112,3 +112,19 @@ def test_pandas_udf_matches_expression_on_strings(spark):
         typify(F.col("raw")).alias("t"), tag(F.col("raw")).alias("u")
     ).collect()
     assert [r.t.tag for r in both] == [r.u for r in both]
+
+
+def test_typify_array_heterogeneous(spark):
+    """A13 `L`: a scraped list mixing ints, floats, strings and
+    pathologies normalizes to a variant-struct array, element-wise."""
+    from stupp_exclusion_etl_spark.functions.coercion import typify_array
+
+    df = spark.createDataFrame(
+        [(["42", "0.25", "hello", "1E1771", None],)], "raw array<string>"
+    )
+    (row,) = df.select(typify_array(F.col("raw")).alias("t")).collect()
+    tags = [e.tag for e in row.t]
+    assert tags == ["long", "double", "string", "string", "null"]
+    assert row.t[0].long_val == 42
+    assert row.t[1].double_val == 0.25
+    assert row.t[3].str_val == "1E1771"
