@@ -13,7 +13,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from stupp_exclusion_etl_spark.catalog import table
-from stupp_exclusion_etl_spark.plans._shared import r4
 from stupp_exclusion_etl_spark.plans.registry import register
 
 

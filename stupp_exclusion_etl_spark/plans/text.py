@@ -7,7 +7,6 @@ from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.catalog import table
 from stupp_exclusion_etl_spark.functions.text import (
-    BPE_TOKEN_RE,
     STOPWORDS,
     bpe_token_count,
     lang_id,

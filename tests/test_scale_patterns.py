@@ -5,7 +5,6 @@ scale."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.catalog import table
