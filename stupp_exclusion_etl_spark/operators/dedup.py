@@ -81,18 +81,39 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: h_i = min over shingles of
     (a_i·md5base(shingle) + b_i) mod p — ONE md5 per shingle plus
-    n_hashes codegen'd affine maps (12× less hashing than n independent
-    salted md5s; the affine family is the standard Carter-Wegman
-    construction). All minima are computed in one groupBy over the
-    exploded shingles — one shuffle total, and the shuffle carries
-    longs, not hex strings."""
-    sh = _exploded_shingles(df, id_col, text_col, shingle_k)
-    based = sh.select(id_col, (md5_base_long(F.col("s")) % MINHASH_P).alias("hb"))
-    aggs = [
-        F.min((F.lit(a) * F.col("hb") + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-        for i, (a, b) in enumerate(minhash_params(n_hashes))
-    ]
-    return based.groupBy(id_col).agg(*aggs)
+    n_hashes codegen'd affine maps (the standard Carter-Wegman
+    construction; 12× less hashing than n independent salted md5s).
+
+    SHUFFLE-FREE: the shingle set lives in one row, so each minimum is
+    an `array_min` over a per-row transform — a pure map operation, no
+    explode, no groupBy. At 100 TB signatures cost zero exchanges; the
+    only shuffle in the LSH pipeline is the band-bucket aggregation.
+    Each intermediate array is materialized as a column before the next
+    HOF uses it (HOF lambdas re-evaluate inline children per element —
+    the md5 array must exist before 12 transforms iterate it). The
+    explicit repartition only spreads CPU work for few-partition local
+    inputs (round-robin, no key needed since there is no downstream
+    keyed exchange to feed)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    toked = df.repartition(n).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = toked.select(F.col(id_col), shingles(F.col("__toks"), shingle_k).alias("__sh"))
+    based = sh.select(
+        F.col(id_col),
+        F.transform(
+            F.col("__sh"), lambda s: md5_base_long(s) % MINHASH_P
+        ).alias("__hb"),
+    )
+    return based.select(
+        F.col(id_col),
+        *[
+            F.array_min(
+                F.transform(F.col("__hb"), lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_params(n_hashes))
+        ],
+    )
 
 
 def lsh_bands(sigs: DataFrame, id_col: str, n_hashes: int, band_size: int) -> DataFrame:
