@@ -51,11 +51,52 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=10)
 
 
+def _lsh_oracle(n_planes: int = 4) -> str:
+    """Full SQL restatement of the multi-probe LSH search — possible
+    because hyperplane components are driver-side md5-derived literals
+    (operators.similarity.hyperplane), so the oracle embeds the same
+    doubles and reproduces bucket assignment sign-for-sign."""
+    import hashlib
+
+    def plane_lits(p: int) -> str:
+        comps = [
+            repr(
+                int(hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[:8], 16)
+                / float(2**32)
+                - 0.5
+            )
+            for d in range(_DIM)
+        ]
+        return "[" + ", ".join(comps) + "]"
+
+    def proj(p: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1, {_DIM}+1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_lits(p)})[i]))"
+        )
+
+    bucket = " + ".join(
+        f"CASE WHEN {proj(p)} > 0 THEN {1 << p} ELSE 0 END" for p in range(n_planes)
+    )
+    probe_deltas = "[0, " + ", ".join(str(1 << p) for p in range(n_planes)) + "]"
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, ({bucket}) AS b FROM embeddings),
+    q AS (SELECT embedding AS qe, b AS qb FROM bucketed WHERE vec_id = 0),
+    probes AS (SELECT DISTINCT xor(q.qb, u.d) AS pb FROM q, UNNEST({probe_deltas}) AS u(d)),
+    cand AS (
+      SELECT bk.vec_id, bk.embedding FROM bucketed bk
+      JOIN probes ON bk.b = probes.pb WHERE bk.vec_id <> 0)
+    SELECT c.vec_id, ROUND({_cos("c.embedding", "q.qe")}, 6) AS cos_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "sim_ann_lsh_topk",
-    oracle=None,  # bucket membership is engine-portable but the 8-plane
-    # projection SQL is impractical; checked by unit test against
-    # brute force recall instead (tests/test_similarity.py)
+    oracle=_lsh_oracle(),
     tags=("B13",),
 )
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

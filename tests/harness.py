@@ -44,7 +44,7 @@ def canon_cell(v) -> str:
         if v == int(v) and abs(v) < 1e15:
             return repr(v)
         return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(canon_cell(x) for x in v) + "]"
     if isinstance(v, pd.Timestamp):
         if v.tzinfo is not None:
