@@ -112,10 +112,35 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(n_probe: int = 4) -> str:
+    """SQL restatement of the two-stage IVF search: per-label positional
+    mean centroids, top-n_probe cells by query-centroid cosine, exact
+    scoring inside probed cells only."""
+    cent_cos = _cos("c.centroid", "q.qe")
+    return f"""
+    WITH comp AS (
+      SELECT label, u.i AS i, AVG(CAST(embedding[u.i] AS DOUBLE)) AS m
+      FROM embeddings, UNNEST(range(1, {_DIM}+1)) AS u(i)
+      GROUP BY label, u.i),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM comp GROUP BY label),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.label FROM cent c CROSS JOIN q
+      ORDER BY {cent_cos} DESC LIMIT {n_probe}),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN probe USING (label) WHERE e.vec_id <> 0)
+    SELECT c.vec_id, ROUND({_cos("c.embedding", "q.qe")}, 6) AS cos_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cos_sim DESC, c.vec_id
+    LIMIT 10
+    """
+
+
 @register(
     "sim_ivf_topk",
-    oracle=None,  # two-stage ANN routing: recall-checked against brute
-    # force in tests/test_similarity.py (rows-only for the driver)
+    oracle=_ivf_oracle(),
     tags=("B13",),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
