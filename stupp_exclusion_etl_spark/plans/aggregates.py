@@ -292,3 +292,25 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="total",
     )
+
+
+@register(
+    "agg_approx_percentiles",
+    oracle=None,  # sketch values are engine-specific; error-bounded
+    # against exact percentiles in tests/test_rows_only_quality.py
+    tags=("B5",),
+)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the 100 TB percentile path: a mergeable
+    sketch (map-side partials, bounded memory) instead of per-group
+    value collection; accuracy knob = max relative error (here 1e-4).
+    Companion to the exact agg_percentiles."""
+    o = table(spark, sf_dir, "orders")
+    pct = F.percentile_approx(
+        "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
+    )
+    return o.groupBy("o_orderpriority").agg(
+        r4(F.element_at(pct, 1)).alias("p25"),
+        r4(F.element_at(pct, 2)).alias("p50"),
+        r4(F.element_at(pct, 3)).alias("p75"),
+    )

@@ -48,3 +48,21 @@ def test_stream_tumbling_equals_batch_window(spark):
     got = {key(r): (r.n, r.sum_value) for r in stream.collect()}
     want = {key(r): (r.n, r.sum_value) for r in batch.collect()}
     assert got == want
+
+
+def test_approx_percentiles_near_exact(spark):
+    """approx_percentile returns an actual data value near the true
+    quantile; with accuracy 10000 on these group sizes the relative
+    gap to the exact interpolated percentile stays small."""
+    approx = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75)
+        for r in REGISTRY["agg_approx_percentiles"].fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75)
+        for r in REGISTRY["agg_percentiles"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(approx) == set(exact)
+    for k in approx:
+        for a, e in zip(approx[k], exact[k]):
+            assert abs(a - e) <= 0.02 * abs(e) + 1, (k, a, e)
