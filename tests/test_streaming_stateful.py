@@ -92,3 +92,38 @@ def test_observed_counts_no_extra_job(spark):
     assert metrics["n_rows"] == n
     assert metrics["nulls_o_totalprice"] == 0
     assert metrics["sum_o_totalprice"] > 0
+
+
+def test_rate_source_tumbling_stream(spark):
+    """True unbounded-source smoke: the same tumbling window expression
+    over the built-in rate source (not a bounded file) produces windowed
+    counts under a processing-time trigger — the shape a Kafka-style
+    deployment runs."""
+    import uuid
+
+    from stupp_exclusion_etl_spark.streaming.windows import tumbling_agg
+
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 200).load()
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("event_type", (F.col("value") % 3).cast("string"))
+    )
+    agg = tumbling_agg(rate, minutes=1, watermark="0 seconds")
+    name = f"rate_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if spark.table(name).count() > 0:
+                break
+            time.sleep(1)
+        rows = spark.table(name).collect()
+        assert rows, "rate-source stream produced no windows in 30s"
+        assert all(r.n > 0 for r in rows)
+    finally:
+        q.stop()
