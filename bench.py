@@ -42,8 +42,15 @@ HEADLINE = [
     "text_fingerprint_rolling",
     "text_doc_stats",
     "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "dedup_embedding_cosine",
     "mm_byte_histogram",
     "coercion_typify",
+    "subquery_exists",
+    "agg_pivot",
+    "agg_percentiles",
+    "join_range_bucketed",
+    "win_range_frame",
 ]
 
 
