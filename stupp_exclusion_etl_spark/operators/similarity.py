@@ -158,3 +158,36 @@ def ivf_topk(
         ),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def ivf_kmeans_cells(
+    vectors: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Learn real IVF cells with k-means (pyspark.ml) instead of a
+    label stand-in: returns (vectors + `cell` column, centroids
+    DataFrame (cell, centroid)) ready for `ivf_topk`. At 100 TB train
+    on a sample (`df.sample`) and only assign the full table — the
+    assignment is one broadcast of k centroids, no shuffle.
+
+    Clustering is seeded but partition-sensitive, so downstream results
+    are deterministic per layout, not across engines — recall-tested
+    (tests/test_similarity.py), not oracle-checked."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ml_df = vectors.withColumn("__features", array_to_vector(F.col(vec_col)))
+    model = KMeans(k=k, seed=seed, featuresCol="__features").fit(ml_df)
+    assigned = (
+        model.transform(ml_df)
+        .withColumnRenamed(model.getPredictionCol(), "cell")
+        .drop("__features")
+    )
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    return assigned, cents

@@ -48,3 +48,20 @@ def test_lsh_buckets_deterministic_and_bounded(spark):
     rows2 = {r.vec_id: r.lsh_bucket for r in b1.collect()}
     assert rows == rows2
     assert all(0 <= b < 16 for b in rows.values())
+
+
+def test_ivf_kmeans_recall(spark):
+    """IVF over LEARNED k-means cells must beat the label-standin floor
+    — real cells concentrate neighbors, so probing 4 of 10 cells keeps
+    most of the true top-10."""
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        ivf_kmeans_cells,
+        ivf_topk,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    assigned, cents = ivf_kmeans_cells(e.filter(F.col("vec_id") != 0), k=10)
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    got = {r.vec_id for r in ivf_topk(assigned, cents, q, k=K, n_probe=4).collect()}
+    recall = len(got & _exact_ids(spark)) / K
+    assert recall >= 0.6, f"k-means IVF recall@{K}: {recall}"
