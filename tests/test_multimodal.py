@@ -77,3 +77,22 @@ def test_decode_stubs_raise(spark):
         decode_media(d, "doc_id")
     with pytest.raises(NotImplementedError):
         resize_images(d, "doc_id", 32, 32)
+
+
+def test_media_pointers_metadata_only(spark):
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        attach_media_pointers,
+        fetch_payloads,
+    )
+
+    d = table(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 40)
+    p = attach_media_pointers(d, "doc_id", "text")
+    assert "payload" not in p.columns  # no inline bytes at 100 TB
+    rows = p.select("doc_id", "text", "media_ref", "media").collect()
+    for r in rows:
+        assert r.media_ref.uri.startswith("s3://media-bucket/stripe-")
+        assert r.media_ref.length == len(r.text.encode())
+        assert 0 <= r.media_ref.offset < 4 * 1024 * 1024
+        assert r.media.n_bytes == r.media_ref.length
+    with pytest.raises(NotImplementedError):
+        fetch_payloads(p, "doc_id")
