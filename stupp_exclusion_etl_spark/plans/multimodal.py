@@ -94,3 +94,28 @@ def mm_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = byte_histogram(d, "doc_id", "payload", n_bins=8)
     return out.select(F.col("id").alias("doc_id"), "bin", "cnt")
+
+
+@register(
+    "mm_pointer_stripe_stats",
+    oracle=f"""
+    SELECT 's3://media-bucket/stripe-' || CAST(doc_id // 512 AS VARCHAR) || '.bin' AS uri,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum({_NB}) AS BIGINT) AS stripe_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("B1", "B5"),
+)
+def mm_pointer_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store pointer path (operators.multimodal.
+    attach_media_pointers): per-stripe blob count and byte volume from
+    pointer metadata alone — the plan never materializes payload bytes
+    (there are none; rows carry (uri, offset, length) structs)."""
+    from stupp_exclusion_etl_spark.operators.multimodal import attach_media_pointers
+
+    d = attach_media_pointers(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return d.groupBy(F.col("media_ref.uri").alias("uri")).agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum("media_ref.length").alias("stripe_bytes"),
+    )

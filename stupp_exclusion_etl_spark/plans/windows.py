@@ -182,3 +182,30 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey", F.count(F.lit(1)).over(w).alias("n_last_90d")
     )
+
+
+@register(
+    "win_ntile_dist",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("B6",),
+)
+def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile buckets, percent_rank,
+    cume_dist per priority group (deterministic ordering via the
+    orderkey tie-break)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
