@@ -38,6 +38,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     rejects; read it as a long (legacy conf) and convert ns → µs with
     integer division (ns epochs exceed 2^53, so float division would
     lose precision), matching DuckDB's truncating ns→µs conversion.
+
+    The µs→NTZ step is built arithmetically (epoch + day-time interval)
+    rather than via ``cast(timestamp as timestamp_ntz)``: that cast
+    routes through ``spark.sql.session.timeZone``, and the driver runs a
+    vanilla session with the host TZ — correctness must not depend on
+    the host being UTC. ``decimal(20,0)/1000000`` keeps all 6 fractional
+    digits exactly (double would round µs).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,7 +53,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return df.withColumn(
             "ts",
-            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            F.expr(
+                "timestamp_ntz'1970-01-01 00:00:00' + make_dt_interval(0, 0, 0, "
+                "cast(ts div 1000 as decimal(20,0)) / 1000000)"
+            ),
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -175,20 +175,31 @@ def minhash_lsh_pairs(
     return pairs.select(F.col("p.id1").alias("id1"), F.col("p.id2").alias("id2")).distinct()
 
 
-def simhash16(text: Column) -> Column:
-    """16-bit SimHash over whitespace tokens. Per token, the first 4 md5
-    hex chars give a 16-bit value; each fingerprint bit is the sign of
-    the sum of (2*bit-1) across tokens. Pure expressions (explode-free:
-    aggregate over the token array)."""
+def simhash16_token_values(text: Column) -> Column:
+    """Per-token 16-bit values for SimHash: first 4 md5 hex chars of
+    each whitespace token, decoded to a long. Materialize this as its
+    OWN projection (a separate select) before simhash16_from_values
+    iterates it: HOF aggregates re-evaluate inline array children, so
+    an inline transform would re-hash every token 16× — once per bit
+    aggregate. As a distinct multi-referenced alias Catalyst keeps the
+    Project boundary (CollapseProject only inlines cheap or
+    once-referenced aliases), so each token is md5-hashed exactly once."""
     toks = tokens(text)
-    tok_val = lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")  # noqa: E731
+    return F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("long")
+    )
+
+
+def simhash16_from_values(vals: Column) -> Column:
+    """16-bit SimHash fingerprint from a precomputed token-value array:
+    each fingerprint bit is the sign of the sum of (2*bit-1) across
+    tokens — 16 cheap shift/mod aggregates over longs, no re-hashing."""
 
     def bit_balance(b: int) -> Column:
-        # sum over tokens of (2*bit_b - 1)
         return F.aggregate(
-            toks,
+            vals,
             F.lit(0).cast("long"),
-            lambda acc, t: acc + (F.shiftright(tok_val(t), b) % 2) * 2 - 1,
+            lambda acc, v: acc + (F.shiftright(v, b) % 2) * 2 - 1,
         )
 
     fp = F.lit(0).cast("long")
@@ -197,23 +208,50 @@ def simhash16(text: Column) -> Column:
     return fp
 
 
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over whitespace tokens, as a single expression.
+    Convenience form only: used inline, the md5 transform sits inside
+    all 16 bit aggregates and is re-evaluated by each. Hot paths should
+    project simhash16_token_values first and apply simhash16_from_values
+    in a second select (as plans.dedup.dedup_simhash does)."""
+    return simhash16_from_values(simhash16_token_values(text))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
     text_col: str,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs via an inverted-index join:
     explode distinct shingles, equi-join on shingle, count
     intersections, then |A∩B| / (|A|+|B|-|A∩B|) ≥ threshold.
     Returns (id1, id2, jaccard). At scale, run AFTER the LSH filter so
-    the shingle join only sees candidates."""
+    the shingle join only sees candidates.
+
+    `max_df` is the hot-shingle skew guard (the inverted-index analog of
+    minhash_lsh_pairs' max_bucket): a shingle present in d documents
+    fans out d² join rows, so boilerplate shared by millions of docs
+    would be quadratic. Shingles with document frequency > max_df are
+    dropped — from the index AND from the per-doc sizes, so jaccard is
+    exact over the capped shingle universe (deterministic, mirrored in
+    the oracle SQL). The hot list is tiny by construction (≤ |shingles|
+    / max_df entries) and broadcast for the anti-join."""
     sh = (
         _exploded_shingles(df, id_col, text_col, shingle_k)
         .withColumnRenamed(id_col, "id")
         .distinct()
     )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id1"), "s")
     b = sh.select(F.col("id").alias("id2"), "s")

@@ -116,12 +116,25 @@ def salted_join(
     its entire volume to one reducer; salting splits each key into
     `n_salts` sub-keys (big side: pseudo-random salt per row; small
     side: replicated across all salts) so the hot key spreads over
-    n_salts tasks. Result is identical to big.join(small, on, how).
+    n_salts tasks. Result is identical to big.join(small, on, how) for
+    how ∈ {inner, left, left_semi, left_anti}: each big row carries
+    exactly one salt, so it matches (or misses) exactly one replica of
+    the small side. For right/full_outer the replication would emit
+    every unmatched small row n_salts times, so those shapes are
+    rejected — de-salt the small side (keep-one per key) or use AQE's
+    skew-join instead.
 
     AQE's skew-join handles most cases at runtime (enabled in
     session.get_spark); explicit salting remains for deterministic
-    plans, non-AQE engines, and full-outer shapes AQE won't split.
+    plans and non-AQE engines.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            "rows across salts; only inner/left/semi/anti are supported"
+        )
     big_s = big.withColumn(
         "__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), n_salts)
     )

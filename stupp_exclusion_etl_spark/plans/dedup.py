@@ -15,7 +15,8 @@ from stupp_exclusion_etl_spark.functions.text import fingerprint
 from stupp_exclusion_etl_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash16,
+    simhash16_from_values,
+    simhash16_token_values,
 )
 from stupp_exclusion_etl_spark.plans.registry import register
 
@@ -130,18 +131,26 @@ def _simhash_oracle() -> str:
 
 @register("dedup_simhash", oracle=_simhash_oracle(), tags=("B9",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprints per document (operators.dedup.simhash16):
-    near-dups share fingerprints within small Hamming distance; exact
-    16-bit values are oracle-checked."""
+    """16-bit SimHash fingerprints per document: near-dups share
+    fingerprints within small Hamming distance; exact 16-bit values are
+    oracle-checked. Two-step projection — token md5 values materialized
+    once, then 16 cheap bit aggregates — so each token is hashed once,
+    not 16× (operators.dedup.simhash16_token_values)."""
     d = table(spark, sf_dir, "documents")
-    return d.select("doc_id", simhash16(F.col("text")).alias("simhash"))
+    return d.select(
+        "doc_id", simhash16_token_values(F.col("text")).alias("__sv")
+    ).select("doc_id", simhash16_from_values(F.col("__sv")).alias("simhash"))
 
 
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
-    ex AS (SELECT DISTINCT doc_id AS id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    ex0 AS (SELECT DISTINCT doc_id AS id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    -- hot-shingle guard: same max_df=1000 document-frequency cap as
+    -- operators.dedup.ngram_jaccard_pairs
+    keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000),
+    ex AS (SELECT ex0.id, ex0.s FROM ex0 JOIN keep USING (s)),
     sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY id),
     inter AS (
       SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS n_inter

@@ -152,7 +152,10 @@ def func_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("long").alias("yr"),
         F.month("o_orderdate").cast("long").alias("mon"),
         F.quarter("o_orderdate").cast("long").alias("qtr"),
-        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
+        # trunc() stays in DATE space; DATE→NTZ is midnight, no session
+        # TZ involved (date_trunc would round-trip date→LTZ→NTZ through
+        # the session timezone)
+        F.trunc("o_orderdate", "month").cast("timestamp_ntz").alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
         .cast("long")
         .alias("days_since"),

@@ -70,7 +70,12 @@ def _update_user(
 
     batch = pd.concat(list(pdfs))
     batch = batch.sort_values(["ts", "event_id"], kind="mergesort")
-    ts_us = (batch["ts"].astype("int64") // 1000).to_numpy()  # µs epoch
+    # Explicit ns normalization: Arrow may deliver datetime64[us] (not
+    # always [ns]); a bare astype(int64) would then yield milliseconds
+    # and corrupt every GAP_US comparison.
+    ts_us = (
+        batch["ts"].astype("datetime64[ns]").astype("int64") // 1000
+    ).to_numpy()  # µs epoch
     if len(ts_us):
         # vectorized gap detection; the state's last_ts seeds the first
         # gap (None → always a new session)
@@ -84,7 +89,7 @@ def _update_user(
         {
             "user_id": [user_id],
             "n_events": [n_events],
-            "last_ts": [pd.Timestamp(last_ts_us * 1000)],
+            "last_ts": [pd.Timestamp(last_ts_us, unit="us")],
             "n_sessions": [n_sessions],
         }
     )
@@ -111,11 +116,12 @@ def run_user_activity_stream(
     return the final per-user snapshot (latest row per user)."""
     from stupp_exclusion_etl_spark.streaming.windows import events_stream
 
-    # NTZ timestamps end-to-end: no session-timezone dependence (the
-    # driver's vanilla session is not UTC-pinned).
-    ev = events_stream(spark, sf_dir).withColumn(
-        "ts", F.col("ts").cast("timestamp_ntz")
-    )
+    # NTZ timestamps for the stateful operator, built arithmetically
+    # (unix_micros) — the cast-to-NTZ route depends on the session
+    # timezone and the driver's vanilla session is not UTC-pinned.
+    from stupp_exclusion_etl_spark.functions.timeutil import ntz_from_timestamp
+
+    ev = events_stream(spark, sf_dir).withColumn("ts", ntz_from_timestamp(F.col("ts")))
     name = f"stateful_{uuid.uuid4().hex[:8]}"
     # State-store partition count is frozen from shuffle partitions at
     # checkpoint creation; a vanilla session's 200 means 200 state

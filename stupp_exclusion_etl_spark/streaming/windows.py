@@ -17,19 +17,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
+
+from stupp_exclusion_etl_spark.functions.timeutil import ntz_from_timestamp
 
 
 def tumbling_agg(ev: DataFrame, minutes: int = 10, watermark: str | None = None) -> DataFrame:
     """Tumbling-window count/sum per event_type; with `watermark` set
     (e.g. '15 minutes') late events beyond the bound are dropped and
-    state is evicted — required for append-mode streaming output."""
+    state is evicted — required for append-mode streaming output.
+
+    Window starts are typed like the event-time column: NTZ in batch
+    (catalog ts is NTZ), TIMESTAMP in streaming (watermark rejects
+    NTZ). Emit NTZ either way — for the TIMESTAMP case via unix_micros
+    arithmetic, NOT the session-TZ-dependent cast (the driver's vanilla
+    session is not UTC-pinned)."""
+    ts_is_ntz = isinstance(ev.schema["ts"].dataType, TimestampNTZType)
     if watermark is not None:
         ev = ev.withWatermark("ts", watermark)
+    start = F.col("w.start")
     return (
         ev.groupBy(F.window("ts", f"{minutes} minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            (start if ts_is_ntz else ntz_from_timestamp(start)).alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -51,8 +62,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # Watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC
-    # so the values align with the batch NTZ reading.
+    # Watermarks require TIMESTAMP (EventTimeWatermark rejects NTZ), so
+    # the stream keeps the instant type; downstream NTZ conversions go
+    # through functions.timeutil (unix_micros arithmetic), never the
+    # session-TZ-dependent cast — the driver's session is NOT UTC-pinned.
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 

@@ -97,5 +97,5 @@ def run_query(spark, sf_dir: str, name: str):
 def check(spark, sf_dir: str, name: str) -> list[str]:
     spark_pdf, oracle_pdf = run_query(spark, sf_dir, name)
     if oracle_pdf is None:
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        return [] if len(spark_pdf) > 0 else ["rows-only query returned 0 rows"]
     return compare(spark_pdf, oracle_pdf)

@@ -41,6 +41,44 @@ def test_salted_join_left_outer(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_outer_shapes(spark):
+    """right/full_outer would emit unmatched small-side rows once per
+    salt; the operator must refuse rather than silently duplicate."""
+    import pytest
+
+    o = table(spark, SF_SMALL, "orders").select("o_custkey")
+    c = table(spark, SF_SMALL, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    for how in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, "o_custkey", n_salts=4, how=how)
+
+
+def test_ngram_jaccard_hot_shingle_guard(spark):
+    """Boilerplate shared by every document must not explode the
+    inverted-index self-join: with max_df set below the corpus size the
+    hot shingles are dropped before the join, so the all-pairs blowup
+    (n·(n-1)/2 pairs from one shingle) never happens."""
+    from stupp_exclusion_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    n = 8
+    boiler = "all rights reserved contact us for terms of service"
+    rows = [(i, f"unique{i} content{i} body{i} " + boiler) for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.01, max_df=4
+    )
+    uncapped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_k=3, threshold=0.01, max_df=None
+    )
+    # every boilerplate shingle has df=n > 4 → dropped → no shared
+    # shingles remain → zero candidate pairs touch the join
+    assert capped.count() == 0
+    # without the guard the single boilerplate block yields all pairs
+    assert uncapped.count() == n * (n - 1) // 2
+
+
 def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     """Write both join sides bucketed on the key; the sort-merge join
     must read them co-located — zero Exchange operators in the plan
