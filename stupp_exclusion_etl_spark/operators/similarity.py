@@ -160,6 +160,56 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def mean_centroids(
+    vectors: DataFrame, cell_col: str = "cell", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell positional-mean centroid table (cell, centroid) — the
+    IVF coarse quantizer for any existing cell assignment. One
+    explode + two aggregates, all JVM-side."""
+    exploded = vectors.select(
+        F.col(cell_col).alias("cell"), F.posexplode(vec_col).alias("pos", "x")
+    )
+    return (
+        exploded.groupBy("cell", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
+            ).alias("centroid")
+        )
+    )
+
+
+def ivf_probe_cells(
+    centroids: DataFrame,
+    query: DataFrame,
+    n_probe: int = 2,
+    cell_col: str = "cell",
+    centroid_vec_col: str = "centroid",
+    query_vec_col: str = "q",
+) -> list:
+    """Stage 1 of the IVF serving path: the query's n_probe nearest
+    cell ids, collected driver-side. The collect is metadata-scale
+    (n_probe rows of one id each — like listing partitions, never
+    data); stage 2 pushes the ids as a LITERAL IN filter on a
+    cell-partitioned table, so the scan statically prunes to the probed
+    partitions — the .inputFiles()/PartitionFilters-verified 100 TB
+    claim (tests/test_similarity.py). ivf_topk's join form is the
+    single-job alternative when dynamic partition pruning is available."""
+    rows = (
+        centroids.crossJoin(F.broadcast(query))
+        .select(
+            F.col(cell_col),
+            cosine(F.col(centroid_vec_col), F.col(query_vec_col)).alias("__c"),
+        )
+        .orderBy(F.col("__c").desc())
+        .limit(n_probe)
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
 def ivf_kmeans_cells(
     vectors: DataFrame,
     k: int = 10,

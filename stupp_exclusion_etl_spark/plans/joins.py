@@ -250,3 +250,45 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.coalesce("n_covering", F.lit(0)).alias("n_covering")
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    WITH skewed AS (
+      SELECT CASE WHEN o_orderkey % 4 < 3 THEN 1 ELSE o_custkey END AS hot_key,
+             o_totalprice
+      FROM orders)
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(s.o_totalprice), 4) AS total
+    FROM skewed s JOIN customer c ON s.hot_key = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("B4",),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed-key join through operators.joins.salted_join: 75% of
+    orders are remapped onto one hot customer key — unsalted, that key
+    is a single straggler reducer; salted, it spreads over n_salts
+    tasks. The oracle proves the salted result equals the plain join
+    (the salt is an internal rewrite, invisible in the output)."""
+    from stupp_exclusion_etl_spark.operators.joins import salted_join
+
+    o = table(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 4 < 3, F.lit(1).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("hot_key"),
+        "o_totalprice",
+    )
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("hot_key"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, "hot_key", n_salts=16)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r4(F.sum("o_totalprice")).alias("total"),
+        )
+    )

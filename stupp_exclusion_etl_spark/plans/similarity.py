@@ -151,19 +151,10 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned. (The synthetic labels correlate only weakly with
     cosine proximity, so recall/probe here is a floor — real k-means
     cells concentrate neighbors far better.)"""
+    from stupp_exclusion_etl_spark.operators.similarity import mean_centroids
+
     e = table(spark, sf_dir, "embeddings")
-    exploded = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    cent = (
-        exploded.groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("m"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s.m
-            ).alias("centroid")
-        )
-        .select(F.col("label").alias("cell"), "centroid")
-    )
+    cent = mean_centroids(e, cell_col="label")
     vectors = e.filter(F.col("vec_id") != 0).withColumn("cell", F.col("label"))
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return ivf_topk(vectors, cent, q, k=10, n_probe=4)

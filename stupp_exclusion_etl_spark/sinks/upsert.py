@@ -31,21 +31,79 @@ def upsert_parquet(
     order_by: list[Column],
     partition_by: list[str] | None = None,
 ) -> None:
-    """Last-write-wins upsert into a parquet table: union existing data
-    with new, keep the newest row per key, rewrite. At 100 TB use
-    Delta `MERGE INTO` / dynamic partition overwrite so only touched
-    partitions rewrite; the keep-latest spec is identical."""
+    """Last-write-wins upsert into a parquet table.
+
+    Partitioned tables take the 100 TB path: dynamic partition
+    overwrite (``partitionOverwriteMode=dynamic``) rewrites ONLY the
+    partitions an upserted key lives in — a batch touching 3 of 10,000
+    partitions rewrites 3. Touched = partitions of the new rows ∪
+    partitions where an upserted key's OLD row lives (so a key that
+    moves partitions is deleted from its old one, exactly MERGE
+    semantics). Both partition lists and the key list are
+    batch-sized → broadcast semi-joins; the existing scan is read-only
+    and column-pruned to (keys, partition cols) for the lookup.
+
+    Unpartitioned tables necessarily rewrite whole (no partition units
+    to scope to); on Delta/Iceberg this whole function is MERGE INTO —
+    same logical spec, table format supplies file-level granularity."""
     spark = new_data.sparkSession
     try:
         existing = spark.read.parquet(path)
-        merged = existing.unionByName(new_data, allowMissingColumns=True)
     except Exception:  # first write: no table yet (A16 auto-create)
-        merged = new_data
-    result = keep_latest(merged, keys, order_by)
-    writer = result.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+        writer = new_data.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return
+    if not partition_by:
+        merged = existing.unionByName(new_data, allowMissingColumns=True)
+        keep_latest(merged, keys, order_by).write.mode("overwrite").parquet(path)
+        return
+
+    new_parts = new_data.select(*partition_by).distinct()
+    old_parts_of_upserted_keys = (
+        existing.select(*keys, *partition_by)
+        .join(F.broadcast(new_data.select(*keys).distinct()), keys, "left_semi")
+        .select(*partition_by)
+        .distinct()
+    )
+    # Checkpointed: referenced again AFTER the overwrite (emptied-
+    # partition computation) — its lineage must not re-scan files the
+    # write just replaced. Partition-count-sized, so this is cheap.
+    touched = (
+        new_parts.unionByName(old_parts_of_upserted_keys)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    relevant = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    result = keep_latest(
+        relevant.unionByName(new_data, allowMissingColumns=True), keys, order_by
+    )
+    # The write plan re-reads `path` while overwriting it; materialize
+    # the merged slice first (parquet self-overwrite reads deleted
+    # files mid-job otherwise). localCheckpoint keeps it in block
+    # storage — no driver collect.
+    result = result.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        result.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # Dynamic overwrite only replaces partitions PRESENT in the output;
+    # a partition emptied by a key moving elsewhere must be dropped
+    # explicitly (MERGE's delete half). The collect is metadata-scale —
+    # bounded by the batch's touched-partition count, never data rows.
+    emptied = touched.join(
+        result.select(*partition_by).distinct(), partition_by, "left_anti"
+    ).collect()
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for row in emptied:
+            part = "/".join(f"{c}={row[c]}" for c in partition_by)
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part}")
+            p.getFileSystem(hconf).delete(p, True)
 
 
 def partitioned_index_write(df: DataFrame, path: str, index_cols: list[str]) -> None:

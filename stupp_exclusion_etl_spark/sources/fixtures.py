@@ -97,23 +97,22 @@ def objection_filings(spark: SparkSession, n_er: int = 1000, seed: int = 43) -> 
     return spark.createDataFrame(rows, _OF_SCHEMA)
 
 
-_SUR_SCHEMA = T.StructType(
-    [
-        T.StructField("id", T.LongType(), False),
-        T.StructField("erid", T.LongType()),
-        T.StructField("ofid", T.LongType()),
-        T.StructField("orid", T.LongType()),
-        T.StructField("text", T.StringType()),
-    ]
-)
-
-
 def surrebuttals(spark: SparkSession, filings: DataFrame, seed: int = 44) -> DataFrame:
-    rng = random.Random(seed)
-    rows = []
-    sid = 0
-    for r in filings.select("id", "erid").collect():
-        if rng.random() < 0.3:
-            sid += 1
-            rows.append((sid, r.erid, r.id, sid * 7, f"surrebuttal for OF {r.id}"))
-    return spark.createDataFrame(rows, _SUR_SCHEMA)
+    """~30% of objection filings draw a surrebuttal. Selection is a
+    deterministic per-row hash (xxhash64 mod 10 < 3), so generation is
+    fully distributed — no driver-side iteration; ids come from a
+    row_number (fixture-scale global window, never in a query path)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    sel = filings.filter(F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(10)) < 3).select(
+        F.col("id").alias("ofid"), "erid"
+    )
+    sid = F.row_number().over(Window.orderBy("ofid")).cast("long")
+    return sel.select(
+        sid.alias("id"),
+        "erid",
+        "ofid",
+        (sid * 7).alias("orid"),
+        F.concat(F.lit("surrebuttal for OF "), F.col("ofid")).alias("text"),
+    )

@@ -36,6 +36,58 @@ def test_approx_distinct_within_error_bound(spark):
         assert abs(eo - xo) <= 0.2 * xo + 5, (k, eo, xo)
 
 
+def test_approx_distinct_cross_engine_duckdb(spark):
+    """Cross-engine sanity: Spark's HLL++ estimate and DuckDB's
+    approx_count_distinct must agree within both sketches' combined
+    error on the same parquet — the two engines independently bound
+    the same truth, so a bug in either shows up as divergence."""
+    from tests.harness import duck_con
+
+    spark_est = {
+        r.l_returnflag: (r.approx_parts, r.approx_orders)
+        for r in REGISTRY["agg_approx_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    con = duck_con(SF_SMALL)
+    duck_est = {
+        f: (p, o)
+        for f, p, o in con.execute(
+            "SELECT l_returnflag, approx_count_distinct(l_partkey),"
+            " approx_count_distinct(l_orderkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    assert set(spark_est) == set(duck_est)
+    for k in spark_est:
+        for s, d in zip(spark_est[k], duck_est[k]):
+            assert abs(s - d) <= 0.1 * max(s, d) + 5, (k, s, d)
+
+
+def test_approx_percentiles_cross_engine_duckdb(spark):
+    """Spark approx_percentile vs DuckDB approx_quantile on the same
+    parquet: both pick near-quantile data values; at these group sizes
+    they must land within a few percent of each other."""
+    from tests.harness import duck_con
+
+    spark_est = {
+        r.o_orderpriority: (r.p25, r.p50, r.p75)
+        for r in REGISTRY["agg_approx_percentiles"].fn(spark, SF_SMALL).collect()
+    }
+    con = duck_con(SF_SMALL)
+    duck_est = {
+        pri: (p25, p50, p75)
+        for pri, p25, p50, p75 in con.execute(
+            "SELECT o_orderpriority, approx_quantile(o_totalprice, 0.25),"
+            " approx_quantile(o_totalprice, 0.5), approx_quantile(o_totalprice, 0.75)"
+            " FROM orders GROUP BY 1"
+        ).fetchall()
+    }
+    con.close()
+    assert set(spark_est) == set(duck_est)
+    for k in spark_est:
+        for s, d in zip(spark_est[k], duck_est[k]):
+            assert abs(s - d) <= 0.05 * abs(d) + 1, (k, s, d)
+
+
 def test_stream_tumbling_equals_batch_window(spark):
     """The micro-batch streaming job and the batch window() aggregation
     share the same expression (streaming.windows.tumbling_agg) — their

@@ -65,3 +65,64 @@ def test_ivf_kmeans_recall(spark):
     got = {r.vec_id for r in ivf_topk(assigned, cents, q, k=K, n_probe=4).collect()}
     recall = len(got & _exact_ids(spark)) / K
     assert recall >= 0.6, f"k-means IVF recall@{K}: {recall}"
+
+
+def test_ivf_partition_pruning_end_to_end(spark, tmp_path):
+    """The 100 TB IVF claim, asserted on the physical scan: embeddings
+    written partitioned by cell, probe cells pushed as literals → the
+    scan reads ONLY the probed partitions (inputFiles + PartitionFilters),
+    and the pruned search returns exactly the unpartitioned result."""
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        ivf_probe_cells,
+        ivf_topk,
+        mean_centroids,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "emb_by_cell")
+    e.withColumn("cell", F.col("label")).write.partitionBy("cell").parquet(path)
+
+    cent = mean_centroids(e, cell_col="label")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cells = ivf_probe_cells(cent, q, n_probe=2)
+    assert len(cells) == 2
+
+    part = spark.read.parquet(path)
+    n_cells = part.select("cell").distinct().count()
+    assert n_cells > 2  # pruning must have something to prune
+    pruned = part.filter(F.col("cell").isin(cells) & (F.col("vec_id") != 0))
+
+    # 1) static pruning: only probed partitions' files are read at
+    # execution (input_file_name reflects the pruned scan; DataFrame
+    # .inputFiles() ignores filters so it can't observe pruning)
+    files = [r.f for r in pruned.select(F.input_file_name().alias("f")).distinct().collect()]
+    assert files, "pruned scan read no files"
+    assert all(any(f"cell={c}/" in f for c in cells) for f in files), files
+    assert len(files) < len(part.inputFiles())
+    # 2) the filter is a PartitionFilter on the scan, not a post-scan filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+    # 3) same answer as the unpartitioned two-stage search
+    vectors = e.filter(F.col("vec_id") != 0).withColumn("cell", F.col("label"))
+    expect = ivf_topk(vectors, cent, q, k=K, n_probe=2).collect()
+    got = (
+        pruned.crossJoin(F.broadcast(q.withColumn("__qn", F.expr(
+            "sqrt(aggregate(q, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double)))"
+        ))))
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(embedding, q, (x, y) -> cast(x as double) * cast(y as double)), "
+                    "cast(0.0 as double), (a, x) -> a + x) / "
+                    "(sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double) * cast(x as double))) * __qn)"
+                ),
+                6,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+        .limit(K)
+        .collect()
+    )
+    assert [(r.vec_id, r.cos_sim) for r in got] == [(r.vec_id, r.cos_sim) for r in expect]

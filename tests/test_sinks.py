@@ -43,6 +43,71 @@ def test_upsert_out_of_order_delivery_keeps_newest(spark, tmp_path):
     assert [(r.status, r.version) for r in got] == [("granted", 5)]
 
 
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "id long, status string, version long, bucket string")
+
+
+def _partition_files(path: str, part: str) -> dict[str, bytes]:
+    d = os.path.join(path, f"bucket={part}")
+    return {
+        f: open(os.path.join(d, f), "rb").read()
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    }
+
+
+def test_partitioned_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Dynamic-partition upsert: a batch touching only bucket=a must
+    leave bucket=b's data files BYTE-IDENTICAL (no 100 TB full-table
+    rewrite), while bucket=a applies keep-latest."""
+    path = str(tmp_path / "t")
+    base = _pdf(
+        spark,
+        [(1, "pending", 1, "a"), (2, "pending", 1, "a"), (3, "pending", 1, "b")],
+    )
+    upsert_parquet(
+        base, path, keys=["id"], order_by=[F.col("version").desc()],
+        partition_by=["bucket"],
+    )
+    before_b = _partition_files(path, "b")
+    assert before_b  # sanity: partition exists with data files
+
+    batch = _pdf(spark, [(2, "granted", 2, "a"), (4, "pending", 1, "a")])
+    upsert_parquet(
+        batch, path, keys=["id"], order_by=[F.col("version").desc()],
+        partition_by=["bucket"],
+    )
+    after_b = _partition_files(path, "b")
+    assert after_b == before_b, "untouched partition was rewritten"
+    got = {r.id: (r.status, r.version, r.bucket) for r in spark.read.parquet(path).collect()}
+    assert got == {
+        1: ("pending", 1, "a"),
+        2: ("granted", 2, "a"),
+        3: ("pending", 1, "b"),
+        4: ("pending", 1, "a"),
+    }
+
+
+def test_partitioned_upsert_key_moves_partition(spark, tmp_path):
+    """A key whose new row lands in a different partition must vanish
+    from its old partition (MERGE semantics), not duplicate."""
+    path = str(tmp_path / "t")
+    upsert_parquet(
+        _pdf(spark, [(1, "pending", 1, "a"), (2, "pending", 1, "b")]),
+        path, keys=["id"], order_by=[F.col("version").desc()],
+        partition_by=["bucket"],
+    )
+    upsert_parquet(
+        _pdf(spark, [(1, "granted", 2, "b")]),
+        path, keys=["id"], order_by=[F.col("version").desc()],
+        partition_by=["bucket"],
+    )
+    rows = spark.read.parquet(path).collect()
+    assert len(rows) == 2
+    got = {r.id: (r.status, r.version, r.bucket) for r in rows}
+    assert got == {1: ("granted", 2, "b"), 2: ("pending", 1, "b")}
+
+
 def test_partitioned_index_write_prunes(spark, tmp_path):
     path = str(tmp_path / "idx")
     df = _df(spark, [(i, "granted" if i % 2 else "denied", 1) for i in range(10)])
