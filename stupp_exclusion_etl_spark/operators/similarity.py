@@ -160,6 +160,51 @@ def ivf_topk(
     return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q",
+    n_salts: int = 8,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Batch k-NN join: every query row gets its k nearest vectors by
+    cosine — the retrieval-eval / hard-negative-mining shape (millions
+    of vectors × a bounded query batch). Queries broadcast, so scoring
+    is map-side; top-k per query is two-stage so the big scored stream
+    never funnels into one reducer per query: stage 1 ranks within
+    (query, salt) — one shuffle on perfectly uniform keys
+    (salt = xxhash64(id) mod n_salts) — keeping n_salts*k candidates
+    per query; stage 2 ranks that tiny remainder per query. Scores are
+    rounded BEFORE ranking so tie-break order (cos_sim desc, id) is
+    engine-portable."""
+    from pyspark.sql.window import Window
+
+    qn = _with_qnorm(queries, q_vec_col)
+    pairs = vectors.crossJoin(F.broadcast(qn))
+    if exclude_self:  # drop self-matches BEFORE ranking (cos=1.0 rank-1 noise)
+        pairs = pairs.filter(F.col(id_col) != F.col(q_id_col))
+    scored = pairs.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(_cos_with_qnorm(F.col(vec_col), F.col(q_vec_col)), 6).alias("cos_sim"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts)).alias("__salt"),
+    )
+    w1 = Window.partitionBy(q_id_col, "__salt").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col)
+    )
+    local = scored.withColumn("__r", F.row_number().over(w1)).filter(F.col("__r") <= k)
+    w2 = Window.partitionBy(q_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        local.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select(q_id_col, id_col, "cos_sim", "rnk")
+    )
+
+
 def mean_centroids(
     vectors: DataFrame, cell_col: str = "cell", vec_col: str = "embedding"
 ) -> DataFrame:

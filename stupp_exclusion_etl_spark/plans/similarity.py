@@ -161,6 +161,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_knn_join",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id, ROUND({_cos("e.embedding", "q.qe")}, 6) AS cos_sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+    SELECT q_id, vec_id, cos_sim,
+           CAST(row_number() OVER (
+             PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 5
+    """,
+    tags=("B13",),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join (operators.similarity.knn_join): every vector in
+    the query batch (vec_id % 97 == 0) gets its 5 nearest neighbors.
+    Queries broadcast → map-side scoring; salted two-stage top-k so no
+    per-query single-reducer skew at scale."""
+    from stupp_exclusion_etl_spark.operators.similarity import knn_join
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q")
+    )
+    return knn_join(e, q, k=5, exclude_self=True)
+
+
+@register(
     "sim_pairwise_label_cosine",
     oracle=f"""
     SELECT a.vec_id AS id1, b.vec_id AS id2,
