@@ -308,3 +308,56 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame, id1: str = "id1", id2: str = "id2", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a candidate-pair edge list: every node
+    gets ``group_id`` = min id reachable through pairs — the canonical
+    representative of its near-dup cluster (the step that turns
+    pairwise LSH/Jaccard output into per-document dedup decisions).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels; converges in O(component diameter)
+    rounds, and near-dup clusters are dense and shallow (diameter 2-4),
+    so a handful of rounds closes real corpora. Each round is one
+    equi-join + one groupBy over the EDGE list only — the transitive
+    closure is never materialized (the test oracle's recursive CTE does
+    that, viable only at test scale). Lineage is truncated per round
+    (localCheckpoint) so round N's plan doesn't replay rounds 1..N-1.
+    At extreme skew (one viral boilerplate cluster) switch to
+    large-star/small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"), whose rounds also rebalance high-degree
+    nodes; the fixed-point loop and stopping rule stay identical."""
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .unionByName(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).groupBy("src").agg(F.min("label").alias("nl"))
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select("node", F.least("label", F.coalesce("nl", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))

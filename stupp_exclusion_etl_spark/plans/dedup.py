@@ -212,3 +212,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     out = embedding_neardup_pairs(e, "vec_id", "embedding", F.col("label"), 0.35)
     return out.select("id1", "id2", F.round("cos_sim", 6).alias("cos_sim"))
+
+
+# MinHash-LSH pair CTE list shared with dedup_minhash_lsh, reused so the
+# CC oracle runs on the exact same candidate pairs.
+_MINHASH_PAIRS_CTES = f"""
+    toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex AS (SELECT doc_id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    based AS (SELECT doc_id, ({_MD5_BASE}) % {MINHASH_P} AS hb FROM ex),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM based GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id)
+"""
+
+
+@register(
+    "dedup_groups_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION
+              SELECT id2, id1 FROM pairs),
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS group_id
+    FROM reach GROUP BY src
+    """,
+    tags=("B9",),
+)
+def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment: MinHash-LSH candidate pairs →
+    connected components (operators.dedup.connected_components,
+    min-label propagation, O(diameter) rounds of edge-list joins) →
+    (doc_id, group_id = min id in cluster). The oracle materializes the
+    true transitive closure with a recursive CTE — viable only at test
+    scale, which is exactly why the engine side propagates labels
+    instead."""
+    from stupp_exclusion_etl_spark.operators.dedup import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
+    )
+    return connected_components(pairs).select(
+        F.col("doc_id").cast("long"), F.col("group_id").cast("long")
+    )

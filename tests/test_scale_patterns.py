@@ -135,3 +135,23 @@ def test_broadcast_join_no_big_side_shuffle(spark):
     plan = _plan(REGISTRY["join_broadcast_enrich"].fn(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan
     assert "ShuffleExchange" not in plan.replace("BroadcastExchange", "")
+
+
+def test_connected_components_known_graph(spark):
+    """Chain of 6 (forces multiple propagation rounds — diameter 5),
+    a triangle, and an isolated pair: every node must label with its
+    component's min id, and convergence must beat max_iter."""
+    from stupp_exclusion_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # chain 10-11-12-13-14-15, triangle 20-21-22, pair 30-31
+        [(10, 11), (11, 12), (12, 13), (13, 14), (14, 15),
+         (20, 21), (21, 22), (20, 22), (30, 31)],
+        "id1 long, id2 long",
+    )
+    got = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 15: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
