@@ -119,3 +119,41 @@ def mm_pointer_stripe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_blobs"),
         F.sum("media_ref.length").alias("stripe_bytes"),
     )
+
+
+@register(
+    "mm_image_meta_decode",
+    oracle="""
+    SELECT doc_id,
+           'png' AS fmt,
+           CAST(16 + doc_id % 240 AS INT) AS width,
+           CAST(16 + (doc_id * 7) % 240 AS INT) AS height
+    FROM documents
+    """,
+    tags=("B15", "B11"),
+)
+def mm_image_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real header decode round-trip, pure Catalyst end to end: build a
+    valid-geometry PNG payload per document (operators.multimodal.
+    png_payload — signature + IHDR with doc_id-derived dimensions),
+    then parse width/height back out of the BYTES with
+    parse_image_meta (substring + hex arithmetic, no UDF). The oracle
+    states the expected geometry arithmetically; genuine parsing of
+    real externally-crafted PNG/GIF/BMP/JPEG files is pinned in
+    tests/test_multimodal.py."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        parse_image_meta,
+        png_payload,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 240).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 240).cast("int")
+    payload = png_payload(w, h)
+    meta = parse_image_meta(payload)
+    return d.select(
+        "doc_id",
+        meta["fmt"].alias("fmt"),
+        meta["width"].alias("width"),
+        meta["height"].alias("height"),
+    )
