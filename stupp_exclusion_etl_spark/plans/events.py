@@ -221,3 +221,51 @@ def stream_stateful_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     return run_user_activity_stream(spark, sf_dir)
+
+
+@register(
+    "events_late_arrival_audit",
+    oracle="""
+    WITH marked AS (
+      SELECT event_type, ts,
+             MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE ts < high_water - INTERVAL 5 MINUTE)
+                AS BIGINT) AS n_late,
+           ROUND(CAST(count(*) FILTER (WHERE ts < high_water - INTERVAL 5 MINUTE)
+                      AS DOUBLE) / count(*), 6) AS late_ratio
+    FROM marked GROUP BY event_type
+    """,
+    tags=("B14",),
+)
+def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark dry-run: per stream (event_type), how many events
+    arrive (by event_id order) more than 5 minutes behind the stream's
+    running max event time — exactly the rows a Structured Streaming
+    watermark of 5 minutes would drop (the live drop is proven in
+    tests/test_streaming_watermark.py; this batch audit is how you pick
+    the delay BEFORE deploying the stream). The running max partitions
+    by stream key, so the window shuffles by event_type — no global
+    single-reducer ordering."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    late = F.col("ts") < F.col("high_water") - F.expr("INTERVAL 5 MINUTES")
+    return (
+        ev.withColumn("high_water", F.max("ts").over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if(late).alias("n_late"),
+            F.round(F.count_if(late).cast("double") / F.count(F.lit(1)), 6).alias(
+                "late_ratio"
+            ),
+        )
+    )

@@ -44,3 +44,24 @@ def read_table(
             "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
         )
     return r.load(path)
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-media ingestion via the built-in ``binaryFile`` source:
+    (path, modificationTime, length, content binary) per file — the
+    entry point that turns a directory of image/audio files into the
+    payload + metadata layout (feed ``content`` to
+    operators.multimodal.parse_image_meta / image_meta_scan, then land
+    as parquet with the media struct).
+
+    Scale notes: ``spark.sql.files.maxPartitionBytes`` packs many small
+    files into one task (the small-files problem is handled by the
+    source, not a driver listing loop); ``pathGlobFilter`` prunes at
+    listing time so non-matching files are never opened; filters on
+    ``length``/``modificationTime`` push down to the listing as well."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    return r.load(path)

@@ -34,3 +34,29 @@ def test_orc_gets_pushdown(spark, tmp_path):
     )
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_binary_file_source_reads_real_images(spark, tmp_path):
+    """binaryFile source → Catalyst header parse: a directory of real
+    PNG files (plus a decoy .txt the glob must skip) lands as payload
+    rows with parsed geometry."""
+    from stupp_exclusion_etl_spark.operators.multimodal import parse_image_meta
+    from stupp_exclusion_etl_spark.sources.formats import read_binary_files
+    from tests.test_multimodal import _real_png
+
+    for i in range(1, 4):
+        (tmp_path / f"img_{i}.png").write_bytes(_real_png(i * 10, i * 20))
+    (tmp_path / "notes.txt").write_text("not an image")
+
+    df = read_binary_files(spark, str(tmp_path), glob="*.png")
+    got = {
+        r.name: (r.m.fmt, r.m.width, r.m.height, r.length)
+        for r in df.select(
+            F.element_at(F.split("path", "/"), -1).alias("name"),
+            "length",
+            parse_image_meta(F.col("content")).alias("m"),
+        ).collect()
+    }
+    assert got == {
+        f"img_{i}.png": ("png", i * 10, i * 20, 33) for i in range(1, 4)
+    }
