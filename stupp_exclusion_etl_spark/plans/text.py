@@ -230,3 +230,117 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "lang", lang_id_ngram(F.col("text")).alias("predicted_lang")
     )
+
+
+# --- learned language ID ----------------------------------------------------
+
+_CHAR_TRIGRAMS = (
+    "transform(sequence(1, length({t}) - 2), i -> lower(substring({t}, i, 3)))"
+)
+
+
+def learned_trigram_profiles(docs: DataFrame, top_n: int = 15) -> DataFrame:
+    """TRAIN step: per-language character-trigram profiles learned from
+    the labeled corpus — for each language, the ``top_n`` trigrams most
+    over-represented vs the global corpus (ratio = lang count / global
+    count). Everything is distributed aggregation: one explode over
+    characters, two groupBys, one broadcast-joinable result of
+    n_langs × top_n rows. Ranking tie-breaks are fully deterministic
+    (ratio DESC, count DESC, trigram ASC) so the profile — and
+    therefore every downstream prediction — is engine-reproducible."""
+    from pyspark.sql.window import Window
+
+    tri = docs.filter(F.length("text") >= 3).select(
+        "lang", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri")
+    )
+    lang_cnt = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
+    global_cnt = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("g"))
+    w = Window.partitionBy("lang").orderBy(
+        (F.col("c").cast("double") / F.col("g")).desc(), F.col("c").desc(), "tri"
+    )
+    return (
+        lang_cnt.join(global_cnt, "tri")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_n)
+        .select("lang", "tri")
+    )
+
+
+def lang_id_learned_apply(docs: DataFrame, profiles: DataFrame) -> DataFrame:
+    """APPLY step: count each document's occurrences of every profile
+    trigram (integer hits — no float accumulation, so argmax is
+    engine-exact), take the language with the most hits (ties → lang
+    order), 'und' when nothing matches. The profile table is tiny and
+    broadcast; the per-doc work shuffles only on doc_id."""
+    from pyspark.sql.window import Window
+
+    doc_tri = (
+        docs.filter(F.length("text") >= 3)
+        .select("doc_id", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri"))
+        .groupBy("doc_id", "tri")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hits = (
+        doc_tri.join(F.broadcast(profiles), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("cnt").alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "lang")
+    best = (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted_lang"))
+    )
+    return docs.select("doc_id", "lang").join(best, "doc_id", "left").select(
+        "doc_id", "lang", F.coalesce("predicted_lang", F.lit("und")).alias("predicted_lang")
+    )
+
+
+_DUCK_TRIS = (
+    "list_transform(range(1, length(text) - 1), i -> lower(substr(text, i, 3)))"
+)
+
+
+@register(
+    "text_lang_id_learned",
+    oracle=f"""
+    WITH tri AS (
+      SELECT lang, u.t FROM (
+        SELECT lang, {_DUCK_TRIS} AS ts FROM documents WHERE length(text) >= 3),
+        UNNEST(ts) AS u(t)),
+    lt AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1, 2),
+    gt AS (SELECT t, CAST(count(*) AS BIGINT) AS g FROM tri GROUP BY 1),
+    ranked AS (
+      SELECT lang, t,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY CAST(c AS DOUBLE) / g DESC, c DESC, t) AS rn
+      FROM lt JOIN gt USING (t)),
+    prof AS (SELECT lang, t FROM ranked WHERE rn <= 15),
+    dt AS (
+      SELECT doc_id, u.t, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id, {_DUCK_TRIS} AS ts FROM documents WHERE length(text) >= 3),
+        UNNEST(ts) AS u(t) GROUP BY 1, 2),
+    hits AS (
+      SELECT doc_id, p.lang, SUM(cnt) AS h
+      FROM dt JOIN prof p USING (t) GROUP BY 1, 2),
+    best AS (
+      SELECT doc_id, lang AS predicted_lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang) AS rn
+      FROM hits)
+    SELECT d.doc_id, d.lang, COALESCE(b.predicted_lang, 'und') AS predicted_lang
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, predicted_lang FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+    tags=("B12",),
+)
+def text_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED language ID: train per-language trigram profiles from
+    the corpus's own labels (top-15 over-represented trigrams per
+    language), then predict by integer profile-hit argmax — the
+    train/apply split every production lang-ID pipeline has, expressed
+    as two DataFrame stages (learned_trigram_profiles /
+    lang_id_learned_apply). Complements the two fixed-profile
+    heuristics (text_lang_id, text_lang_id_ngram)."""
+    d = table(spark, sf_dir, "documents")
+    profiles = learned_trigram_profiles(d, top_n=15)
+    return lang_id_learned_apply(d, profiles)

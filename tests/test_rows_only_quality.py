@@ -118,3 +118,37 @@ def test_approx_percentiles_near_exact(spark):
     for k in approx:
         for a, e in zip(approx[k], exact[k]):
             assert abs(a - e) <= 0.02 * abs(e) + 1, (k, a, e)
+
+
+def test_learned_lang_id_learns_separable_corpus(spark):
+    """The testdata documents carry RANDOM lang labels over one shared
+    vocabulary (unlearnable by construction — verified), so the
+    learning property is gated on a synthetic corpus whose languages
+    have distinct character distributions: train profiles on 80%,
+    predict the held-out 20%, expect near-perfect accuracy."""
+    import random
+
+    from stupp_exclusion_etl_spark.plans.text import (
+        lang_id_learned_apply,
+        learned_trigram_profiles,
+    )
+
+    vocab = {
+        "aa": ["karamba", "tratata", "barbara", "calamar", "panorama"],
+        "bb": ["zwischen", "schwer", "brücke", "fünfzig", "größe"],
+        "cc": ["oiseaux", "beaucoup", "heureux", "plusieurs", "jeunesse"],
+    }
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(rng.choices(vocab[lang], k=12)), lang)
+        for i, lang in enumerate(
+            [lang for lang in vocab for _ in range(40)]
+        )
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    profiles = learned_trigram_profiles(train, top_n=15)
+    pred = lang_id_learned_apply(test, profiles)
+    acc = pred.filter(F.col("predicted_lang") == F.col("lang")).count() / test.count()
+    assert acc >= 0.95, acc
