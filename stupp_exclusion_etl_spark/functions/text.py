@@ -129,3 +129,30 @@ def lang_id_ngram(text: Column) -> Column:
         .when(es > 0, F.lit("es"))
         .otherwise(F.lit("und"))
     )
+
+
+# PII patterns kept to portable regex (no lookaround) so the same
+# pattern string runs under Java regex (Spark) and RE2 (DuckDB).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\d{3}-\d{3}-\d{4}", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails, phone numbers, and IPv4 addresses to typed
+    placeholders — the standard pre-training privacy pass, pure
+    Catalyst regexp_replace chain (whole-stage codegen, no UDF)."""
+    out = text
+    for _, pattern, placeholder in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, placeholder)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (audit side of redact_pii)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+        for kind, pattern, _ in PII_PATTERNS
+    }

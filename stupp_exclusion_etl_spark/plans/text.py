@@ -9,6 +9,7 @@ from stupp_exclusion_etl_spark.catalog import table
 from stupp_exclusion_etl_spark.functions.text import (
     STOPWORDS,
     bpe_token_count,
+    fingerprint,
     lang_id,
     punct_count,
     quality_score,
@@ -344,3 +345,120 @@ def text_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     profiles = learned_trigram_profiles(d, top_n=15)
     return lang_id_learned_apply(d, profiles)
+
+
+# Deterministic PII injection shared by the Spark query and the oracle:
+# the corpus has no real PII (word-salad text — verified), so each doc
+# gets a synthetic contact line derived from doc_id, and the redactor
+# must scrub exactly that.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'"
+)
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, text || {_PII_SUFFIX_SQL} AS t FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+             '\\d{{3}}-\\d{{3}}-\\d{{4}}', '[PHONE]', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g') AS clean,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\\d{{3}}-\\d{{3}}-\\d{{4}}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS BIGINT) AS n_ipv4
+    FROM d
+    """,
+    tags=("B12", "B10"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (functions.text.redact_pii): inject a deterministic
+    synthetic contact line per document (the corpus itself carries no
+    PII), then redact emails/phones/IPv4s to typed placeholders and
+    count matches per kind — the audit columns a compliance pass
+    reports. Whole output value-checked, so placeholder positions and
+    counts must match the oracle exactly."""
+    from stupp_exclusion_etl_spark.functions.text import pii_counts, redact_pii
+
+    d = table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com"),
+        F.lit(" or call 555-"), F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+    )
+    t = F.concat(F.col("text"), suffix)
+    counts = pii_counts(t)
+    return d.select(
+        "doc_id",
+        redact_pii(t).alias("clean"),
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+    )
+
+
+def _curation_oracle() -> str:
+    inlist = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    quality = """
+        least(n_tok / 50.0, 1.0) * 0.4
+        + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
+        + least(sw_hits / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3
+    """
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source, lang, text,
+             CAST(len({_TOKENS}) AS BIGINT) AS n_tok_i
+      FROM documents),
+    q AS (
+      SELECT doc_id, source, lang, text, n_tok_i, ({quality}) AS quality
+      FROM (SELECT *,
+              CAST(n_tok_i AS DOUBLE) AS n_tok,
+              CAST(length(text) AS DOUBLE) AS n_chars,
+              CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+              CAST(len(list_filter({_TOKENS}, t -> list_contains([{inlist}], lower(t)))) AS DOUBLE) AS sw_hits
+            FROM scored)),
+    kept AS (
+      SELECT * FROM q WHERE lang = 'en' AND quality >= 0.5),
+    deduped AS (
+      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+             CAST(min(doc_id) AS BIGINT) AS doc_id
+      FROM kept GROUP BY 1),
+    survivors AS (
+      SELECT k.* FROM kept k JOIN deduped d USING (doc_id))
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok_i) AS BIGINT) AS total_tokens,
+           ROUND(avg(quality), 6) AS avg_quality
+    FROM survivors GROUP BY source
+    """
+
+
+@register("pipeline_corpus_curation", oracle=_curation_oracle(), tags=("B12", "B9", "B5"))
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pass a pre-training corpus gets, as ONE
+    declarative plan Catalyst fuses: language filter → quality gate
+    (functions.text.quality_score ≥ 0.5) → exact near-dup removal
+    (normalized-text fingerprint, min-doc_id survivor) → per-source
+    token/quality accounting. Single scan of documents, one window-free
+    dedup aggregate, one final groupBy — the whole pipeline is three
+    shuffles regardless of corpus size."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    kept = (
+        d.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("n_tok", token_count(F.col("text")).cast("long"))
+        .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
