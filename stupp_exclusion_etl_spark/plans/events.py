@@ -269,3 +269,79 @@ def events_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(ts) AS t1 FROM events e JOIN v USING (user_id)
+          WHERE event_type = 'click' AND ts > v.t0 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND ts > c.t1 GROUP BY 1)
+    SELECT 1 AS stage, 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM p
+    """,
+    tags=("B14", "B4", "B5"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage is
+    a per-user MIN(ts) aggregate semi-joined to the previous stage with
+    a strict temporal predicate — all equi-joins on user_id (one
+    shuffle key reused across stages; at scale, bucketing events by
+    user_id makes the whole funnel co-located), never a window over the
+    raw stream."""
+    ev = table(spark, sf_dir, "events")
+
+    def stage_times(etype: str, prev: DataFrame | None, prev_t: str, t: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(t))
+
+    v = stage_times("view", None, "", "t0")
+    c = stage_times("click", v, "t0", "t1")
+    p = stage_times("purchase", c, "t1", "t2")
+    counts = [
+        (1, "view", v), (2, "click", c), (3, "purchase", p),
+    ]
+    out = None
+    for stage, step, df in counts:
+        row = df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(stage).alias("stage"), F.lit(step).alias("step"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "events_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY ROLLUP (day, hour)
+    """,
+    tags=("B14", "B5"),
+)
+def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical time rollup: one pass produces
+    hour-level, day-level, and grand-total aggregates via ROLLUP on
+    truncated timestamps — the continuous-aggregate pattern
+    (TimescaleDB rollups / Druid hierarchies) as a single Catalyst
+    rollup; partial aggregation happens map-side at every level."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.date_trunc("day", "ts").cast("timestamp_ntz").alias("day"),
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("hour"),
+            "value",
+        )
+        .rollup("day", "hour")
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("sum_value"))
+    )
