@@ -157,3 +157,58 @@ def mm_image_meta_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta["width"].alias("width"),
         meta["height"].alias("height"),
     )
+
+
+@register(
+    "mm_frame_byte_ranges",
+    oracle=f"""
+    WITH vids AS (
+      SELECT doc_id,
+             's3://media-bucket/stripe-' || CAST(doc_id // 512 AS VARCHAR) || '.bin' AS uri,
+             (doc_id % 512) * (4194304 // 512) AS base_off,
+             {_NB} AS n_bytes,
+             1 + {_NB} // 32 AS n_frames
+      FROM documents WHERE {_MT} = 'video')
+    SELECT doc_id, CAST(u.f AS BIGINT) AS frame_no, uri,
+           CAST(base_off + u.f * 32 AS BIGINT) AS byte_start,
+           CAST(least(32, n_bytes - u.f * 32) AS BIGINT) AS byte_len
+    FROM vids, UNNEST(range(0, CAST(n_frames AS BIGINT), 4)) AS u(f)
+    WHERE least(32, n_bytes - u.f * 32) > 0
+    """,
+    tags=("B1", "B11"),
+)
+def mm_frame_byte_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranged-GET serving plan for frame sampling on POINTER media:
+    every-4th frame of each video resolves to (uri, byte_start,
+    byte_len) — computed entirely from pointer + metadata columns
+    (32-byte frames at media_ref.offset), so the fetch stage receives
+    exact byte ranges and object-store I/O is frames-read × 32 bytes,
+    never whole blobs. Pure Catalyst; zero payload bytes touched at
+    plan time."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        attach_media_pointers,
+        sample_frames,
+    )
+
+    d = attach_media_pointers(table(spark, sf_dir, "documents"), "doc_id", "text")
+    frames = sample_frames(d, "doc_id", every_k=4).join(
+        d.select(
+            "doc_id",
+            F.col("media_ref.uri").alias("uri"),
+            F.col("media_ref.offset").alias("base_off"),
+            F.col("media_ref.length").alias("n_bytes"),
+        ),
+        "doc_id",
+    )
+    return (
+        frames.select(
+            "doc_id",
+            F.col("frame_no").cast("long"),
+            "uri",
+            (F.col("base_off") + F.col("frame_no") * 32).cast("long").alias("byte_start"),
+            F.least(F.lit(32), F.col("n_bytes") - F.col("frame_no") * 32)
+            .cast("long")
+            .alias("byte_len"),
+        )
+        .filter(F.col("byte_len") > 0)
+    )

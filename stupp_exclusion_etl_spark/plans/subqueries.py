@@ -65,3 +65,27 @@ def subquery_scalar_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-row result feeds the filter (no rescan per row)."""
     _views(spark, sf_dir, "orders")
     return spark.sql(_SCALAR_SQL)
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_custkey, t.c_acctbal
+FROM nation n,
+     LATERAL (
+       SELECT c_custkey, c_acctbal
+       FROM customer c
+       WHERE c.c_nationkey = n.n_nationkey
+       ORDER BY c_acctbal DESC, c_custkey
+       LIMIT 2
+     ) t
+"""
+
+
+@register("subquery_lateral_topn", oracle=_LATERAL_SQL, tags=("B3", "B4", "B7"))
+def subquery_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table — per-nation top-2 customers by
+    balance. Catalyst plans the lateral as a ranked join (DomainJoin →
+    window + filter), the same shape as win_topk_per_group, so the
+    per-outer-row 'run a subquery' never literally happens — the
+    identical SQL runs on DuckDB as the oracle."""
+    _views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)
