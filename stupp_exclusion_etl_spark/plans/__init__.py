@@ -21,5 +21,6 @@ from stupp_exclusion_etl_spark.plans import similarity  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import events  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import multimodal  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import subqueries  # noqa: E402,F401
+from stupp_exclusion_etl_spark.plans import corpus  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

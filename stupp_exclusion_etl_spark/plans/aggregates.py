@@ -8,7 +8,7 @@ rollup/cube/grouping-sets.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.catalog import table, register_views
@@ -313,4 +313,51 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.element_at(pct, 1)).alias("p25"),
         r4(F.element_at(pct, 2)).alias("p50"),
         r4(F.element_at(pct, 3)).alias("p75"),
+    )
+
+
+@register(
+    "agg_median_mode",
+    oracle="""
+    WITH cnt AS (
+      SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2),
+    m AS (
+      SELECT l_returnflag, l_quantity AS mode_qty,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_quantity) AS rn
+      FROM cnt),
+    med AS (
+      SELECT l_returnflag,
+             ROUND(median(l_quantity), 4) AS median_qty,
+             ROUND(median(l_extendedprice), 4) AS median_price
+      FROM lineitem GROUP BY 1)
+    SELECT med.l_returnflag, median_qty, median_price, mode_qty
+    FROM med JOIN (SELECT l_returnflag, mode_qty FROM m WHERE rn = 1) mo
+      USING (l_returnflag)
+    """,
+    tags=("B5",),
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + deterministic mode per group. Spark's builtin
+    `mode()` breaks frequency ties arbitrarily, so the mode is an
+    explicit count→argmax (row_number ordered by count DESC, value ASC)
+    — reproducible on any engine. Median is the exact builtin (the
+    approx-sketch path is agg_approx_percentiles). Two aggregations on
+    the same grouping key; the per-group mode table is tiny and
+    broadcast back onto the medians."""
+    li = table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        r4(F.median("l_quantity")).alias("median_qty"),
+        r4(F.median("l_extendedprice")).alias("median_price"),
+    )
+    cnt = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("l_returnflag").orderBy(F.col("c").desc(), "l_quantity")
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    return med.join(F.broadcast(mode), "l_returnflag").select(
+        "l_returnflag", "median_qty", "median_price", "mode_qty"
     )

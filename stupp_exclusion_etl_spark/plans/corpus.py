@@ -1,0 +1,174 @@
+"""Corpus-preparation plans: deterministic splitting, stratified
+sampling, and sequence packing — the batch-prep stage of an LLM
+training-data pipeline (north star: BASELINE.json; generalizes the
+reference's partitioned iteration A17 / batching A14,
+reference __main__.py:47-66).
+
+All randomness is md5-derived (functions.hashing), so every split and
+sample is engine-reproducible and oracle-checked bit-for-bit — the
+property a production pipeline needs for resumable, auditable runs.
+At 100 TB each query is a single scan + at most one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.functions.hashing import md5_prefix_int
+from stupp_exclusion_etl_spark.functions.text import token_count
+from stupp_exclusion_etl_spark.plans.registry import register
+
+
+def duck_md5_int(expr: str, hex_digits: int = 4) -> str:
+    """DuckDB SQL for ``conv(substr(md5(expr),1,hex_digits),16,10)`` —
+    DuckDB has no conv(), so sum nibble positions (mirrors
+    functions.hashing.md5_prefix_int)."""
+    nib = f"(strpos('0123456789abcdef', substr(md5({expr}), {{j}}, 1)) - 1)"
+    return "(" + " + ".join(
+        f"CAST({16 ** (hex_digits - 1 - j)} AS BIGINT) * {nib.format(j=j + 1)}"
+        for j in range(hex_digits)
+    ) + ")"
+
+
+# --- deterministic train/val/test split ------------------------------------
+
+_SPLIT_BUCKET = duck_md5_int("CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+@register(
+    "corpus_hash_split",
+    oracle=f"""
+    SELECT doc_id,
+           {_SPLIT_BUCKET} AS bucket,
+           CASE WHEN {_SPLIT_BUCKET} < 80 THEN 'train'
+                WHEN {_SPLIT_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    tags=("B12", "A17"),
+)
+def corpus_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5 bucket of the
+    document id — no RNG state, so the assignment is stable across
+    runs, engines, and cluster sizes (a re-shard never moves a document
+    between splits). Pure per-row projection: zero shuffles at any
+    scale."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "bucket", md5_prefix_int(F.col("doc_id").cast("string"), 4) % 100
+        )
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test"),
+        )
+        .select("doc_id", "bucket", "split")
+    )
+
+
+# --- deterministic stratified sampling -------------------------------------
+
+#: Per-language keep-rate (percent) — downsamples the over-represented
+#: language toward a balanced corpus.
+SAMPLE_RATES = {"en": 30, "de": 90, "es": 90, "fr": 90, "zh": 80}
+
+_SAMPLE_BUCKET = duck_md5_int("'s:' || CAST(doc_id AS VARCHAR)") + " % 100"
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in SAMPLE_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+@register(
+    "corpus_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_SAMPLE_BUCKET} < {_rate_case_sql()}
+    """,
+    tags=("B12", "A17"),
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language md5-threshold
+    keep-rates (SAMPLE_RATES) rebalance the corpus without RNG — unlike
+    ``df.sampleBy`` the kept set is identical on every run and engine.
+    The salt ('s:') decorrelates the sample from corpus_hash_split's
+    buckets. Per-row filter, zero shuffles; the filter sits directly on
+    the scan."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for kv in SAMPLE_RATES.items() for x in kv]
+            ),
+            F.col("lang"),
+        ),
+        F.lit(0),
+    )
+    bucket = md5_prefix_int(F.concat(F.lit("s:"), F.col("doc_id").cast("string")), 4) % 100
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+# --- concat-and-chunk sequence packing -------------------------------------
+
+#: Token budget per packed chunk (GPT-style concat-then-split packing).
+CHUNK_TOKENS = 512
+
+
+@register(
+    "corpus_pack_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tok
+      FROM documents),
+    offs AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS off
+      FROM toks)
+    SELECT source,
+           CAST(off // {CHUNK_TOKENS} AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS chunk_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM offs
+    GROUP BY source, chunk_id
+    """,
+    tags=("B12", "A14"),
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-and-chunk style: within each source
+    shard, documents are concatenated in doc_id order and split at
+    fixed CHUNK_TOKENS boundaries; a document belongs to the chunk
+    containing its first token (cumulative-offset // budget). Reports
+    per-chunk doc count, token mass, and first document — the manifest
+    a training loader consumes. One window partitioned by source (the
+    shard axis — bounded partitions at any corpus size) + one groupBy;
+    generalizes the reference's fixed-size sink batching
+    (__main__.py:61-66) to token-budget batching."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offs = toks.withColumn("off", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        offs.withColumn("chunk_id", (F.col("off") / CHUNK_TOKENS).cast("long"))
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("chunk_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )

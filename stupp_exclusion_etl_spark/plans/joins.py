@@ -292,3 +292,47 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("o_totalprice")).alias("total"),
         )
     )
+
+
+@register(
+    "join_nullsafe",
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                      CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS cnk
+               FROM customer),
+         s AS (SELECT s_suppkey,
+                      CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS snk
+               FROM supplier)
+    SELECT c.cnk AS nk, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.cnk IS NOT DISTINCT FROM s.snk
+    GROUP BY c.cnk
+    """,
+    tags=("B4",),
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of dropping out — the semantics an
+    entity-resolution join over incompletely-keyed records needs (the
+    reference's dynamic schema routinely yields missing attributes,
+    SURVEY.md §1.1). Nulls are derived deterministically here since the
+    testdata is fully keyed. Still a hash-partitionable equi-join for
+    Catalyst (no cartesian); the null bucket is one key group — at
+    scale it is THE skew key, so pair it with salting if nulls are
+    common."""
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("cnk"),
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_suppkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("snk"),
+    )
+    return (
+        cust.join(F.broadcast(supp), cust["cnk"].eqNullSafe(supp["snk"]))
+        .groupBy(cust["cnk"].alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

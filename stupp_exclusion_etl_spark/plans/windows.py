@@ -209,3 +209,47 @@ def win_ntile_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "win_gap_fill",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events)
+    SELECT event_id, user_id,
+           ROUND(v, 4) AS v,
+           ROUND(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS filled
+    FROM e
+    """,
+    tags=("B6", "B14"),
+)
+def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill / gap-fill: carry the last non-null measurement
+    forward within each user's event timeline (last + ignorenulls over
+    a running frame) — the standard repair for sparsely-reported
+    telemetry before sessionization or feature extraction. Nulls are
+    injected deterministically (testdata has none). One shuffle on
+    user_id; rows with no prior value stay null in both engines."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round("v", 4).alias("v"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
+    )
