@@ -51,6 +51,15 @@ HEADLINE = [
     "agg_percentiles",
     "join_range_bucketed",
     "win_range_frame",
+    "pipeline_corpus_curation",
+    "text_lang_id_learned",
+    "dedup_groups_cc",
+    "sim_knn_join",
+    "events_funnel",
+    "corpus_pack_chunks",
+    "corpus_hash_split",
+    "join_salted_skew",
+    "mm_image_meta_decode",
 ]
 
 
