@@ -149,3 +149,56 @@ def foreach_batched_writer(
             write_fn(buf)
 
     df.foreachPartition(handle)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_bytes_per_file: int = 128 * 1024 * 1024,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Small-file compaction — the operational counterpart of an
+    append-heavy sink (every micro-batch/upsert leaves files; a 100 TB
+    table accumulating thousands of sub-MB files loses scan parallelism
+    tuning, NameNode/listing time, and row-group-stat pruning value).
+
+    Rewrites the table into ceil(total_bytes / target) files (per
+    partition when `partition_by` is given, preserving the GSI-style
+    layout and its pruning). The input is materialized (localCheckpoint)
+    before the overwrite since the plan reads the directory it replaces
+    — same pattern as upsert_parquet; on Delta/Iceberg this whole
+    function is OPTIMIZE / rewrite_data_files, with snapshot isolation
+    replacing the checkpoint.
+
+    Returns {"files_before", "files_after", "bytes"} for observability
+    (A20).
+    """
+    import math
+    import os
+
+    def list_parquet(root: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, files in os.walk(root):
+            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
+        return out
+
+    before = list_parquet(path)
+    total = sum(os.path.getsize(f) for f in before)
+    n_files = max(1, math.ceil(total / target_bytes_per_file))
+
+    df = spark.read.parquet(path)
+    # Materialize before overwriting the directory the plan reads from.
+    df = df.localCheckpoint(eager=True)
+    if partition_by:
+        # Even target sizing per partition: repartition by the layout
+        # columns so each output partition dir gets coalesced files.
+        writer = (
+            df.repartition(n_files, *[F.col(c) for c in partition_by])
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+        )
+    else:
+        writer = df.repartition(n_files).write.mode("overwrite")
+    writer.parquet(path)
+    after = list_parquet(path)
+    return {"files_before": len(before), "files_after": len(after), "bytes": total}

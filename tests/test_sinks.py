@@ -143,3 +143,42 @@ def test_foreach_batched_writer_chunks(spark, tmp_path):
     foreach_batched_writer(df, write_fn, batch_size=20)
     total = sum(int(open(os.path.join(out, f)).read()) for f in os.listdir(out))
     assert total == 45
+
+
+def test_compact_parquet_reduces_files_preserves_data(spark, tmp_path):
+    """20 tiny appended files compact to a handful; row set identical."""
+    from stupp_exclusion_etl_spark.sinks.upsert import compact_parquet
+
+    path = str(tmp_path / "small_files")
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode("append").parquet(path)
+    before = sorted(r.id for r in spark.read.parquet(path).collect())
+    stats = compact_parquet(spark, path, target_bytes_per_file=1 << 30)
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] < stats["files_before"] // 4
+    after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert after == before == list(range(200))
+
+
+def test_compact_parquet_partitioned_keeps_layout(spark, tmp_path):
+    """Partitioned compaction preserves the partition directories (the
+    GSI pruning story survives the rewrite)."""
+    import os
+
+    from stupp_exclusion_etl_spark.sinks.upsert import compact_parquet
+
+    path = str(tmp_path / "part_files")
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], "id long, bucket string"
+    )
+    for _ in range(5):
+        df.write.mode("append").partitionBy("bucket").parquet(path)
+    stats = compact_parquet(
+        spark, path, target_bytes_per_file=1 << 30, partition_by=["bucket"]
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    ) == ["bucket=a", "bucket=b"]
+    got = spark.read.parquet(path).groupBy("bucket").count().collect()
+    assert {r.bucket: r["count"] for r in got} == {"a": 250, "b": 250}
