@@ -172,3 +172,91 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("first_doc"),
         )
     )
+
+
+# --- benchmark-contamination check -----------------------------------------
+
+#: Tokens/shingle for contamination matching (long enough that chance
+#: collisions are negligible; standard practice is 8-13).
+CONTAM_K = 8
+
+_DUCK_TOKS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+
+#: The stand-in held-out eval sentence (10 tokens -> 3 8-shingles).
+_BENCH_SENTENCE = (
+    "held out benchmark question answer pair alpha beta gamma delta"
+)
+
+
+def _duck_shingles(k: int) -> str:
+    """DuckDB word-k-shingle expression over `toks` (mirrors
+    functions.text.shingles incl. the short-doc whole-text branch)."""
+    return (
+        f"CASE WHEN len(toks) >= {k} THEN "
+        f"list_transform(range(1, len(toks) - {k} + 2), "
+        f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) "
+        f"ELSE [array_to_string(toks, ' ')] END"
+    )
+
+
+@register(
+    "corpus_contamination_check",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 37 = 0 THEN ' ' || '{_BENCH_SENTENCE}'
+                          ELSE '' END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM d),
+    sh AS (
+      SELECT doc_id, u.s
+      FROM (SELECT doc_id, {_duck_shingles(CONTAM_K)} AS shs FROM toks),
+           UNNEST(shs) AS u(s)),
+    bench AS (
+      SELECT DISTINCT u.s FROM (
+        SELECT {_duck_shingles(CONTAM_K).replace("toks", "bt")} AS shs FROM (
+          SELECT {_DUCK_TOKS.replace("text", f"'{_BENCH_SENTENCE}'")} AS bt)),
+        UNNEST(shs) AS u(s))
+    SELECT doc_id, CAST(count(DISTINCT s) AS BIGINT) AS n_shared
+    FROM sh JOIN bench USING (s)
+    GROUP BY doc_id
+    """,
+    tags=("B12", "B9"),
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag corpus documents sharing any
+    word-8-shingle with a held-out benchmark sentence set — the
+    standard pre-training decontamination pattern (n-gram overlap
+    against eval sets). The corpus is word-salad with no natural
+    overlap, so contamination is INJECTED deterministically (every
+    37th doc gets the benchmark sentence appended — same technique as
+    text_pii_redact) and the scan must recover exactly those docs with
+    exactly the full-probe shingle count. Benchmark shingles are a
+    tiny broadcast side; the corpus side is one explode + hash join +
+    doc-grain agg — a single corpus pass at any scale."""
+    from stupp_exclusion_etl_spark.functions.text import shingles, tokens
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 37 == 0, F.lit(" " + _BENCH_SENTENCE)).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles(tokens(F.col("text")), CONTAM_K)).alias("s")
+    )
+    bench = (
+        spark.createDataFrame([(_BENCH_SENTENCE,)], "text string")
+        .select(F.explode(shingles(tokens(F.col("text")), CONTAM_K)).alias("s"))
+        .distinct()
+    )
+    return (
+        sh.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+    )

@@ -462,3 +462,40 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("total_tokens"),
         F.round(F.avg("quality"), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN len({_TOKENS}) >= 3 THEN
+               list_transform(range(1, len({_TOKENS}) - 1),
+                 i -> array_to_string(list_slice({_TOKENS}, i, i + 2), ' '))
+             ELSE [array_to_string({_TOKENS}, ' ')] END AS sh
+      FROM documents)
+    SELECT doc_id,
+           ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
+             AS rep_ratio
+    FROM t
+    """,
+    tags=("B12",),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal: fraction of duplicated word-trigram
+    occurrences per document (1 - distinct/total) — high values mark
+    boilerplate/looping text that corpus curation drops. Pure per-row
+    Catalyst expression (shingle + array_distinct): zero shuffles, no
+    UDF, scales as a map over the scan."""
+    from stupp_exclusion_etl_spark.functions.text import shingles
+
+    d = table(spark, sf_dir, "documents")
+    sh = shingles(tokens(F.col("text")), 3)
+    return d.select(
+        "doc_id",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
+            6,
+        ).alias("rep_ratio"),
+    )
