@@ -202,3 +202,23 @@ def compact_parquet(
     writer.parquet(path)
     after = list_parquet(path)
     return {"files_before": len(before), "files_after": len(after), "bytes": total}
+
+
+def sorted_layout_write(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Range-clustered data layout: range-partition by `sort_cols` into
+    `n_files` files, sorted within each — so every file covers a
+    disjoint range of the sort key and its parquet footer min/max stats
+    let a range/equality predicate skip whole files (the poor man's
+    Z-ORDER along one axis; at 100 TB this is the difference between
+    scanning 1/n_files of the table and all of it for selective range
+    queries). The write itself is one range-shuffle; Spark's range
+    partitioner samples key quantiles so files are size-balanced even
+    on skewed keys."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

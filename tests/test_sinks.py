@@ -182,3 +182,42 @@ def test_compact_parquet_partitioned_keeps_layout(spark, tmp_path):
     ) == ["bucket=a", "bucket=b"]
     got = spark.read.parquet(path).groupBy("bucket").count().collect()
     assert {r.bucket: r["count"] for r in got} == {"a": 250, "b": 250}
+
+
+def test_sorted_layout_write_enables_file_skipping(spark, tmp_path):
+    """After a range-clustered write, parquet footer min/max stats over
+    the sort key must be pairwise NON-OVERLAPPING across files — the
+    property that makes a selective range predicate skip all but one
+    file. Asserted on the real footers via pyarrow, not on the plan."""
+    import pyarrow.parquet as pq
+
+    from stupp_exclusion_etl_spark.catalog import table as t
+    from stupp_exclusion_etl_spark.sinks.upsert import sorted_layout_write
+
+    path = str(tmp_path / "sorted")
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    sorted_layout_write(orders, path, ["o_totalprice"], n_files=8)
+
+    ranges = []
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[
+            "o_totalprice"
+        ]
+        lo = min(
+            md.row_group(g).column(col_idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(col_idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 6  # range partitioner may merge tiny bounds
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+    # data intact
+    assert spark.read.parquet(path).count() == orders.count()
