@@ -60,6 +60,8 @@ HEADLINE = [
     "corpus_hash_split",
     "join_salted_skew",
     "mm_image_meta_decode",
+    "corpus_contamination_check",
+    "text_repetition_ratio",
 ]
 
 
