@@ -345,3 +345,42 @@ def events_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("day", "hour")
         .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("sum_value"))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events),
+    cohort AS (
+      SELECT user_id, min(w) AS cw FROM weeks GROUP BY user_id)
+    SELECT CAST(cohort.cw AS VARCHAR) AS cohort_week,
+           CAST(date_diff('day', cohort.cw, weeks.w) // 7 AS BIGINT) AS week_no,
+           CAST(count(DISTINCT weeks.user_id) AS BIGINT) AS n_users
+    FROM weeks JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("B14", "B5"),
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active week, counted in
+    each subsequent week they return — the standard product-analytics
+    rollup. Two aggregations over the deduped (user, week) activity set
+    plus one equi-join on user_id; the cohort table is user-cardinality
+    and the final matrix is weeks² — tiny at any event volume."""
+    ev = table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    cohort = weeks.groupBy("user_id").agg(F.min("w").alias("cw"))
+    return (
+        weeks.join(cohort, "user_id")
+        .select(
+            F.col("cw").cast("string").alias("cohort_week"),
+            (F.datediff("w", "cw") / 7).cast("long").alias("week_no"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_no")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -230,3 +230,49 @@ def sim_pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_sim"),
         )
     )
+
+
+@register(
+    "sim_scalar_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, v,
+             list_min(v) AS lo,
+             greatest(list_max(v) - list_min(v), 1e-12) AS scale
+      FROM d)
+    SELECT vec_id,
+           CAST(list_sum(list_transform(v, x -> round((x - lo) / scale * 255)))
+                AS BIGINT) AS q_sum,
+           ROUND(list_max(list_transform(v,
+             x -> abs(x - (lo + round((x - lo) / scale * 255) * scale / 255)))), 6)
+             AS max_err
+    FROM b
+    """,
+    tags=("B13",),
+)
+def sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the FAISS-SQ8-style
+    compression step that makes a 100 TB float32 embedding corpus a
+    25 TB int8 one): q_i = round((x_i - lo)/(hi - lo)·255), plus the
+    reconstruction-error audit (max |x - dequant(q)|) a quantization
+    rollout reports. Entirely per-row array arithmetic (transform /
+    aggregate over the embedding) — zero shuffles, whole-stage codegen;
+    the checksum q_sum pins every quantized code exactly against the
+    oracle, not just the error summary."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lo = F.array_min(v)
+    scale = F.greatest(F.array_max(v) - F.array_min(v), F.lit(1e-12))
+    q = F.transform(v, lambda x: F.round((x - lo) / scale * 255))
+    dq_err = F.transform(
+        v, lambda x: F.abs(x - (lo + F.round((x - lo) / scale * 255) * scale / 255))
+    )
+    return e.select(
+        "vec_id",
+        F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x).cast("long").alias("q_sum"),
+        F.round(F.array_max(dq_err), 6).alias("max_err"),
+    )
