@@ -224,3 +224,73 @@ def test_runtime_bloom_filter_injected(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_split(spark, tmp_path):
+    """AQE skew-join: a hot key whose partition exceeds the skew
+    threshold must be split at runtime (the automatic complement to the
+    manual operators.joins.salted_join). Thresholds are lowered to
+    trigger on test-scale data; asserted on the final adaptive plan."""
+    import uuid
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # the downstream agg would re-shuffle anyway; without force, AQE
+        # declines any skew split that adds a shuffle
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        # coalescing merges the non-hot partitions first, masking the
+        # hot one from the median-based skew detector at toy scale
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "16",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    big_p = str(tmp_path / f"big_{uuid.uuid4().hex[:6]}")
+    small_p = str(tmp_path / f"small_{uuid.uuid4().hex[:6]}")
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # 50k rows on ONE key + 5k spread over 1k keys, vs a 1k-key dim.
+        # Written to parquet so size stats are real.
+        big = spark.range(50000).select(
+            F.lit(0).alias("k"), F.rand(7).alias("x")
+        ).unionAll(
+            spark.range(5000).select(
+                (F.col("id") % 1000 + 1).alias("k"), F.rand(11).alias("x")
+            )
+        )
+        big.write.parquet(big_p)
+        spark.range(1001).select(F.col("id").alias("k"), F.lit("d").alias("tag")).write.parquet(small_p)
+        joined = (
+            spark.read.parquet(big_p)
+            .join(spark.read.parquet(small_p), "k")
+            .groupBy("tag")
+            .count()
+        )
+        assert joined.collect()[0]["count"] == 55000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:4000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE partition coalescing: a shuffle whose configured partition
+    count (200 vanilla) vastly exceeds the data folds into few runtime
+    partitions — the knob that makes one engine config serve sf0.001
+    tests and 100 TB runs (AQEShuffleRead coalesced)."""
+    from stupp_exclusion_etl_spark.catalog import table as t
+
+    li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    agg = li.groupBy("l_returnflag").count()
+    agg.collect()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:3000]
