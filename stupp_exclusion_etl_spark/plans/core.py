@@ -292,3 +292,74 @@ def ingest_normalize_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return typed.filter(F.col("Price") > 0).select(
         "ID", F.col("Name").alias("name"), F.col("Price").alias("price"), "URL"
     )
+
+
+@register(
+    "ingest_html_form_parse",
+    oracle="""
+    SELECT o_orderkey AS id,
+           CAST(o_custkey AS VARCHAR) AS customer_id,
+           o_orderpriority AS priority,
+           o_orderstatus AS status,
+           o_orderstatus AS untitled3,
+           'None' AS missing_value,
+           CAST(NULL AS VARCHAR) AS empty_absent,
+           o_orderpriority AS notes,
+           'None' AS empty_notes,
+           'https://example.invalid/detail/' || CAST(o_orderkey AS VARCHAR) AS url
+    FROM orders
+    """,
+    tags=("A6", "A7", "A8", "A9", "A10"),
+)
+def ingest_html_form_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's HTML form scrape (A6) as a pure-Catalyst parser:
+    each order is rendered to a deterministic detail-page form (input
+    tags exercising every key/value rule: title/name/Untitled-idx keys,
+    prefixed keys, a CSRF token, an empty value, a missing value attr,
+    a duplicate key, padded textarea text), then
+    sources.ingest.parse_form_inputs inverts it back to a
+    map<string,string> record (reference clients/exclusion_requests.py:
+    39-54,153-165). The oracle computes the expected inversion directly
+    from the source columns, so a hash match proves the parser is an
+    exact inverse of the generator — including the 'None'/empty/token/
+    last-wins quirks.
+
+    Scale notes: generation+parse+promotion is one narrow map stage —
+    no shuffle, no UDF, whole-stage codegen end to end."""
+    from stupp_exclusion_etl_spark.sources.ingest import parse_form_inputs
+
+    o = table(spark, sf_dir, "orders")
+    ck = F.col("o_custkey").cast("string")
+    html = F.concat(
+        F.lit('<form><input title="BIS232Request.CustomerId" value="'), ck,
+        F.lit('"/><input name="Priority" value="'), F.col("o_orderpriority"),
+        F.lit('"/><input title="Status" value="STALE"/>'),
+        F.lit('<input value="'), F.col("o_orderstatus"),
+        F.lit('"/><input title="MissingValue"/>'),
+        F.lit('<input title="Empty" value=""/>'),
+        F.lit('<input title="__RequestVerificationToken" value="tok-abc"/>'),
+        F.lit('<input title="JSONData.Status" value="'), F.col("o_orderstatus"),
+        F.lit('"/><textarea title="BIS232Objection.Notes">  '),
+        F.col("o_orderpriority"),
+        F.lit(" </textarea><textarea title=\"EmptyNotes\"></textarea></form>"),
+    )
+    url = F.concat(
+        F.lit("https://example.invalid/detail/"), F.col("o_orderkey").cast("string")
+    )
+    parsed = o.select(
+        F.col("o_orderkey").alias("id"),
+        parse_form_inputs(html, url).alias("rec"),
+    )
+    g = lambda k: F.try_element_at(F.col("rec"), F.lit(k))  # noqa: E731
+    return parsed.select(
+        "id",
+        g("CustomerId").alias("customer_id"),
+        g("Priority").alias("priority"),
+        g("Status").alias("status"),
+        g("Untitled3").alias("untitled3"),
+        g("MissingValue").alias("missing_value"),
+        g("Empty").alias("empty_absent"),
+        g("Notes").alias("notes"),
+        g("EmptyNotes").alias("empty_notes"),
+        g("URL").alias("url"),
+    )

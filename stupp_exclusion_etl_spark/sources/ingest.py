@@ -58,6 +58,100 @@ def promote(df: DataFrame, attrs_col: str, fields: dict[str, T.DataType]) -> Dat
     return df
 
 
+def _pystrip(c: Column) -> Column:
+    """str.strip() equivalent: trim ALL leading/trailing whitespace
+    (Spark's trim() only strips spaces)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def _strip_prefixes_scalar(k: Column) -> Column:
+    """A7 prefix strip for a single string key (scalar form of
+    strip_key_prefixes)."""
+    for p in KEY_PREFIXES:
+        k = F.replace(k, F.lit(p), F.lit(""))
+    return k
+
+
+def _form_tag_key(tag: Column, idx: Column) -> Column:
+    """Key resolution for one form tag: title attr, else name attr,
+    else 'Untitled'+idx (reference clients/exclusion_requests.py:40-44;
+    empty attributes are falsy in Python, hence nullif)."""
+    title = F.nullif(F.regexp_extract(tag, r'title="([^"]*)"', 1), F.lit(""))
+    name = F.nullif(F.regexp_extract(tag, r'name="([^"]*)"', 1), F.lit(""))
+    return _strip_prefixes_scalar(
+        F.coalesce(title, name, F.concat(F.lit("Untitled"), idx.cast("string")))
+    )
+
+
+def parse_form_inputs(html: Column, url: Column) -> Column:
+    """A6: parse an HTML form into a map<string,string> record — the
+    reference's `_read_page_inputs` (clients/exclusion_requests.py:153-165)
+    as a pure-Catalyst expression (regexp + higher-order functions; no
+    UDF, whole-stage-codegen'd, so it runs JVM-side at 100 TB scan speed).
+
+    Faithful semantics, in the reference's order:
+      - every <input>: key = title attr else name attr else 'Untitled'+idx
+        (idx over the inputs list); value = the value attribute, or the
+        literal string 'None' when the attribute is absent
+        (BeautifulSoup returns None, and the reference does
+        ``str(value).strip()`` — :52-53);
+      - every <textarea>: same key rule (idx restarts at 0, the reference
+        enumerates the two lists separately, :156-157); value = inner
+        text, or 'None' when empty (``.string`` is None for an empty tag);
+      - key prefixes stripped (A7, :45-48), values str.strip()'d;
+      - pairs with empty stringified values dropped (A8, :158);
+      - duplicate keys: LAST wins (dict comprehension, :159);
+      - URL provenance column added (A10, :160);
+      - __RequestVerificationToken dropped (A9, :161-164).
+    """
+    inputs = F.regexp_extract_all(html, F.lit(r"<input[^>]*>"), 0)
+    tareas = F.regexp_extract_all(
+        html, F.lit(r"<textarea[^>]*>[^<]*</textarea>"), 0
+    )
+    in_entries = F.transform(
+        inputs,
+        lambda t, i: F.struct(
+            _form_tag_key(t, i).alias("k"),
+            _pystrip(
+                F.when(
+                    t.rlike("value="),
+                    F.regexp_extract(t, r'value="([^"]*)"', 1),
+                ).otherwise(F.lit("None"))
+            ).alias("v"),
+        ),
+    )
+    ta_entries = F.transform(
+        tareas,
+        lambda t, i: F.struct(
+            _form_tag_key(t, i).alias("k"),
+            F.when(
+                F.regexp_extract(t, r"<textarea[^>]*>([^<]*)</textarea>", 1) == "",
+                F.lit("None"),
+            )
+            .otherwise(
+                _pystrip(F.regexp_extract(t, r"<textarea[^>]*>([^<]*)</textarea>", 1))
+            )
+            .alias("v"),
+        ),
+    )
+    kept = F.filter(
+        F.concat(in_entries, ta_entries), lambda e: F.length(e["v"]) > 0
+    )
+    # Last-wins fold: later pairs overwrite earlier ones, exactly the
+    # reference's dict comprehension. The per-row entry list is tiny
+    # (#form fields), so the quadratic fold is constant-bounded.
+    m = F.aggregate(
+        kept,
+        F.expr("cast(map() as map<string,string>)"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, v: k != e["k"]),
+            F.create_map(e["k"], e["v"]),
+        ),
+    )
+    m = F.map_filter(m, lambda k, v: (k != TOKEN_KEY) & (k != F.lit("URL")))
+    return F.map_concat(m, F.create_map(F.lit("URL"), url))
+
+
 def parse_double_encoded_json(col: Column, schema: T.DataType) -> Column:
     """A19: the portal returns JSON-encoded JSON
     (reference clients/exclusion_requests.py:116,138 —

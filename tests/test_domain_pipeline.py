@@ -101,3 +101,34 @@ def test_nested_source_countries_explode(spark):
     n_rows = ex.count()
     sizes = er.select(F.size("`Source Countries`").alias("s")).agg(F.sum("s")).collect()
     assert n_rows == sizes[0][0] and n_rows >= 100
+
+
+def test_parse_form_inputs_quirks(spark):
+    """parse_form_inputs replicates _read_page_inputs edge semantics
+    (reference clients/exclusion_requests.py:39-54,153-165): empty title
+    attr falls back to name (falsy, not just missing); whitespace-only
+    textarea strips to empty and is dropped; a textarea key collides
+    with an input key and wins (textareas appended after inputs); the
+    CSRF token never survives; URL is always present."""
+    html = (
+        '<form>'
+        '<input title="" name="FallbackName" value="v1"/>'
+        '<input title="BIS232Request.Keep" value="  padded  "/>'
+        '<input title="__RequestVerificationToken" value="t"/>'
+        '<input title="Collide" value="from-input"/>'
+        '<textarea title="Collide">from-textarea</textarea>'
+        '<textarea title="Blank">   </textarea>'
+        "</form>"
+    )
+    from stupp_exclusion_etl_spark.sources.ingest import parse_form_inputs
+
+    df = spark.range(1).select(
+        parse_form_inputs(F.lit(html), F.lit("u://x")).alias("rec")
+    )
+    rec = df.collect()[0]["rec"]
+    assert rec == {
+        "FallbackName": "v1",
+        "Keep": "padded",
+        "Collide": "from-textarea",
+        "URL": "u://x",
+    }
