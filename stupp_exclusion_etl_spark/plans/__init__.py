@@ -22,5 +22,6 @@ from stupp_exclusion_etl_spark.plans import events  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import multimodal  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import subqueries  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import corpus  # noqa: E402,F401
+from stupp_exclusion_etl_spark.plans import analytics  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

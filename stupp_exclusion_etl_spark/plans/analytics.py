@@ -1,0 +1,236 @@
+"""Multi-join analytical rollups (SURVEY.md §2 B4/B5/B7 composed).
+
+The reference's FK graph (ER ←erid— OF ←ofid— SUR, reference
+config.py:32-56) generalizes to the star-schema join chains every
+warehouse query walks: region → nation → customer → orders → lineitem
+→ supplier/part. These queries are the classic TPC-H shapes — the
+point at 100 TB is the JOIN STRATEGY, not the arithmetic: dimension
+sides stay under the broadcast threshold at any scale factor
+(region=5, nation=25, filtered part/customer in the low millions), so
+Catalyst plans broadcast hash joins on the fact-table probe side and
+the only shuffles are the final group-by exchanges on low-cardinality
+keys. AQE re-plans the join order at runtime from observed sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans._shared import r4, revenue
+from stupp_exclusion_etl_spark.plans.registry import register
+
+
+@register(
+    "analytics_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+    tags=("B4", "B5", "B7"),
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    unshipped-revenue top-10. Scale: the segment filter keeps ~1/5 of
+    customers — still broadcastable keyed on c_custkey at warehouse
+    dimension sizes; lineitem never shuffles before the group-by, and
+    the top-10 is TakeOrderedAndProject (no global sort)."""
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(r4(F.sum(revenue())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    )
+
+
+@register(
+    "analytics_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    tags=("B4", "B5", "B7"),
+)
+def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-way star join (region→nation→supplier,
+    customer→orders→lineitem) with the local-supplier correlation
+    c_nationkey = s_nationkey, revenue per nation. Scale: region,
+    nation, and supplier are broadcast; the c↔s nation equality rides
+    on the existing equi-join keys (no extra shuffle); the single
+    exchange is the 25-key group-by."""
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    sn = s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+                s.s_nationkey == F.col("n_nationkey"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey) & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(r4(F.sum(revenue())).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "nation")
+    )
+
+
+@register(
+    "analytics_nation_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(CASE WHEN n.n_name = 'NATION_7'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_type = 'PROMO'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of PROMO-part revenue per
+    order year — conditional aggregation over a 5-way join. Scale:
+    part(filtered)/supplier/nation broadcast against lineitem; the
+    share division happens after a tiny per-year rollup."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = revenue()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+              li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "analytics_top_supplier",
+    oracle="""
+    WITH sup_rev AS (
+      SELECT l_suppkey AS s_suppkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, sr.total_revenue
+    FROM supplier s JOIN sup_rev sr ON s.s_suppkey = sr.s_suppkey
+    WHERE sr.total_revenue = (SELECT MAX(total_revenue) FROM sup_rev)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("B4", "B5", "B6"),
+)
+def analytics_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, return the
+    max-revenue supplier(s). The scalar-subquery max is expressed as a
+    rank-over-empty-partition window on the ALREADY-AGGREGATED
+    per-supplier rollup (thousands of rows per 1M suppliers) — the
+    single-partition window never sees fact-table volume."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    sup_rev = li.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        r4(F.sum(revenue())).alias("total_revenue")
+    )
+    top = sup_rev.withColumn(
+        "rk", F.rank().over(Window.orderBy(F.col("total_revenue").desc()))
+    ).filter(F.col("rk") == 1)
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(top), "s_suppkey")
+        .orderBy("s_suppkey")
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "analytics_order_count_histogram",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution via outer join
+    + two-level aggregation. Scale: the first group-by shuffles on
+    c_custkey (same key as the join — AQE reuses the exchange); the
+    second rollup is a few dozen histogram buckets."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
