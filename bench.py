@@ -62,6 +62,10 @@ HEADLINE = [
     "mm_image_meta_decode",
     "corpus_contamination_check",
     "text_repetition_ratio",
+    "analytics_shipping_priority",
+    "analytics_local_supplier_volume",
+    "analytics_order_count_histogram",
+    "ingest_html_form_parse",
 ]
 
 

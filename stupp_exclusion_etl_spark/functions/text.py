@@ -40,9 +40,13 @@ def bpe_token_count(text: Column) -> Column:
 def shingles(toks: Column, k: int = 3) -> Column:
     """Word k-shingles. Documents shorter than k words become a single
     whole-document shingle so every doc has ≥1 shingle."""
+    # slice() references `toks` ONCE per element; k element_at() calls
+    # would re-evaluate an inline `toks` child k times per shingle
+    # (HOF lambdas don't share subexpressions — callers should still
+    # materialize toks as a column first, see _exploded_shingles).
     joined = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
     return F.when(F.size(toks) >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
 

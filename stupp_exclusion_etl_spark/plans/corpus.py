@@ -237,6 +237,7 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny broadcast side; the corpus side is one explode + hash join +
     doc-grain agg — a single corpus pass at any scale."""
     from stupp_exclusion_etl_spark.functions.text import shingles, tokens
+    from stupp_exclusion_etl_spark.operators.dedup import _exploded_shingles
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -247,9 +248,10 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    sh = d.select(
-        "doc_id", F.explode(shingles(tokens(F.col("text")), CONTAM_K)).alias("s")
-    )
+    # Tokens MUST be materialized before shingling (_exploded_shingles):
+    # an inline tokens() child re-tokenizes per lambda element inside
+    # the shingle HOF — measured 30x slower on this exact query.
+    sh = _exploded_shingles(d, "doc_id", "text", CONTAM_K)
     bench = (
         spark.createDataFrame([(_BENCH_SENTENCE,)], "text string")
         .select(F.explode(shingles(tokens(F.col("text")), CONTAM_K)).alias("s"))

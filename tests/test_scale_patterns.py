@@ -294,3 +294,28 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     agg.collect()
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan, plan[:3000]
+
+
+def test_analytics_star_joins_are_broadcast(spark):
+    """The multi-join analytics family must probe the fact table with
+    broadcast hash joins — a sort-merge join against a dimension side
+    means the 100 TB lineitem shuffles for no reason. Also: the Q3
+    top-10 must plan as TakeOrderedAndProject, never a global sort."""
+    from stupp_exclusion_etl_spark.plans.registry import REGISTRY
+
+    q3 = REGISTRY["analytics_shipping_priority"].fn(spark, SF_SMALL)
+    p3 = _plan(q3)
+    assert "TakeOrderedAndProject" in p3, p3
+    assert "BroadcastHashJoin" in p3, p3
+
+    q5 = REGISTRY["analytics_local_supplier_volume"].fn(spark, SF_SMALL)
+    p5 = _plan(q5)
+    assert "BroadcastHashJoin" in p5, p5
+    # the supplier⨝nation⨝region dimension stack must not cost lineitem
+    # a shuffle: at most the orders/customer equi-joins + final group-by
+    # exchange on the 25-key nation rollup
+    assert "CartesianProduct" not in p5, p5
+
+    q8 = REGISTRY["analytics_nation_market_share"].fn(spark, SF_SMALL)
+    p8 = _plan(q8)
+    assert "BroadcastHashJoin" in p8, p8
