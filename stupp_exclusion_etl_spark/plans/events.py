@@ -384,3 +384,126 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_no")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+           CAST(FLOOR(value / 25) * 25 AS DOUBLE) AS bin_lo,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("B5", "B14"),
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric binning (width_bucket semantics) of the
+    event value per event type — the profiling histogram every data
+    audit starts with. Pure arithmetic bin key → one partial-agg
+    shuffle on (type, bin); bin count is bounded by the value domain,
+    not the row count, so the rollup is tiny at any scale."""
+    ev = table(spark, sf_dir, "events")
+    b = F.floor(F.col("value") / 25).cast("long")
+    return (
+        ev.groupBy(
+            "event_type",
+            b.alias("bin"),
+            (b * 25).cast("double").alias("bin_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.sum("value")).alias("sum_value"))
+    )
+
+
+@register(
+    "events_interpolate",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events),
+    w AS (
+      SELECT event_id, user_id, ts, v,
+             last_value(v IGNORE NULLS) OVER pw AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER pw AS pt,
+             first_value(v IGNORE NULLS) OVER nw AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER nw AS nt
+      FROM e
+      WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             nw AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+    SELECT event_id, user_id,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt THEN
+               pv + (nv - pv) * (CAST(date_diff('microsecond', pt, ts) AS DOUBLE)
+                                 / CAST(date_diff('microsecond', pt, nt) AS DOUBLE))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv END, 6) AS v_interp
+    FROM w
+    """,
+    tags=("B6", "B14"),
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-interpolation of missing measurements per user
+    timeline: each null gets the time-weighted blend of its nearest
+    non-null neighbors (edges hold/backfill) — the time-series repair
+    step downstream of gap detection (complements win_gap_fill's
+    forward-fill). Nulls injected deterministically as in win_gap_fill.
+    One shuffle on user_id; both window frames share the sort. The
+    time fraction is integer-µs arithmetic cast to double at the end,
+    so both engines compute the identical IEEE expression."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(wp)
+        .alias("pt"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(wn)
+        .alias("nt"),
+    )
+    num = F.expr("timestampdiff(MICROSECOND, pt, ts)").cast("double")
+    den = F.expr("timestampdiff(MICROSECOND, pt, nt)").cast("double")
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt")),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * (num / den),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return d.select("event_id", "user_id", F.round(interp, 6).alias("v_interp"))

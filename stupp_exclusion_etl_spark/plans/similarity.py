@@ -276,3 +276,51 @@ def sim_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(q, F.lit(0.0), lambda acc, x: acc + x).cast("long").alias("q_sum"),
         F.round(F.array_max(dq_err), 6).alias("max_err"),
     )
+
+
+@register(
+    "sim_label_centroids",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, u.i AS i, AVG(CAST(embedding[u.i] AS DOUBLE)) AS m
+      FROM embeddings, UNNEST(range(1, {_DIM}+1)) AS u(i)
+      GROUP BY label, u.i),
+    cent AS (SELECT label, list(m ORDER BY i) AS c FROM comp GROUP BY label),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+          FROM embeddings GROUP BY label)
+    SELECT label, n_vecs,
+           ROUND(sqrt(list_sum(list_transform(c, x -> x * x))), 6)
+             AS centroid_norm,
+           ROUND(c[1], 6) AS c0
+    FROM cent JOIN n USING (label)
+    """,
+    tags=("B13", "B5"),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-centroid summary (operators.similarity.
+    mean_centroids): vector count, centroid L2 norm, and first
+    component per label — the coarse-quantizer training rollup of an
+    embedding pipeline, exposed as a query. Scale: posexplode turns
+    N×64 floats into (label, pos) partial aggregates — map-side
+    combine shrinks the shuffle to |labels|×64 rows regardless of
+    corpus size; the norm is an index-ordered fold both engines
+    compute identically."""
+    from stupp_exclusion_etl_spark.operators.similarity import mean_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    cent = mean_centroids(e, cell_col="label").withColumnRenamed("cell", "label")
+    n = e.groupBy("label").agg(F.count(F.lit(1)).alias("n_vecs"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("centroid"), F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    return (
+        cent.join(n, "label")
+        .select(
+            "label",
+            "n_vecs",
+            F.round(norm, 6).alias("centroid_norm"),
+            F.round(F.element_at("centroid", 1), 6).alias("c0"),
+        )
+    )
