@@ -505,3 +505,48 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rep_ratio"),
     )
+
+
+@register(
+    "text_fuzzy_match_levenshtein",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source, substr(text, 1, 32) AS p FROM documents),
+    w AS (
+      SELECT doc_id AS id1, source, p,
+             lead(doc_id) OVER sw AS id2,
+             lead(p) OVER sw AS p2
+      FROM d
+      WINDOW sw AS (PARTITION BY source ORDER BY doc_id))
+    SELECT id1, id2, source, CAST(levenshtein(p, p2) AS BIGINT) AS edit_dist
+    FROM w WHERE id2 IS NOT NULL
+    """,
+    tags=("B10", "B9"),
+)
+def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching: Levenshtein edit distance between each
+    document's 32-char prefix and its successor within the same source
+    stream — the bounded-pair shape fuzzy dedup uses after a blocking
+    step (compare candidates, never all pairs; the lead() pairing
+    stands in for any blocker). Distance on fixed-length prefixes keeps
+    the O(len²) DP cost constant per pair, so throughput scales with
+    pair count alone. One shuffle on source."""
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 32).alias("p")
+    )
+    sw = Window.partitionBy("source").orderBy("doc_id")
+    pairs = d.select(
+        F.col("doc_id").alias("id1"),
+        "source",
+        "p",
+        F.lead("doc_id").over(sw).alias("id2"),
+        F.lead("p").over(sw).alias("p2"),
+    ).filter(F.col("id2").isNotNull())
+    return pairs.select(
+        "id1",
+        "id2",
+        "source",
+        F.levenshtein("p", "p2").cast("long").alias("edit_dist"),
+    )
