@@ -262,3 +262,98 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("s").alias("n_shared"))
     )
+
+
+# --- overlapping token-window chunking (RAG / context-window prep) ---------
+
+_CHUNK_W = 32  # tokens per chunk
+_CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
+
+_TOKS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+
+
+@register(
+    "corpus_sliding_chunks",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(o // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(l, o + 1, o + {_CHUNK_W})) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(l, o + 1, o + {_CHUNK_W}), ' ') AS chunk_text
+    FROM (SELECT doc_id, {_TOKS} AS l FROM documents) t,
+         UNNEST(range(0, len(t.l), {_CHUNK_S})) AS g(o)
+    """,
+    tags=("B12",),
+)
+def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (RAG / context-window prep):
+    every document becomes ceil(n/stride) chunks of <= 32 tokens with an
+    8-token overlap. Offsets come from `sequence` + `explode`, the chunk
+    itself from `slice` — all Catalyst array ops, no UDF, so the whole
+    thing is one map-side pass: zero shuffles at any corpus size, and
+    output rows scale with token count / stride (bounded fan-out),
+    unlike per-token explodes. Generalizes the reference's fixed-size
+    batching (A14, reference __main__.py:61-66) from sink batches to
+    model-context batches."""
+    d = table(spark, sf_dir, "documents")
+    from stupp_exclusion_etl_spark.functions.text import tokens
+
+    return (
+        d.select("doc_id", tokens(F.col("text")).alias("l"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("l") - 1, F.lit(_CHUNK_S))
+            ).alias("o"),
+            "l",
+        )
+        .select(
+            "doc_id",
+            (F.col("o") / _CHUNK_S).cast("long").alias("chunk_id"),
+            F.size(F.slice("l", F.col("o") + 1, F.lit(_CHUNK_W))).cast("long").alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(F.slice("l", F.col("o") + 1, F.lit(_CHUNK_W)), " ").alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# --- per-source cap (domain balancing) -------------------------------------
+
+_SOURCE_CAP = 15
+
+
+@register(
+    "corpus_source_caps",
+    oracle=f"""
+    SELECT source, doc_id, CAST(rn AS BIGINT) AS keep_rank
+    FROM (
+      SELECT source, doc_id,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {duck_md5_int("CAST(doc_id AS VARCHAR)", 8)}, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {_SOURCE_CAP}
+    """,
+    tags=("B12", "B9"),
+)
+def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (domain balancing): keep at most 15 docs
+    per source, chosen by deterministic md5 order — the Common-Crawl-
+    style guard against one domain dominating the training mix, and
+    reproducible across runs/engines (no rand()). One shuffle on
+    `source`; at 100 TB a hot source is bounded by rank<=cap inside its
+    partition, and the md5 sort key spreads ties. The generalization of
+    the reference's per-HTS-code fan-out cap (A1 limit pushdown,
+    reference clients/exclusion_requests.py:84)."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        md5_prefix_int(F.col("doc_id").cast("string"), 8), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SOURCE_CAP)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("keep_rank"))
+    )

@@ -550,3 +550,51 @@ def text_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.levenshtein("p", "p2").cast("long").alias("edit_dist"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, u.t AS token FROM documents, UNNEST({_TOKENS}) AS u(t)),
+    cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+    per AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             sum(ln(CAST(cnt.c AS DOUBLE))) AS s
+      FROM tok t JOIN cnt USING (token) GROUP BY t.doc_id)
+    SELECT per.doc_id, per.n_tokens,
+           ROUND(ln(CAST(tot.total AS DOUBLE)) - per.s / per.n_tokens, 6) AS nll
+    FROM per CROSS JOIN tot
+    """,
+    tags=("B12",),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram language-model score: per-document mean
+    negative log-likelihood under p(t) = count(t)/total — the cheap
+    perplexity proxy LLM pipelines use for quality filtering (rare-word
+    salad scores high, common boilerplate low). Train and apply are one
+    plan: token counts aggregate map-side to vocabulary size, broadcast
+    back onto the token stream, and the per-doc agg uses the identity
+    mean(-ln(c/T)) = ln(T) - mean(ln c) so the scalar total joins once
+    at the end instead of rescaling every row. Two vocabulary-sized
+    shuffles total, independent of corpus size."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    cnt = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    per = (
+        tok.join(F.broadcast(cnt), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.log(F.col("c").cast("double"))).alias("s"),
+        )
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("total").cast("double")) - F.col("s") / F.col("n_tokens"), 6
+        ).alias("nll"),
+    )
