@@ -23,5 +23,6 @@ from stupp_exclusion_etl_spark.plans import multimodal  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import subqueries  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import corpus  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import analytics  # noqa: E402,F401
+from stupp_exclusion_etl_spark.plans import profile  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "register"]

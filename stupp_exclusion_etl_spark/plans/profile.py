@@ -1,0 +1,120 @@
+"""Warehouse-utility plans: dataset profiling and SCD2 history builds.
+
+Profiling generalizes the reference's progress/metrics instrumentation
+(A20, reference __main__.py:53-55 per-entity counters) into the
+column-level audit a pipeline runs before/after every load; the SCD2
+build is the history-preserving face of the reference's last-write-wins
+keyed upsert (A15, reference __main__.py:8-24) — instead of overwriting
+the previous version, close it out with a validity interval.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans.registry import register
+
+_ORDERS_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _ORDERS_COLS:
+        v = f"ROUND({c}, 4)" if c == "o_totalprice" else c
+        parts.append(
+            f"""
+            SELECT '{c}' AS col_name,
+                   CAST(count(*) - count({c}) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+                   CAST(min({v}) AS VARCHAR) AS min_val,
+                   CAST(max({v}) AS VARCHAR) AS max_val
+            FROM orders"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register("profile_columns", oracle=_profile_oracle(), tags=("B5",))
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler over orders: per column, null count,
+    exact distinct count, min and max (stringified). All 6 columns'
+    aggregates run in ONE wide agg — one table scan; Catalyst plans the
+    multi-column COUNT(DISTINCT) via Expand (x6 rows map-side, each
+    carrying one column), which beats 6 separate scans at 100 TB where
+    the scan dominates. Swap countDistinct for approx_count_distinct to
+    drop Expand entirely when exactness isn't required."""
+    o = table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _ORDERS_COLS:
+        v = F.round(F.col(c), 4) if c == "o_totalprice" else F.col(c)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(v).cast("string").alias(f"{c}__min"),
+            F.max(v).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _ORDERS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+    )
+
+
+@register(
+    "scd2_user_status",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_type
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    changes AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type)
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) IS NULL AS is_current
+    FROM changes
+    """,
+    tags=("B6",),
+)
+def scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event stream: collapse each
+    user's event-type runs into versioned rows with [valid_from,
+    valid_to) intervals and an is_current flag — the history-keeping
+    alternative to the reference's last-write-wins upsert (A15). Two
+    window passes over the SAME (user_id × time) ordering, so Spark
+    sorts once per partition and reuses it; one shuffle on user_id
+    total. At 100 TB user_id partitions are independent — scales
+    linearly with executors."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"), "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )
