@@ -66,6 +66,15 @@ HEADLINE = [
     "analytics_local_supplier_volume",
     "analytics_order_count_histogram",
     "ingest_html_form_parse",
+    "analytics_volume_shipping",
+    "analytics_returned_customers",
+    "analytics_large_orders",
+    "analytics_waiting_supplier",
+    "text_unigram_logprob",
+    "corpus_sliding_chunks",
+    "corpus_source_caps",
+    "profile_columns",
+    "scd2_user_status",
 ]
 
 

@@ -26,3 +26,21 @@ def r4(c: Column) -> Column:
 def revenue() -> Column:
     """TPC-H style revenue measure: extendedprice * (1 - discount)."""
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+def spread(df, n: int | None = None):
+    """Round-robin repartition a SMALL, CPU-heavy input before an
+    expensive per-row transform (char-trigram explode, shingling).
+
+    Why: a compressed text corpus packs millions of tokens into a few
+    parquet row groups, and Spark's scan parallelism is bounded by row
+    groups — locally one ~1.5 MB file = ONE task doing all the explode
+    CPU. The exchange this inserts moves only the raw corpus bytes
+    (trivial next to the explode's output), and aggregate results are
+    partition-layout-independent so semantics are unchanged. At 100 TB
+    the input already has thousands of splits — there, skip it or make
+    n a no-op; this is the standard "parallelize the decode" idiom for
+    small compressed inputs, not a scale crutch.
+    """
+    spark = df.sparkSession
+    return df.repartition(n or spark.sparkContext.defaultParallelism)

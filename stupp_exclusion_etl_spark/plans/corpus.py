@@ -251,7 +251,9 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokens MUST be materialized before shingling (_exploded_shingles):
     # an inline tokens() child re-tokenizes per lambda element inside
     # the shingle HOF — measured 30x slower on this exact query.
-    sh = _exploded_shingles(d, "doc_id", "text", CONTAM_K)
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
+    sh = _exploded_shingles(spread(d), "doc_id", "text", CONTAM_K)
     bench = (
         spark.createDataFrame([(_BENCH_SENTENCE,)], "text string")
         .select(F.explode(shingles(tokens(F.col("text")), CONTAM_K)).alias("s"))

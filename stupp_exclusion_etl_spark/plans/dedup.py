@@ -102,7 +102,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12)+LSH(4 bands × 3) candidate near-dup pairs over
     3-word shingles. One shuffle for signatures, one equi-join on
     (band, band_key) for candidates — never a cartesian (operators.dedup)."""
-    d = table(spark, sf_dir, "documents")
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
     ).select(F.col("id1").cast("long"), F.col("id2").cast("long"))
@@ -136,7 +138,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Two-step projection — token md5 values materialized
     once, then 16 cheap bit aggregates — so each token is hashed once,
     not 16× (operators.dedup.simhash16_token_values)."""
-    d = table(spark, sf_dir, "documents")
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
     return d.select(
         "doc_id", simhash16_token_values(F.col("text")).alias("__sv")
     ).select("doc_id", simhash16_from_values(F.col("__sv")).alias("simhash"))
@@ -256,7 +260,9 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead."""
     from stupp_exclusion_etl_spark.operators.dedup import connected_components
 
-    d = table(spark, sf_dir, "documents")
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
     )

@@ -52,7 +52,12 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrying one column), which beats 6 separate scans at 100 TB where
     the scan dominates. Swap countDistinct for approx_count_distinct to
     drop Expand entirely when exactness isn't required."""
-    o = table(spark, sf_dir, "orders")
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
+    # The multi-column COUNT(DISTINCT) expands every row x6 before the
+    # partial agg; parallelism is otherwise capped at the input's row-
+    # group count (2 locally), so spread the scan first (_shared.spread).
+    o = spread(table(spark, sf_dir, "orders"))
     aggs = []
     for c in _ORDERS_COLS:
         v = F.round(F.col(c), 4) if c == "o_totalprice" else F.col(c)

@@ -348,9 +348,15 @@ def text_lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     as two DataFrame stages (learned_trigram_profiles /
     lang_id_learned_apply). Complements the two fixed-profile
     heuristics (text_lang_id, text_lang_id_ngram)."""
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
     d = table(spark, sf_dir, "documents")
-    profiles = learned_trigram_profiles(d, top_n=15)
-    return lang_id_learned_apply(d, profiles)
+    # Both train and apply explode ~60 trigram rows per input row; the
+    # corpus is a handful of row groups, so without the spread the
+    # whole explode runs on one task (see _shared.spread).
+    d_wide = spread(d)
+    profiles = learned_trigram_profiles(d_wide, top_n=15)
+    return lang_id_learned_apply(d_wide, profiles)
 
 
 # Deterministic PII injection shared by the Spark query and the oracle:
