@@ -75,6 +75,9 @@ HEADLINE = [
     "corpus_source_caps",
     "profile_columns",
     "scd2_user_status",
+    "mm_audio_frame_energy",
+    "events_outlier_iqr",
+    "events_time_weighted_avg",
 ]
 
 

@@ -35,6 +35,7 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -146,6 +147,60 @@ def byte_histogram(
         F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
     ).repartition("id")
     return src.mapInPandas(extract, _HIST_SCHEMA)
+
+
+_ENERGY_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("energy", DoubleType()),
+    ]
+)
+
+
+def audio_frame_energy(
+    df: DataFrame, id_col: str, payload_col: str = "payload", frame: int = 16
+) -> DataFrame:
+    """Frame-level RMS energy over audio payloads decoded as unsigned
+    8-bit PCM (silence = 128): the real decode-and-feature stage of an
+    audio pipeline — np.frombuffer needs no codec library, so unlike
+    decode_media this path runs end-to-end in this container. Each
+    Arrow batch is processed vectorized (frombuffer → reshape →
+    per-frame RMS); payloads short of one frame emit nothing, tail
+    samples are dropped. Returns (id, frame_no, energy) with energy
+    rounded to 4dp. Repartitioned by id first so the CPU-bound stage
+    spreads across cores instead of inheriting parquet file locality
+    (same rationale as byte_histogram)."""
+    import numpy as np
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list[int] = []
+            fns: list[int] = []
+            ens: list[float] = []
+            for i, payload in zip(pdf["id"], pdf["p"]):
+                arr = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                    - 128.0
+                )
+                n = arr.size // frame
+                if n == 0:
+                    continue
+                # Squares and their 16-term sums are exact in f64
+                # (< 2^53) and /frame is a power-of-two divide, so the
+                # value under sqrt is bit-identical to the oracle's
+                # integer-sum derivation.
+                rms = np.sqrt((arr[: n * frame].reshape(n, frame) ** 2).mean(axis=1))
+                ids.extend([int(i)] * n)
+                fns.extend(range(n))
+                ens.extend(np.round(rms, 4))
+            yield pd.DataFrame({"id": ids, "frame_no": fns, "energy": ens})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
+    ).repartition("id")
+    return src.mapInPandas(extract, _ENERGY_SCHEMA)
 
 
 PNG_SIG_HEX = "89504E470D0A1A0A"

@@ -507,3 +507,112 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("nv"))
     )
     return d.select("event_id", "user_id", F.round(interp, 6).alias("v_interp"))
+
+
+@register(
+    "events_outlier_iqr",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(round(quantile_cont(value, 0.25) * 10000) AS BIGINT) AS q1i,
+             CAST(round(quantile_cont(value, 0.75) * 10000) AS BIGINT) AS q3i
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e.value < (5 * b.q1i - 3 * b.q3i) / 20000.0
+                           OR e.value > (5 * b.q3i - 3 * b.q1i) / 20000.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           (5 * b.q1i - 3 * b.q3i) / 20000.0 AS lo,
+           (5 * b.q3i - 3 * b.q1i) / 20000.0 AS hi
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type, b.q1i, b.q3i
+    """,
+    tags=("B5", "B3"),
+)
+def events_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier audit per event type: exact interpolated quartiles,
+    Tukey fences q1/q3 ± 1.5·IQR, per-type outlier counts. The fences
+    table is event-type-sized — broadcast back onto the stream, so the
+    fact table is scanned twice but shuffled once (the tiny per-type
+    agg). Cross-engine exactness: quartiles land on a 0.0025 grid (2dp
+    inputs), so they're snapped to 1e-4-scaled INTEGERS and the fences
+    lo = (5·q1 - 3·q3)/2, hi = (5·q3 - 3·q1)/2 are derived in integer
+    arithmetic — both engines compare against bit-identical doubles,
+    immune to round-half boundary disagreements."""
+    e = table(spark, sf_dir, "events")
+    b = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)) * 10000).cast("long").alias("q1i"),
+        F.round(F.percentile("value", F.lit(0.75)) * 10000).cast("long").alias("q3i"),
+    )
+    lo = (5 * F.col("q1i") - 3 * F.col("q3i")) / 20000.0
+    hi = (5 * F.col("q3i") - 3 * F.col("q1i")) / 20000.0
+    return (
+        e.join(F.broadcast(b), "event_type")
+        .groupBy("event_type", "q1i", "q3i")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when((F.col("value") < lo) | (F.col("value") > hi), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n", "n_outliers", lo.alias("lo"), hi.alias("hi"))
+    )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS vc, ts,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events WHERE user_id < 100),
+    s AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_holds,
+             SUM(vc * ((epoch_us(nxt) - epoch_us(ts)) // 1000)) AS num,
+             SUM((epoch_us(nxt) - epoch_us(ts)) // 1000) AS den
+      FROM o WHERE nxt IS NOT NULL AND nxt > ts
+      GROUP BY user_id)
+    SELECT user_id, n_holds,
+           ((200 * num + den) // (2 * den)) / 10000.0 AS twap
+    FROM s
+    """,
+    tags=("B6", "B5"),
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (TWAP): each event's value
+    is held until the next event, weighted by hold duration in
+    whole milliseconds. One window pass (lead over the user×time
+    ordering) feeding one agg on the same key — the plan reuses the
+    user_id partitioning, single shuffle. Durations are exact integer
+    microsecond diffs floored to ms (timestampdiff(MICROSECOND) on the
+    NTZ column is pure calendar arithmetic, session-TZ-independent;
+    second-granularity units would diverge — Spark truncates elapsed
+    time, DuckDB counts boundary crossings). Cross-engine
+    exactness: 2dp values become integer cents, so num/den are exact
+    longs and the 4dp half-up rounding is the INTEGER identity
+    (200·num + den) div (2·den) — no float accumulation anywhere."""
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+        "ts",
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull() & (F.col("nxt") > F.col("ts")))
+    dt = F.expr("timestampdiff(MICROSECOND, ts, nxt) div 1000")
+    s = o.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_holds"),
+        F.sum(F.col("vc") * dt).alias("num"),
+        F.sum(dt).alias("den"),
+    )
+    return s.select(
+        "user_id",
+        "n_holds",
+        (
+            F.expr("(200 * num + den) div (2 * den)") / 10000.0
+        ).alias("twap"),
+    )
