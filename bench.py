@@ -78,6 +78,7 @@ HEADLINE = [
     "mm_audio_frame_energy",
     "events_outlier_iqr",
     "events_time_weighted_avg",
+    "events_rolling_zscore",
 ]
 
 

@@ -616,3 +616,68 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(200 * num + den) div (2 * den)") / 10000.0
         ).alias("twap"),
     )
+
+
+@register(
+    "events_rolling_zscore",
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, value,
+             CAST(round(value * 100) AS BIGINT) AS vc,
+             SUM(CAST(round(value * 100) AS BIGINT))
+               OVER win AS s1,
+             SUM(CAST(round(value * 100) AS BIGINT) * CAST(round(value * 100) AS BIGINT))
+               OVER win AS s2,
+             CAST(count(*) OVER win AS BIGINT) AS n
+      FROM events WHERE user_id < 100
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           ROUND((vc * n - s1) /
+                 (sqrt(CAST(n AS DOUBLE) * (s2 * n - s1 * s1))), 4) + 0.0 AS z
+    FROM w WHERE n >= 10 AND s2 * n > s1 * s1
+    """,
+    tags=("B6", "B5"),
+)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each event's z-score against its own
+    trailing 20-event window per user — the standard streaming-metrics
+    anomaly primitive, expressed as one window pass (sum, sum-of-
+    squares, count share a single frame, so Spark sorts each user
+    partition once). Cross-engine exactness: 2dp values become integer
+    cents, the window moments s1=Σv, s2=Σv² stay exact in int64
+    (≤ ~5·10¹⁰ per 20-row frame), and
+    z = (v·n − s1) / sqrt(n·(n·s2 − s1²)) is algebraically the sample
+    z-score scaled so every input to the one float op (sqrt) is an
+    exact integer — both engines produce bit-identical doubles.
+    Windows with <10 points or zero variance are excluded."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    vc = F.round(F.col("value") * 100).cast("long")
+    win = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-19, 0)
+    )
+    w = e.select(
+        "event_id",
+        "user_id",
+        vc.alias("vc"),
+        F.sum(vc).over(win).alias("s1"),
+        F.sum(vc * vc).over(win).alias("s2"),
+        F.count(F.lit(1)).over(win).alias("n"),
+    )
+    num = F.col("vc") * F.col("n") - F.col("s1")
+    var_scaled = F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")
+    return (
+        w.filter((F.col("n") >= 10) & (var_scaled > 0))
+        .select(
+            "event_id",
+            "user_id",
+            # + 0.0 normalizes IEEE negative zero (DuckDB's ROUND
+            # keeps -0.0; Spark's doesn't) so canonical strings agree.
+            (
+                F.round(num / F.sqrt(F.col("n").cast("double") * var_scaled), 4)
+                + F.lit(0.0)
+            ).alias("z"),
+        )
+    )
