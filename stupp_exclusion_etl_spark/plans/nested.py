@@ -225,3 +225,54 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 97).cast("long").alias("bucket97"),
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
     )
+
+
+@register(
+    "nested_variant_dynamic",
+    oracle="""
+    WITH src AS (
+      SELECT event_id, event_type,
+             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+      FROM events WHERE event_id < 2000)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_objects,
+           CAST(sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_scalars,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM src GROUP BY event_type
+    """,
+    tags=("B11", "B15"),
+)
+def nested_variant_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over a runtime-heterogeneous column — the
+    engine-native generalization of the reference's dynamic type
+    inference (A13, reference clients/dynamodb.py:51-72): even-k rows
+    carry a JSON OBJECT {"k": n}, odd-k rows a bare JSON NUMBER, both
+    parsed into ONE variant column with parse_json. Extraction is
+    typed-at-read: try_variant_get('$.k') succeeds only on objects,
+    try_variant_get('$') only on scalars, and coalescing the two
+    recovers every value — no schema declared anywhere, exactly the
+    open-schema ingest posture Variant exists for (binary-encoded,
+    pushdown-capable at scale, unlike JSON strings). The oracle
+    re-derives the same numbers from the branch arithmetic, so the
+    variant path is fully value-checked."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long")
+    payload = F.when(k % 2 == 0, F.col("props")).otherwise(k.cast("string"))
+    v = F.parse_json(payload)
+    k_obj = F.try_variant_get(v, "$.k", "long")
+    k_scalar = F.try_variant_get(v, "$", "long")
+    return (
+        e.select(
+            "event_type",
+            k_obj.alias("ko"),
+            k_scalar.alias("ks"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("ko").alias("n_objects"),
+            F.count("ks").alias("n_scalars"),
+            F.sum(F.coalesce(F.col("ko"), F.col("ks"))).alias("sum_k"),
+        )
+    )
