@@ -248,27 +248,28 @@ def analytics_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFra
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    WHERE n1.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+      AND n2.n_name IN ('NATION_0','NATION_1','NATION_2','NATION_3','NATION_4')
+      AND n1.n_name <> n2.n_name
     GROUP BY supp_nation, cust_nation, l_year
     ORDER BY supp_nation, cust_nation, l_year
     """,
     tags=("B4", "B5"),
 )
 def analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q7 shape: bilateral trade volume between two nations by
-    ship year. Five joins, but four sides are dimensions (supplier,
-    customer, nation x2) — all broadcast, so lineitem flows through a
-    single codegen'd stage and the only shuffle is the final 3-key
-    group-by (cardinality = nations^2 x years). The nation-pair filter
-    lands on the broadcast sides, pre-shrinking them before the probe."""
+    """TPC-H Q7 shape: cross-border trade volume among five nations
+    by ship year (distinct supplier/customer nation pairs). Five joins,
+    but four sides are dimensions (supplier, customer, nation x2) — all
+    broadcast, so lineitem flows through a single codegen'd stage and
+    the only shuffle is the final 3-key group-by (cardinality =
+    nations^2 x years). The nation filters land on the broadcast sides,
+    pre-shrinking them before the probe."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    n = table(spark, sf_dir, "nation").filter(
-        F.col("n_name").isin("NATION_1", "NATION_2")
-    )
+    nations = [f"NATION_{i}" for i in range(5)]
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
     n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
     n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
     return (
@@ -277,10 +278,7 @@ def analytics_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.join(F.broadcast(n2), c.c_nationkey == n2.n2_key)),
               o.o_custkey == F.col("c_custkey"))
-        .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(r4(F.sum(revenue())).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
