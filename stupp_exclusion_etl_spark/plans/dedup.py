@@ -269,3 +269,71 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("doc_id").cast("long"), F.col("group_id").cast("long")
     )
+
+
+@register(
+    "dedup_lsh_verified",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex AS (SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    based AS (SELECT doc_id, ({_MD5_BASE}) % {MINHASH_P} AS hb
+              FROM (SELECT doc_id, s FROM ex)),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM based GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN ex e1 ON e1.doc_id = c.id1
+      JOIN ex e2 ON e2.doc_id = c.id2 AND e2.s = e1.s
+      GROUP BY c.id1, c.id2)
+    SELECT i.id1, i.id2,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN n na ON na.doc_id = i.id1
+    JOIN n nb ON nb.doc_id = i.id2
+    WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.4
+    """,
+    tags=("B9",),
+)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION two-stage near-dup pipeline in one plan: MinHash-
+    LSH proposes candidate pairs (sub-quadratic, bucket-capped), then
+    exact shingle-set Jaccard verifies each candidate and keeps pairs
+    >= 0.4 — LSH's false positives are filtered, and the exact-Jaccard
+    work is bounded by CANDIDATE count, never corpus². At 100 TB the
+    candidate list is many orders of magnitude smaller than the corpus
+    cross product; the verification joins are equi-joins on doc id /
+    shingle, all hash-partitioned. This is the composition the README's
+    "exact Jaccard runs only on candidates" design note promises."""
+    from stupp_exclusion_etl_spark.operators.dedup import _exploded_shingles
+
+    d = table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
+    ).select(F.col("id1").cast("long"), F.col("id2").cast("long"))
+    ex = _exploded_shingles(d, "doc_id", "text", 3).distinct()
+    n = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    e1 = ex.select(F.col("doc_id").alias("id1"), F.col("s"))
+    e2 = ex.select(F.col("doc_id").alias("id2"), F.col("s"))
+    inter = (
+        cand.join(e1, "id1")
+        .join(e2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("na"))
+    nb = n.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(na, "id1")
+        .join(nb, "id2")
+        .filter(jac >= 0.4)
+        .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
+    )
