@@ -471,3 +471,394 @@ def analytics_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "analytics_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("B3", "B5"),
+)
+def analytics_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-scan filtered aggregate — the canonical
+    pushdown showcase. Scale: every predicate (date range, discount
+    band, quantity cap) reaches the parquet reader as PushedFilters +
+    row-group stats skipping; the job is one map stage plus a single-
+    row partial-agg merge — zero shuffle of data rows, so it is scan-
+    bandwidth-bound at any scale factor."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        r4(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            "revenue_delta"
+        )
+    )
+
+
+@register(
+    "analytics_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, MIN(unit_price) AS best_price
+      FROM offers GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name,
+           b.best_price AS best_price
+    FROM best b
+    JOIN offers o ON o.l_partkey = b.l_partkey
+                 AND o.unit_price = b.best_price
+    JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size = 7
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    ORDER BY best_price DESC, p_partkey, s_name
+    LIMIT 25
+    """,
+    tags=("B4", "B5", "B7"),
+)
+def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each size-7 part, the supplier(s) quoting
+    the minimum unit price — the correlated-MIN subquery decorrelated
+    into aggregate + self-equi-join (no partsupp table in this schema;
+    lineitem unit prices stand in for supply cost). Float equality on
+    unit_price is engine-safe: both engines evaluate the identical
+    IEEE division row-by-row and MIN is order-independent. Scale: both
+    aggregates and the re-join share the l_partkey shuffle key, so AQE
+    reuses one exchange; part(size=7) and supplier broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("o_pk"), F.col("l_suppkey").alias("l_suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    best = offers.groupBy(F.col("o_pk").alias("l_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 7)
+    s = table(spark, sf_dir, "supplier")
+    return (
+        best.join(
+            offers,
+            (F.col("l_partkey") == F.col("o_pk"))
+            & (F.col("best_price") == F.col("unit_price")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "p_partkey", "p_brand", "s_name", "best_price"
+        )
+        .orderBy(F.col("best_price").desc(), "p_partkey", "s_name")
+        .limit(25)
+    )
+
+
+@register(
+    "analytics_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                     - 0.01 * p.p_retailprice * l.l_quantity), 4) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%gear%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus a retail-price-proportional
+    cost proxy — no partsupp.ps_supplycost in this schema) per supplier
+    nation per order year, parts filtered by name substring. Scale: the
+    LIKE-filtered part set and supplier→nation chain broadcast; lineitem
+    joins orders on the orderkey shuffle; the measure stays on the 4dp
+    decimal grid (2dp×2dp inputs) so ROUND(.,4) is cross-engine exact."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) - F.lit(
+        0.01
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+              li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(r4(F.sum(profit)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
+    "analytics_important_parts",
+    oracle="""
+    WITH stock AS (
+      SELECT l.l_partkey,
+             SUM(p.p_retailprice * l.l_quantity) AS value
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey AS p_partkey, ROUND(value, 2) AS value
+    FROM stock
+    WHERE value > (SELECT SUM(value) * 0.002 FROM stock)
+    ORDER BY value DESC, p_partkey
+    """,
+    tags=("B4", "B5", "B15"),
+)
+def analytics_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose one-nation inventory value exceeds
+    a fixed fraction of that nation's total — the scalar subquery over
+    the SAME aggregate. Expressed by computing `stock` once and joining
+    the global sum back as a broadcast single-row cross join, so the
+    expensive fact-side aggregation runs exactly once (not twice as a
+    naive subquery would). Value sums sit on the 2dp×integer grid —
+    exact in any accumulation order. Scale: one shuffle on l_partkey;
+    the total is one row, broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    stock = (
+        li.join(F.broadcast(s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("p_retailprice") * F.col("l_quantity")).alias("value"))
+    )
+    total = stock.agg((F.sum("value") * F.lit(0.002)).alias("__thr"))
+    return (
+        stock.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thr"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value"), 2).alias("value"),
+        )
+        .orderBy(F.col("value").desc(), "p_partkey")
+    )
+
+
+@register(
+    "analytics_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND l.l_linestatus = 'F'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts of high- vs low-priority
+    orders per line category (l_returnflag stands in for l_shipmode,
+    absent from this schema). Scale: lineitem's filters push to the
+    scan; the join shuffles on orderkey; conditional sums are map-side
+    partial aggregates over a 3-key group — the reduce is trivial."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_linestatus") == "F")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "analytics_promo_revenue_share",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / SUM(l.l_extendedprice * (1 - l.l_discount)), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of one month's revenue.
+    Both the numerator and denominator are exact 4dp-grid sums, so the
+    quotient is bit-identical across engines before ROUND(.,6). Scale:
+    part broadcasts; the month filter prunes row groups; the result is
+    a single row — no reduce-side data motion at all."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    rev = revenue()
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                6,
+            ).alias("promo_pct")
+        )
+    )
+
+
+@register(
+    "analytics_small_qty_revenue",
+    oracle="""
+    WITH thresh AS (
+      SELECT l_partkey, 0.5 * AVG(l_quantity) AS qty_cap
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#13'
+    JOIN thresh t ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.qty_cap
+    """,
+    tags=("B4", "B5", "B15"),
+)
+def analytics_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders below half the part's
+    average quantity — the correlated AVG subquery decorrelated into a
+    per-part aggregate re-joined to lineitem. Quantities are integer-
+    valued doubles, so AVG is exact-sum/count and the 0.5× threshold
+    comparison is engine-deterministic. Scale: the aggregate and the
+    re-join share the l_partkey shuffle; the Brand filter broadcasts
+    part and prunes the probe early."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    thresh = li.groupBy(F.col("l_partkey").alias("tk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == F.col("tk"))
+        .filter(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(r4(F.sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@register(
+    "analytics_disjunctive_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    tags=("B3", "B4", "B5"),
+)
+def analytics_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    factors the part-only disjuncts (brand ∈ {12,23,34}, size ≥ 1)
+    below the join as a pushed pre-filter and keeps the cross-side
+    residual on the join — the classic disjunctive-pushdown test.
+    Scale: filtered part broadcasts; lineitem is scanned once with the
+    quantity range union pushed to row-group stats."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    arm = lambda brand, smax, qlo, qhi: (
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    return j.filter(
+        arm("Brand#12", 5, 1, 11) | arm("Brand#23", 10, 10, 20) | arm("Brand#34", 15, 20, 30)
+    ).agg(r4(F.sum(revenue())).alias("revenue"))
+
+
+@register(
+    "analytics_dormant_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers dormant since
+    1999, grouped by segment (c_mktsegment stands in for the phone
+    country code, absent here). The scalar AVG broadcasts as a one-row
+    cross join; NOT EXISTS is a left-anti join on o_custkey with the
+    date bound pushed below it. AVG over 2dp doubles is exact-sum/count
+    — the threshold comparison is engine-deterministic. Scale: orders
+    is date-filtered and key-projected before the anti-join shuffle;
+    customer is the smaller side throughout."""
+    c = table(spark, sf_dir, "customer")
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("__ab")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
