@@ -79,6 +79,11 @@ HEADLINE = [
     "events_outlier_iqr",
     "events_time_weighted_avg",
     "events_rolling_zscore",
+    "analytics_forecast_revenue",
+    "analytics_min_cost_supplier",
+    "analytics_product_profit",
+    "analytics_important_parts",
+    "analytics_disjunctive_revenue",
 ]
 
 
