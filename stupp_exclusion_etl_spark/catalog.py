@@ -34,23 +34,28 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushed into the parquet reader by Catalyst (check PushedFilters /
     ReadSchema in .explain("formatted")).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects; read it as a long (legacy conf) and convert ns → µs with
-    integer division (ns epochs exceed 2^53, so float division would
-    lose precision), matching DuckDB's truncating ns→µs conversion.
-
-    The µs→NTZ step is built arithmetically (epoch + day-time interval)
-    rather than via ``cast(timestamp as timestamp_ntz)``: that cast
-    routes through ``spark.sql.session.timeZone``, and the driver runs a
-    vanilla session with the host TZ — correctness must not depend on
-    the host being UTC. ``decimal(20,0)/1000000`` keeps all 6 fractional
-    digits exactly (double would round µs).
+    ``events.ts`` is parquet TIMESTAMP(NANOS). Spark ≥ 4.1 reads it
+    natively as TIMESTAMP_NTZ (ns truncated to µs, matching DuckDB) —
+    pass it through untouched, no session-timezone involvement. Older
+    readers reject NANOS unless ``nanosAsLong`` is set, which yields a
+    BIGINT ns column; convert ns → µs with integer division (ns epochs
+    exceed 2^53, so float division would lose precision) and build the
+    NTZ value arithmetically (epoch + day-time interval) rather than via
+    ``cast(... as timestamp_ntz)``, which routes through
+    ``spark.sql.session.timeZone`` — the driver runs a vanilla session
+    with the host TZ, and correctness must not depend on the host being
+    UTC. ``decimal(20,0)/1000000`` keeps all 6 fractional digits exactly
+    (double would round µs). Both paths are value-identical to DuckDB's
+    truncating ns→µs read of the same file.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        if not isinstance(df.schema["ts"].dataType, LongType):
+            return df
         return df.withColumn(
             "ts",
             F.expr(

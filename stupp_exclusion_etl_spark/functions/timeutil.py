@@ -27,3 +27,20 @@ def ntz_from_timestamp(ts: Column) -> Column:
     """TIMESTAMP_NTZ (UTC wall-clock) from a TIMESTAMP column without
     the session-TZ-dependent cast."""
     return ntz_from_epoch_micros(F.unix_micros(ts))
+
+
+def timestamp_from_ntz(ts: Column) -> Column:
+    """TIMESTAMP (instant) from a TIMESTAMP_NTZ column, interpreting the
+    naive value as UTC wall-clock — the inverse of ntz_from_timestamp.
+    ``cast(ntz as timestamp)`` would route through the session timezone;
+    instead extract the NTZ's calendar fields (all TZ-free on NTZ) into
+    epoch µs and build the instant with ``timestamp_micros``.
+    ``date_part('SECOND')`` yields decimal(8,6) seconds, so the ×1e6 is
+    exact to the µs."""
+    us = (
+        F.unix_date(ts.cast("date")).cast("long") * F.lit(86400000000)
+        + F.hour(ts).cast("long") * F.lit(3600000000)
+        + F.minute(ts).cast("long") * F.lit(60000000)
+        + (F.date_part(F.lit("SECOND"), ts) * 1000000).cast("long")
+    )
+    return F.timestamp_micros(us)

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import TimestampNTZType
 
-from stupp_exclusion_etl_spark.functions.timeutil import ntz_from_timestamp
+from stupp_exclusion_etl_spark.functions.timeutil import (
+    ntz_from_timestamp,
+    timestamp_from_ntz,
+)
 
 
 def tumbling_agg(ev: DataFrame, minutes: int = 10, watermark: str | None = None) -> DataFrame:
@@ -66,6 +69,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the stream keeps the instant type; downstream NTZ conversions go
     # through functions.timeutil (unix_micros arithmetic), never the
     # session-TZ-dependent cast — the driver's session is NOT UTC-pinned.
+    # Spark ≥ 4.1 reads parquet NANOS natively as TIMESTAMP_NTZ; older
+    # readers (with nanosAsLong) deliver BIGINT ns. Handle both.
+    if isinstance(schema["ts"].dataType, TimestampNTZType):
+        return raw.withColumn("ts", timestamp_from_ntz(F.col("ts")))
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
