@@ -10,13 +10,18 @@ Header/metadata decode is REAL: ``parse_image_meta`` reads PNG/GIF/BMP
 geometry in pure Catalyst (substring + hex arithmetic — no UDF), and
 ``image_meta_scan`` walks JPEG SOF markers in an Arrow-batched
 ``mapInPandas`` stage — both tested against handcrafted real files.
-Only the PIXEL codec step (JPEG entropy decode, PCM resample, H.264
-frame-grab) is stubbed: the container has no codec libraries, so
-``decode_media`` raises ``NotImplementedError`` with the production
-recipe, and tests exercise ``byte_histogram`` — a real Arrow-batched
-feature extractor with the exact signature/batching a decoder would
-use. Everything Spark-side (schema, partition spread, Arrow batch
-shape, metadata pruning) is real and tested.
+
+PIXEL/SAMPLE decode is REAL for the container-formats that need no
+codec library: ``decode_media`` fully decodes 24-bit uncompressed BMP
+(header walk, bottom-up rows, 4-byte stride padding) and RIFF/WAVE PCM
+(chunk walk, 8/16-bit samples) with struct+numpy inside an Arrow
+``mapInPandas`` stage, and ``resize_images`` is a real nearest-neighbor
+resample that re-encodes valid BMP bytes. Only ENTROPY-CODED formats
+(JPEG/PNG pixel data, H.264 frames) raise ``NotImplementedError`` with
+the production recipe — those genuinely require codec libraries this
+container does not ship. ``bmp_payload`` / ``wav_payload`` synthesize
+deterministic real files in pure Catalyst so the decode paths are
+value-checkable end-to-end against a closed-form oracle.
 
 Scale notes:
 - metadata filters (``media_type = 'video'``) prune before any byte of
@@ -35,6 +40,8 @@ from collections.abc import Iterator
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -233,6 +240,97 @@ def png_payload(width: Column, height: Column) -> Column:
     )
 
 
+def _le_hex(c: Column, n_bytes: int) -> Column:
+    """Little-endian hex encoding of a non-negative integer column in
+    ``n_bytes`` bytes (values < 2^32, so double flooring is exact)."""
+    return F.concat(
+        *[
+            F.lpad(
+                F.hex(F.floor(c.cast("long") / F.lit(256**k)).cast("long") % 256),
+                2,
+                "0",
+            )
+            for k in range(n_bytes)
+        ]
+    )
+
+
+def bmp_stride(width: Column) -> Column:
+    """BMP row stride: pixel rows are padded to 4-byte boundaries."""
+    return (F.floor((width.cast("long") * 3 + 3) / 4) * 4).cast("long")
+
+
+def bmp_payload(width: Column, height: Column, seed: Column) -> Column:
+    """A complete, spec-valid 24-bit uncompressed BMP built in pure
+    Catalyst: BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes)
+    + bottom-up pixel rows padded to 4-byte stride. Pixel-array byte at
+    file-order position ``i`` (0-based, padding included) has value
+    ``(seed + i) % 256``, so the decoded pixel (x, y, channel c — BGR
+    as stored) is ``(seed + (H-1-y)*stride + x*3 + c) % 256``: a closed
+    form both the decoder tests and the DuckDB oracle reproduce without
+    touching bytes. Generalizes the reference's derived-column synthesis
+    (SURVEY.md A10) to binary media columns."""
+    w = width.cast("long")
+    h = height.cast("long")
+    stride = bmp_stride(width)
+    n_px = h * stride
+    file_size = n_px + 54
+    pixels = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), n_px - 1),
+            lambda i: F.lpad(F.hex((seed.cast("long") + i) % 256), 2, "0"),
+        ),
+        "",
+    )
+    return F.unhex(
+        F.concat(
+            F.lit("424D"),  # "BM"
+            _le_hex(file_size, 4),
+            F.lit("00000000"),  # reserved
+            F.lit("36000000"),  # pixel-data offset = 54
+            F.lit("28000000"),  # BITMAPINFOHEADER size = 40
+            _le_hex(w, 4),
+            _le_hex(h, 4),  # positive height = bottom-up rows
+            F.lit("0100"),  # planes = 1
+            F.lit("1800"),  # bpp = 24
+            F.lit("00000000"),  # compression = BI_RGB
+            _le_hex(n_px, 4),  # image size
+            F.lit("00" * 16),  # x/y ppm, palette counts
+            pixels,
+        )
+    )
+
+
+def wav_payload(samples: Column, sample_rate: int = 16000) -> Column:
+    """A complete RIFF/WAVE container around a binary column of
+    unsigned 8-bit mono PCM samples, built in pure Catalyst: RIFF
+    header + canonical 16-byte fmt chunk + data chunk. The sample bytes
+    travel unmodified, so any byte-level oracle over the raw samples
+    holds for the decoded container too."""
+    n = F.length(samples).cast("long")
+    byte_rate = sample_rate * 1 * 1  # mono, 1 byte/sample
+    return F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("52494646"),  # "RIFF"
+                _le_hex(n + 36, 4),
+                F.lit("57415645"),  # "WAVE"
+                F.lit("666D7420"),  # "fmt "
+                F.lit("10000000"),  # fmt chunk size = 16
+                F.lit("0100"),  # audio format = 1 (PCM)
+                F.lit("0100"),  # channels = 1
+                _le_hex(F.lit(sample_rate), 4),
+                _le_hex(F.lit(byte_rate), 4),
+                F.lit("0100"),  # block align = 1
+                F.lit("0800"),  # bits per sample = 8
+                F.lit("64617461"),  # "data"
+                _le_hex(n, 4),
+            )
+        ),
+        samples,
+    )
+
+
 def parse_image_meta(payload: Column) -> Column:
     """Parse ``struct<fmt string, width int, height int>`` from an image
     payload's header — pure Catalyst (substring + hex + conv), zero
@@ -356,38 +454,211 @@ def image_meta_scan(
     return src.mapInPandas(scan, _IMG_META_SCHEMA)
 
 
+def _decode_bmp_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
+    """Decode a 24-bit uncompressed BMP: header walk (pixel offset,
+    signed dimensions, bpp, compression), bottom-up row order unless
+    height is negative, 4-byte stride padding stripped. Returns
+    ((h, w, 3), flat float64 array in top-down row-major BGR order)."""
+    import numpy as np
+
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(b[10:14], "little")
+    w = int.from_bytes(b[18:22], "little", signed=True)
+    h = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    comp = int.from_bytes(b[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(
+            f"BMP bpp={bpp} compression={comp}: only 24-bit BI_RGB decodes "
+            "without codec libraries"
+        )
+    h_abs, top_down = abs(h), h < 0
+    stride = (w * 3 + 3) // 4 * 4
+    arr = np.frombuffer(b, dtype=np.uint8, count=h_abs * stride, offset=off)
+    rows = arr.reshape(h_abs, stride)[:, : w * 3]
+    if not top_down:
+        rows = rows[::-1]
+    return (h_abs, w, 3), rows.reshape(-1).astype(np.float64)
+
+
+def _decode_wav_samples(b: bytes) -> tuple[tuple[int, int], int, "object"]:
+    """Decode RIFF/WAVE PCM: chunk walk (word-aligned) to the fmt and
+    data chunks; 8-bit samples centered at 0 (u8 - 128), 16-bit as
+    little-endian i16. Returns ((n_per_channel, n_channels),
+    sample_rate, flat float64 interleaved samples)."""
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} bits={bits}: only integer PCM decodes "
+            "without codec libraries"
+        )
+    if bits == 8:
+        s = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        s = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+    n = s.size // n_ch
+    return (n, n_ch), rate, s[: n * n_ch]
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("kind", StringType()),
+        StructField("shape", ArrayType(IntegerType())),
+        StructField("rate", IntegerType()),
+        StructField("data", ArrayType(DoubleType())),
+    ]
+)
+
+
 def decode_media(
     df: DataFrame, id_col: str, payload_col: str = "payload"
 ) -> DataFrame:
-    """Decode payloads into typed media tensors. STUB — the container
-    ships no codec libraries. Production implementation (same plumbing
-    as ``byte_histogram``):
+    """Decode payloads into typed tensors — REAL for the formats that
+    need no codec library (same Arrow plumbing as ``byte_histogram``):
 
-    - image: ``mapInPandas`` batch → ``PIL.Image.open(io.BytesIO(b))``
-      → resize → ``np.asarray`` → flatten to ``array<float>``;
-    - audio: ``soundfile.read`` → resample to media.sample_rate →
-      fixed-length window → ``array<float>``;
-    - video: ``av.open`` → keyframe iterator → sample via
-      ``sample_frames`` indices → per-frame image path.
+    - 24-bit uncompressed BMP → (h, w, 3) pixels, top-down BGR,
+      flattened into ``data`` with shape=[h, w, 3];
+    - RIFF/WAVE integer PCM → centered samples, shape=[n, channels],
+      ``rate`` from the fmt chunk.
 
-    Output schema would be ``(id long, features array<float>)``; Arrow
-    batch size governed by spark.sql.execution.arrow.maxRecordsPerBatch
-    (tune down for large payloads so a batch fits executor memory).
-    """
-    raise NotImplementedError(
-        "media codecs are not installed in this container; see docstring "
-        "for the production mapInPandas recipe. Use byte_histogram() for "
-        "the tested Arrow plumbing."
+    Entropy-coded formats stay honestly unimplemented: JPEG/PNG pixel
+    data and H.264 frames raise ``NotImplementedError`` (production:
+    the identical mapInPandas stage calling ``PIL.Image.open`` /
+    ``soundfile.read`` / ``av.open``; tune
+    spark.sql.execution.arrow.maxRecordsPerBatch down so one batch of
+    payloads fits executor memory). Repartitioned by id so CPU-bound
+    decode spreads across cores rather than inheriting parquet file
+    locality."""
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, kinds, shapes, rates, datas = [], [], [], [], []
+            for i, payload in zip(pdf["id"], pdf["p"]):
+                b = bytes(payload)
+                if b[:2] == b"BM":
+                    shape, flat = _decode_bmp_pixels(b)
+                    kind, rate = "bmp", None
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    shape, rate, flat = _decode_wav_samples(b)
+                    kind = "wav"
+                else:
+                    raise NotImplementedError(
+                        "payload is not BMP or WAV; entropy-coded formats "
+                        "(JPEG/PNG/H.264) need codec libraries this container "
+                        "does not ship — see decode_media docstring"
+                    )
+                ids.append(int(i))
+                kinds.append(kind)
+                shapes.append(list(shape))
+                rates.append(rate)
+                datas.append(flat.tolist())
+            yield pd.DataFrame(
+                {"id": ids, "kind": kinds, "shape": shapes, "rate": rates, "data": datas}
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
+    ).repartition("id")
+    return src.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+def _bmp_header_bytes(w: int, h: int) -> bytes:
+    """Python-side twin of ``bmp_payload``'s Catalyst header (shared
+    layout; used by the re-encode path)."""
+    stride = (w * 3 + 3) // 4 * 4
+    n_px = h * stride
+    return (
+        b"BM"
+        + (54 + n_px).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00" * 4
+        + n_px.to_bytes(4, "little")
+        + b"\x00" * 16
     )
 
 
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
 def resize_images(
-    df: DataFrame, id_col: str, width: int, height: int
+    df: DataFrame, id_col: str, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Image resize. STUB — see ``decode_media``; production is a
-    mapInPandas stage emitting a re-encoded binary column with updated
-    media metadata (width/height replaced, n_bytes recomputed)."""
-    raise NotImplementedError("see decode_media: codec libraries unavailable")
+    """REAL nearest-neighbor image resize over 24-bit BMP payloads:
+    decode (``_decode_bmp_pixels``), index-map resample — output pixel
+    (x2, y2) reads source pixel (x2*W//width, y2*H//height) — and
+    re-encode spec-valid BMP bytes (zeroed stride padding). Emits
+    (id, payload, width, height, n_bytes) so callers refresh media
+    metadata alongside the bytes. numpy does the resample vectorized
+    per Arrow batch (``np.ix_`` gather, no Python pixel loop);
+    entropy-coded inputs raise as in ``decode_media``."""
+    import numpy as np
+    import pandas as pd
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, payload in zip(pdf["id"], pdf["p"]):
+                (h, w, _), flat = _decode_bmp_pixels(bytes(payload))
+                px = flat.astype(np.uint8).reshape(h, w, 3)
+                ys = (np.arange(height) * h) // height
+                xs = (np.arange(width) * w) // width
+                out_px = px[np.ix_(ys, xs)]
+                stride2 = (width * 3 + 3) // 4 * 4
+                rows = np.zeros((height, stride2), dtype=np.uint8)
+                rows[:, : width * 3] = out_px.reshape(height, width * 3)
+                ids.append(int(i))
+                payloads.append(_bmp_header_bytes(width, height) + rows[::-1].tobytes())
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "payload": payloads,
+                    "width": [width] * len(ids),
+                    "height": [height] * len(ids),
+                    "n_bytes": [len(p) for p in payloads],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
+    ).repartition("id")
+    return src.mapInPandas(resize, _RESIZE_SCHEMA)
 
 
 def attach_media_pointers(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

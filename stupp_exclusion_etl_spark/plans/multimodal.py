@@ -214,6 +214,146 @@ def mm_frame_byte_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared geometry for the synthetic BMP corpus: W varies 7..9 so the
+# 4-byte stride padding is exercised (21→24, 24→24, 27→28).
+_BMP_GEOM_SQL = """
+  SELECT doc_id, 7 + doc_id % 3 AS w, 6 AS h, doc_id % 251 AS seed,
+         ((7 + doc_id % 3) * 3 + 3) // 4 * 4 AS stride
+  FROM documents WHERE doc_id < 200
+"""
+
+
+def _bmp_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stupp_exclusion_etl_spark.operators.multimodal import bmp_payload
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        bmp_payload(
+            (F.lit(7) + F.col("doc_id") % 3).cast("int"),
+            F.lit(6),
+            F.col("doc_id") % 251,
+        ).alias("payload"),
+    )
+
+
+@register(
+    "mm_bmp_decode_channel_stats",
+    oracle=f"""
+    WITH g AS ({_BMP_GEOM_SQL}),
+    v AS (
+      SELECT g.doc_id, CAST(c.c AS INT) AS ch,
+             CAST((g.seed + (g.h - 1 - y.y) * g.stride + x.x * 3 + c.c) % 256
+                  AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.h)) AS y(y), UNNEST(range(0, g.w)) AS x(x),
+           UNNEST(range(0, 3)) AS c(c))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_bmp_decode_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image pixel decode, no codec library: synthesize a
+    spec-valid 24-bit BMP per document in pure Catalyst
+    (operators.multimodal.bmp_payload — variable width exercises stride
+    padding), FULLY decode it (header walk, bottom-up rows, padding
+    strip) in the Arrow mapInPandas decoder (decode_media), then reduce
+    pixels to per-channel means JVM-side. The oracle recomputes every
+    pixel from the generator's closed form — any header, stride, or
+    row-order mistake in generator OR decoder breaks the hash match."""
+    from stupp_exclusion_etl_spark.operators.multimodal import decode_media
+
+    dec = decode_media(_bmp_docs(spark, sf_dir), "doc_id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(F.round(F.avg("col"), 4).alias("mean_val"))
+    )
+
+
+@register(
+    "mm_image_resize_pixels",
+    oracle=f"""
+    WITH g AS ({_BMP_GEOM_SQL})
+    SELECT doc_id,
+           CAST(y2.y * 12 + x2.x * 3 + c.c AS INT) AS pos,
+           CAST((seed + (h - 1 - (y2.y * h // 3)) * stride
+                 + (x2.x * w // 4) * 3 + c.c) % 256 AS INT) AS val
+    FROM g, UNNEST(range(0, 3)) AS y2(y), UNNEST(range(0, 4)) AS x2(x),
+         UNNEST(range(0, 3)) AS c(c)
+    """,
+    tags=("B15", "B11"),
+)
+def mm_image_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode → nearest-neighbor resize (4×3) → BMP re-encode → decode
+    AGAIN, emitting every resized pixel value. The double decode means
+    the oracle (closed-form source pixel at (x2*W//4, y2*H//3)) checks
+    the whole loop: generator bytes, decoder, numpy index-map resample,
+    and the re-encoder's header/stride/row-order — one wrong byte
+    anywhere shifts some pixel and fails the hash."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        resize_images,
+    )
+
+    resized = resize_images(_bmp_docs(spark, sf_dir), "doc_id", 4, 3)
+    dec = decode_media(resized, "id")
+    return dec.select(F.col("id").alias("doc_id"), F.posexplode("data")).select(
+        "doc_id", F.col("pos").cast("int"), F.col("col").cast("int").alias("val")
+    )
+
+
+@register(
+    "mm_wav_decode_energy",
+    oracle="""
+    WITH aud AS (
+      SELECT doc_id, list_transform(split(text, ''),
+               c -> CAST((ord(c) - 128) * (ord(c) - 128) AS BIGINT)) AS sq
+      FROM documents WHERE doc_id < 200)
+    SELECT doc_id, CAST(u.f AS BIGINT) AS frame_no,
+           ROUND(sqrt(CAST(list_sum(
+             list_slice(sq, CAST(u.f * 16 + 1 AS BIGINT),
+                            CAST(u.f * 16 + 16 AS BIGINT))) AS DOUBLE) / 16.0),
+                 4) AS energy,
+           CAST(16000 AS INT) AS rate
+    FROM aud, UNNEST(range(0, len(sq) // 16)) AS u(f)
+    """,
+    tags=("B15", "B14"),
+)
+def mm_wav_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END audio decode through a REAL container format: wrap
+    each document's bytes in a spec-valid RIFF/WAVE (Catalyst
+    wav_payload — stdlib `wave` opens it, pinned in tests), parse the
+    container back in decode_media (chunk walk, fmt fields, 8-bit PCM
+    centering), then frame to 16-sample RMS relationally (posexplode →
+    groupBy frame). Complete-frames-only via HAVING count = 16. The
+    decoded sample_rate is emitted so the fmt-chunk parse is
+    value-checked, not just the sample bytes."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        wav_payload,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    wavs = d.select(
+        "doc_id", wav_payload(F.encode(F.col("text"), "UTF-8")).alias("payload")
+    )
+    dec = decode_media(wavs, "doc_id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.col("rate"), F.posexplode("data"))
+        .groupBy("doc_id", F.floor(F.col("pos") / 16).alias("frame_no"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.round(
+                F.sqrt(F.sum(F.col("col") * F.col("col")) / 16.0), 4
+            ).alias("energy"),
+            F.first("rate").alias("rate"),
+        )
+        .filter(F.col("__n") == 16)
+        .select("doc_id", "frame_no", "energy", "rate")
+    )
+
+
 @register(
     "mm_audio_frame_energy",
     oracle=f"""

@@ -71,12 +71,135 @@ def test_sample_frames_pure_catalyst(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
-def test_decode_stubs_raise(spark):
+def test_decode_unsupported_format_raises(spark):
+    """Entropy-coded / unknown payloads still fail loudly: attach_media
+    payloads are raw UTF-8 bytes (no container), so decoding them must
+    raise the NotImplementedError from inside the Arrow stage."""
     d = _docs(spark)
-    with pytest.raises(NotImplementedError):
-        decode_media(d, "doc_id")
-    with pytest.raises(NotImplementedError):
-        resize_images(d, "doc_id", 32, 32)
+    with pytest.raises(Exception, match="BMP or WAV"):
+        decode_media(d, "doc_id").collect()
+    with pytest.raises(Exception, match="not a BMP"):
+        resize_images(d, "doc_id", 32, 32).collect()
+
+
+def test_bmp_decode_handcrafted_pixels(spark):
+    """Decode a hand-assembled 24-bit BMP (2×2, bottom-up rows, 8-byte
+    stride) byte-for-byte: the decoder must undo row order and strip
+    padding."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _bmp_header_bytes,
+        _decode_bmp_pixels,
+    )
+
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    rows = np.zeros((2, 8), np.uint8)
+    rows[:, :6] = px.reshape(2, 6)
+    payload = _bmp_header_bytes(2, 2) + rows[::-1].tobytes()
+    shape, flat = _decode_bmp_pixels(payload)
+    assert shape == (2, 2, 3)
+    assert flat.tolist() == list(range(1, 13))
+    src = spark.createDataFrame([(7, bytearray(payload))], "id long, payload binary")
+    row = decode_media(src, "id").collect()[0]
+    assert row.kind == "bmp" and row.shape == [2, 2, 3] and row.rate is None
+    assert row.data == [float(v) for v in range(1, 13)]
+
+
+def test_bmp_topdown_negative_height(spark):
+    """Negative BMP height means top-down row order — no flip."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _bmp_header_bytes,
+        _decode_bmp_pixels,
+    )
+
+    header = bytearray(_bmp_header_bytes(2, 2))
+    header[22:26] = (-2).to_bytes(4, "little", signed=True)
+    rows = np.zeros((2, 8), np.uint8)
+    rows[0, :6] = [1, 2, 3, 4, 5, 6]
+    rows[1, :6] = [7, 8, 9, 10, 11, 12]
+    shape, flat = _decode_bmp_pixels(bytes(header) + rows.tobytes())
+    assert shape == (2, 2, 3) and flat.tolist() == list(range(1, 13))
+
+
+def test_resize_nearest_neighbor_known_map(spark):
+    """4×4 upsample of a 2×2 image must replicate each source pixel in
+    a 2×2 block (nearest neighbor, floor mapping), and the re-encoded
+    payload must be a valid BMP that both parsers agree on."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _bmp_header_bytes,
+        _decode_bmp_pixels,
+        _header_geometry,
+        parse_image_meta,
+    )
+
+    px = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    rows = np.zeros((2, 8), np.uint8)
+    rows[:, :6] = px.reshape(2, 6)
+    payload = _bmp_header_bytes(2, 2) + rows[::-1].tobytes()
+    src = spark.createDataFrame([(1, bytearray(payload))], "id long, payload binary")
+    out = resize_images(src, "id", 4, 4).collect()[0]
+    assert (out.width, out.height) == (4, 4)
+    b = bytes(out.payload)
+    assert _header_geometry(b) == ("bmp", 4, 4)
+    m = (
+        spark.createDataFrame([(bytearray(b),)], "p binary")
+        .select(parse_image_meta(F.col("p")).alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert (m.fmt, m.width, m.height) == ("bmp", 4, 4)
+    shape, flat = _decode_bmp_pixels(b)
+    expect = px[np.ix_((np.arange(4) * 2) // 4, (np.arange(4) * 2) // 4)]
+    assert shape == (4, 4, 3)
+    assert flat.tolist() == [float(v) for v in expect.reshape(-1)]
+
+
+def test_wav_payload_opens_with_stdlib_wave(spark):
+    """The Catalyst-built RIFF container must be a real WAV: stdlib
+    `wave` (an independent parser) reads rate/channels/width/frames,
+    and decode_media returns centered samples + the fmt-chunk rate."""
+    import io
+    import wave
+
+    from stupp_exclusion_etl_spark.operators.multimodal import wav_payload
+
+    text = "stupp-exclusion-etl!" * 3
+    df = spark.createDataFrame([(5, text)], "id long, text string").select(
+        "id", wav_payload(F.encode(F.col("text"), "UTF-8")).alias("payload")
+    )
+    b = bytes(df.collect()[0].payload)
+    wf = wave.open(io.BytesIO(b))
+    assert (
+        wf.getframerate(),
+        wf.getnchannels(),
+        wf.getsampwidth(),
+        wf.getnframes(),
+    ) == (16000, 1, 1, len(text))
+    assert wf.readframes(len(text)) == text.encode()
+    row = decode_media(df, "id").collect()[0]
+    assert row.kind == "wav" and row.rate == 16000
+    assert row.shape == [len(text), 1]
+    assert row.data == [float(ord(c)) - 128.0 for c in text]
+
+
+def test_wav_decode_16bit_stereo():
+    """16-bit little-endian stereo PCM decodes signed with channel
+    count preserved (pure decoder path, built with stdlib wave)."""
+    import io
+    import wave
+
+    from stupp_exclusion_etl_spark.operators.multimodal import _decode_wav_samples
+
+    samples = np.array([-32768, 32767, -1, 2, 100, -100], dtype="<i2")
+    buf = io.BytesIO()
+    wf = wave.open(buf, "wb")
+    wf.setnchannels(2)
+    wf.setsampwidth(2)
+    wf.setframerate(44100)
+    wf.writeframes(samples.tobytes())
+    wf.close()
+    shape, rate, flat = _decode_wav_samples(buf.getvalue())
+    assert shape == (3, 2) and rate == 44100
+    assert flat.tolist() == [float(v) for v in samples]
 
 
 def test_media_pointers_metadata_only(spark):
