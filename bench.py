@@ -84,6 +84,10 @@ HEADLINE = [
     "analytics_product_profit",
     "analytics_important_parts",
     "analytics_disjunctive_revenue",
+    "analytics_late_order_priority",
+    "analytics_excess_shippers",
+    "mm_bmp_decode_channel_stats",
+    "mm_wav_decode_energy",
 ]
 
 

@@ -862,3 +862,97 @@ def analytics_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "analytics_late_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+      AND o.o_orderdate < TIMESTAMP '1997-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("B3", "B4", "B5"),
+)
+def analytics_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: order-priority checking — count a quarter's
+    orders having at least one line shipped >60 days after the order
+    date (the schema has no commit/receipt dates, so lateness is
+    ship-vs-order lag). The correlated EXISTS decorrelates to a
+    left-semi hash join on the order key with the lag comparison as a
+    residual; the date-range filter prunes orders BEFORE the join, so
+    the shuffle carries one quarter, not the table. Low-cardinality
+    final group-by (5 priorities) — partial aggregation collapses it
+    map-side at any scale."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("lk"), "l_shipdate"
+    )
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("lk"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "analytics_excess_shippers",
+    oracle="""
+    WITH bulk AS (
+      SELECT l_suppkey
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1998-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 60)
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM bulk)
+    ORDER BY s.s_suppkey
+    """,
+    tags=("B4", "B5"),
+)
+def analytics_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (partsupp-less): suppliers who bulk-shipped any
+    single 'small%' part (>60 units) during 1998, with their nation.
+    The IN-subquery over a grouped aggregate decorrelates to a
+    left-semi join against the aggregated key set; part is filtered
+    then broadcast under the lineitem join, so the only data-row
+    shuffle is the (suppkey, partkey) partial-agg exchange. The
+    supplier/nation dimension joins broadcast at any scale factor."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    bulk = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 60)
+        .select("l_suppkey")
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(bulk, s.s_suppkey == bulk.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )

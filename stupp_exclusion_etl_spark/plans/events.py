@@ -681,3 +681,47 @@ def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("z"),
         )
     )
+
+
+@register(
+    "stream_dedup_replay",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+    tags=("B9", "B14"),
+)
+def stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once delivery: the events
+    stream self-unioned (every event delivered twice) then collapsed by
+    dropDuplicatesWithinWatermark in a REAL micro-batch job
+    (streaming.dedup.run_dedup_stream). On the bounded table the
+    output equals batch DISTINCT, so the streaming dedup operator is
+    fully value-checked; the bounded-state eviction semantics are
+    pinned separately in tests/test_streaming_dedup.py."""
+    from stupp_exclusion_etl_spark.streaming.dedup import run_dedup_stream
+
+    return run_dedup_stream(spark, sf_dir)
+
+
+@register(
+    "stream_click_attribution",
+    oracle="""
+    SELECT v.user_id, v.ts AS view_ts, c.ts AS click_ts
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 12 HOUR
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    tags=("B4", "B14"),
+)
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join as a real micro-batch job
+    (streaming.join.run_click_attribution_stream): clicks attributed to
+    same-user views within 12 hours, watermarked on both sides so join
+    state evicts instead of buffering the stream. Bounded input makes
+    the output equal the batch interval join — a value-checked
+    stream-stream join in the driver's hard signal."""
+    from stupp_exclusion_etl_spark.streaming.join import (
+        run_click_attribution_stream,
+    )
+
+    return run_click_attribution_stream(spark, sf_dir)
