@@ -725,3 +725,79 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_click_attribution_stream(spark, sf_dir)
+
+
+@register(
+    "cdc_user_state_diff",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-10') WHERE rn = 1),
+    s2 AS (
+      SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1)
+    SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           s1.event_type AS old_type, s2.event_type AS new_type,
+           ROUND(s1.value, 4) AS old_value, ROUND(s2.value, 4) AS new_value
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.event_type IS DISTINCT FROM s2.event_type
+       OR s1.value IS DISTINCT FROM s2.value
+    """,
+    tags=("B4", "B6", "B9"),
+)
+def cdc_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / changes-feed derivation without a table format: latest
+    per-user state at two snapshot cutoffs (keep-latest window, the
+    reference's A15 upsert semantics), full-outer joined into an
+    insert/update/delete op stream — what a downstream consumer would
+    apply to stay in sync. Null-safe DISTINCT FROM comparisons drop
+    unchanged keys. Scale: both snapshots shuffle once on user_id and
+    the join reuses that partitioning; state never materializes more
+    than 2 rows per key."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def snap(cutoff: str) -> DataFrame:
+        return (
+            ev.filter(F.col("ts") < F.lit(cutoff).cast("timestamp_ntz"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    s1 = snap("2024-01-10").alias("s1")
+    s2 = snap("2024-01-20").alias("s2")
+    changed = (
+        ~F.col("s1.event_type").eqNullSafe(F.col("s2.event_type"))
+    ) | (~F.col("s1.value").eqNullSafe(F.col("s2.value")))
+    return (
+        s1.join(s2, F.col("s1.user_id") == F.col("s2.user_id"), "full_outer")
+        .filter(
+            F.col("s1.user_id").isNull() | F.col("s2.user_id").isNull() | changed
+        )
+        .select(
+            F.coalesce(F.col("s2.user_id"), F.col("s1.user_id")).alias("user_id"),
+            F.when(F.col("s1.user_id").isNull(), "insert")
+            .when(F.col("s2.user_id").isNull(), "delete")
+            .otherwise("update")
+            .alias("op"),
+            F.col("s1.event_type").alias("old_type"),
+            F.col("s2.event_type").alias("new_type"),
+            F.round(F.col("s1.value"), 4).alias("old_value"),
+            F.round(F.col("s2.value"), 4).alias("new_value"),
+        )
+    )

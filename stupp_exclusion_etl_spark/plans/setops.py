@@ -84,3 +84,44 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.subtract(op)
+
+
+@register(
+    "setop_union_schema_evolution",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderkey AS rec_id, 'order' AS src,
+             ROUND(o_totalprice, 4) AS amount, o_orderpriority AS priority
+      FROM orders
+      UNION ALL BY NAME
+      SELECT l_orderkey AS rec_id, 'line' AS src,
+             ROUND(l_extendedprice, 4) AS amount, l_returnflag AS flag
+      FROM lineitem WHERE l_linenumber = 1)
+    """,
+    tags=("B8", "B2"),
+)
+def setop_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two record versions with different
+    column sets combined by NAME with null fill
+    (unionByName(allowMissingColumns=True) — DuckDB's UNION ALL BY
+    NAME). The everyday shape when a pipeline's v2 adds/drops fields
+    and history must still union with today. Catalyst plans it as a
+    zero-shuffle Union of projections — columns missing on one side
+    are literal nulls, no row movement."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("rec_id"),
+        F.lit("order").alias("src"),
+        F.round("o_totalprice", 4).alias("amount"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("rec_id"),
+            F.lit("line").alias("src"),
+            F.round("l_extendedprice", 4).alias("amount"),
+            F.col("l_returnflag").alias("flag"),
+        )
+    )
+    return o.unionByName(l, allowMissingColumns=True)
