@@ -319,3 +319,27 @@ def test_analytics_star_joins_are_broadcast(spark):
     q8 = REGISTRY["analytics_nation_market_share"].fn(spark, SF_SMALL)
     p8 = _plan(q8)
     assert "BroadcastHashJoin" in p8, p8
+
+
+def test_schema_evolution_union_zero_shuffle(spark):
+    """unionByName(allowMissingColumns) must plan as a pure Union of
+    projections — missing columns are literal nulls, zero exchanges."""
+    from stupp_exclusion_etl_spark.plans.registry import REGISTRY
+
+    plan = _plan(REGISTRY["setop_union_schema_evolution"].fn(spark, SF_SMALL))
+    assert "Union" in plan
+    assert "Exchange" not in plan
+
+
+def test_cdc_diff_join_reuses_snapshot_partitioning(spark):
+    """cdc_user_state_diff: each snapshot shuffles once on user_id for
+    its keep-latest window; the full-outer join must REUSE that
+    partitioning (sort-merge on the same key) — exactly 2 hash
+    exchanges in the whole plan, none introduced by the join."""
+    import re
+
+    from stupp_exclusion_etl_spark.plans.registry import REGISTRY
+
+    plan = _plan(REGISTRY["cdc_user_state_diff"].fn(spark, SF_SMALL))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "CartesianProduct" not in plan
