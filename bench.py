@@ -43,6 +43,7 @@ HEADLINE = [
     "text_doc_stats",
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
+    "sim_pq_adc_topk",
     "dedup_embedding_cosine",
     "mm_byte_histogram",
     "coercion_typify",

@@ -324,3 +324,74 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("centroid", 1), 6).alias("c0"),
         )
     )
+
+
+def _pq_oracle(m: int = 8, d: int = 8, kc: int = 16, topk: int = 20) -> str:
+    """SQL restatement of the seeded-codebook PQ pipeline. All inner
+    sums are written as explicit left-to-right additions so both
+    engines fold the same doubles in the same order (see
+    operators.similarity._sq_l2's ordered-fold contract)."""
+
+    def sq_sum(vec_a: str, vec_b: str) -> str:
+        return " + ".join(
+            f"(CAST({vec_a}[g.s*{d}+{i}] AS DOUBLE) - CAST({vec_b}[g.s*{d}+{i}] AS DOUBLE))"
+            f" * (CAST({vec_a}[g.s*{d}+{i}] AS DOUBLE) - CAST({vec_b}[g.s*{d}+{i}] AS DOUBLE))"
+            for i in range(1, d + 1)
+        )
+
+    def dot_sum(vec_a: str, vec_b: str) -> str:
+        return " + ".join(
+            f"CAST({vec_a}[g.s*{d}+{i}] AS DOUBLE) * CAST({vec_b}[g.s*{d}+{i}] AS DOUBLE)"
+            for i in range(1, d + 1)
+        )
+
+    score = " + ".join(f"pl[{s + 1}]" for s in range(m))
+    return f"""
+    WITH seeds AS (
+      SELECT CAST(vec_id AS INT) - 1 AS c, embedding
+      FROM embeddings WHERE vec_id BETWEEN 1 AND {kc}),
+    g AS (SELECT CAST(range AS INT) AS s FROM range(0, {m})),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    grid AS (
+      SELECT e.vec_id, g.s, sd.c, {sq_sum('e.embedding', 'sd.embedding')} AS d2
+      FROM embeddings e CROSS JOIN g CROSS JOIN seeds sd
+      WHERE e.vec_id <> 0),
+    codes AS (
+      SELECT vec_id, s, c FROM grid
+      QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) = 1),
+    lut AS (
+      SELECT g.s, sd.c, {dot_sum('q.qe', 'sd.embedding')} AS part
+      FROM g CROSS JOIN seeds sd CROSS JOIN q),
+    parts AS (
+      SELECT cd.vec_id, list(l.part ORDER BY cd.s) AS pl
+      FROM codes cd JOIN lut l ON l.s = cd.s AND l.c = cd.c
+      GROUP BY cd.vec_id)
+    SELECT vec_id, ROUND({score}, 6) AS adc_score
+    FROM parts
+    ORDER BY adc_score DESC, vec_id
+    LIMIT {topk}
+    """
+
+
+@register("sim_pq_adc_topk", oracle=_pq_oracle(), tags=("B13",))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: encode every vector to m=8 codes
+    against a data-seeded 16-centroid-per-subspace codebook, then
+    asymmetric-distance top-20 for the vec_id=0 query via a 128-entry
+    LUT (operators.similarity.pq_encode / pq_adc_topk). The serving
+    plan is a map-only projection over the codes column (8 bytes/vec,
+    32× compression) + TakeOrderedAndProject — zero shuffles, the
+    standard billion-vector layout (IVF routes, PQ codes score).
+    The kmeans-trained codebook variant is recall-gated in
+    tests/test_similarity.py."""
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_seed_codebook,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    book = pq_seed_codebook(e, m=8, k=16)
+    qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    codes = pq_encode(e.filter(F.col("vec_id") != 0), book)
+    return pq_adc_topk(codes, book, qv, k=20)

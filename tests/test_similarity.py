@@ -126,3 +126,38 @@ def test_ivf_partition_pruning_end_to_end(spark, tmp_path):
         .collect()
     )
     assert [(r.vec_id, r.cos_sim) for r in got] == [(r.vec_id, r.cos_sim) for r in expect]
+
+
+def test_pq_kmeans_recall_and_plan(spark):
+    """Learned-codebook PQ: (a) ADC top-10 must land mostly inside the
+    exact top-20 (quality gate — near-random vectors are PQ's worst
+    case, so the bar is overlap with a modest exact window, not exact
+    top-10 recall); (b) the ADC serving plan must be shuffle-free —
+    encode + LUT scoring are map-only projections feeding
+    TakeOrderedAndProject, never an Exchange."""
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_kmeans_codebook,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    qv = [
+        float(x)
+        for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    rest = e.filter(F.col("vec_id") != 0)
+    exact20 = {
+        r.vec_id for r in brute_force_topk(rest, q, k=2 * K).collect()
+    }
+    book = pq_kmeans_codebook(e, m=8, k=16)
+    top = pq_adc_topk(pq_encode(rest, book), book, qv, k=K)
+    got = {r.vec_id for r in top.collect()}
+    overlap = len(got & exact20)
+    assert overlap >= K // 2, f"PQ ADC top-{K} ∩ exact top-{2*K} = {overlap}"
+
+    plan = top._sc._jvm.PythonSQLUtils.explainString(
+        top._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan, f"PQ ADC plan shuffles:\n{plan}"
