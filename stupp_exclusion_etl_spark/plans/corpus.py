@@ -359,3 +359,63 @@ def corpus_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _SOURCE_CAP)
         .select("source", "doc_id", F.col("rn").cast("long").alias("keep_rank"))
     )
+
+
+# --- mixture rebalancing weights -------------------------------------------
+
+#: Max upsampling factor — no source is repeated more than this many
+#: times regardless of how underrepresented it is (epoch cap).
+MIX_MAX_WEIGHT = 4.0
+
+
+@register(
+    "corpus_mix_weights",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      t -> length(t) > 0))) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_src FROM per)
+    SELECT source, n_docs, src_tokens,
+           ROUND(CAST(src_tokens AS DOUBLE) / total, 6) AS actual_share,
+           ROUND(LEAST({MIX_MAX_WEIGHT}, CAST(total AS DOUBLE) / (n_src * src_tokens)), 6)
+             AS mix_weight
+    FROM per CROSS JOIN tot
+    """,
+    tags=("B12", "A17"),
+)
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing weights: per-source sampling multiplier that moves
+    the token mixture toward a uniform target share (weight =
+    target_share / actual_share, capped at MIX_MAX_WEIGHT so no source
+    repeats more than ~4 epochs) — the rebalancing step before
+    corpus_stratified_sample draws the training mix. One rollup shuffle
+    (sources are few); the totals side is a one-row broadcast. Weight
+    arithmetic stays on exact BIGINT token sums until the final double
+    division, so both engines agree bit-for-bit after rounding."""
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("src_tokens"),
+    )
+    tot = per.agg(
+        F.sum("src_tokens").alias("total"), F.count("*").alias("n_src")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(F.col("src_tokens").cast("double") / F.col("total"), 6).alias(
+            "actual_share"
+        ),
+        F.round(
+            F.least(
+                F.lit(MIX_MAX_WEIGHT),
+                F.col("total").cast("double")
+                / (F.col("n_src") * F.col("src_tokens")),
+            ),
+            6,
+        ).alias("mix_weight"),
+    )

@@ -221,3 +221,44 @@ def test_sorted_layout_write_enables_file_skipping(spark, tmp_path):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
     # data intact
     assert spark.read.parquet(path).count() == orders.count()
+
+
+def test_zorder_layout_write_skips_on_every_dimension(spark, tmp_path):
+    """Z-order clustering must let footer min/max stats skip most files
+    for a selective predicate on EITHER clustered column — the property
+    a single-axis sort cannot give the second column. Asserted on real
+    pyarrow footers: for a narrow range on each dimension in turn,
+    the fraction of files whose [min,max] interval intersects it must
+    be well under 1 (here: ≤ half)."""
+    import pyarrow.parquet as pq
+
+    from stupp_exclusion_etl_spark.catalog import table as t
+    from stupp_exclusion_etl_spark.sinks.upsert import zorder_layout_write
+
+    path = str(tmp_path / "zorder")
+    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    cols = ["o_custkey", "o_totalprice"]
+    zorder_layout_write(orders, path, cols, n_files=16)
+
+    stats: dict[str, list[tuple[float, float]]] = {c: [] for c in cols}
+    for f in sorted(os.listdir(path)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            s = [md.row_group(g).column(idx[c]).statistics for g in range(md.num_row_groups)]
+            stats[c].append((min(x.min for x in s), max(x.max for x in s)))
+
+    n_files = len(stats[cols[0]])
+    assert n_files >= 8
+    for c in cols:
+        glo = min(lo for lo, _ in stats[c])
+        ghi = max(hi for _, hi in stats[c])
+        width = (ghi - glo) / 16  # a 1/16-wide probe range in this dim
+        probe_lo, probe_hi = glo + 7 * width, glo + 8 * width
+        hit = sum(1 for lo, hi in stats[c] if hi >= probe_lo and lo <= probe_hi)
+        assert hit <= n_files / 2, (
+            f"{c}: {hit}/{n_files} files intersect a 1/16 probe range — "
+            "z-order gave no pruning on this dimension"
+        )
