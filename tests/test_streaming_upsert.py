@@ -73,3 +73,69 @@ def test_streaming_foreach_batch_upsert(spark, tmp_path):
         assert got[1] == ("granted", 2), got
     finally:
         q.stop()
+
+
+def test_incremental_rollup_maintenance_equals_batch(spark, tmp_path):
+    """IVM batch-equivalence: fold 4 micro-batches of partial aggregates
+    (per event_type sum/count/min/max over hourly slices of events)
+    through merge_rollup_parquet; the maintained table must equal the
+    direct one-shot aggregation — including avg DERIVED from maintained
+    sum/count, the quantity that silently drifts if avgs are merged
+    directly (the classic IVM bug this sink's contract forbids)."""
+    from stupp_exclusion_etl_spark.catalog import table
+    from stupp_exclusion_etl_spark.sinks.upsert import merge_rollup_parquet
+
+    path = str(tmp_path / "rollup")
+    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_type", F.col("value").cast("double").alias("value"), "ts"
+    )
+    ev = ev.withColumn("bucket", F.pmod(F.hour("ts"), F.lit(4)))
+
+    for b in range(4):
+        partials = (
+            ev.filter(F.col("bucket") == b)
+            .groupBy("event_type")
+            .agg(
+                F.sum("value").alias("sum_value"),
+                F.count("*").alias("n"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        merge_rollup_parquet(
+            spark,
+            partials,
+            path,
+            keys=["event_type"],
+            measures={
+                "sum_value": "sum",
+                "n": "sum",
+                "min_value": "min",
+                "max_value": "max",
+            },
+        )
+
+    maintained = {
+        r.event_type: r.asDict()
+        for r in spark.read.parquet(path).collect()
+    }
+    direct = {
+        r.event_type: r.asDict()
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .collect()
+    }
+    assert set(maintained) == set(direct)
+    for k, d in direct.items():
+        m = maintained[k]
+        assert m["n"] == d["n"], k
+        assert abs(m["sum_value"] - d["sum_value"]) < 1e-6, k
+        assert m["min_value"] == d["min_value"], k
+        assert m["max_value"] == d["max_value"], k
+        assert abs(m["sum_value"] / m["n"] - d["avg_value"]) < 1e-9, k
