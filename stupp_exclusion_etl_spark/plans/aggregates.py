@@ -361,3 +361,35 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(F.broadcast(mode), "l_returnflag").select(
         "l_returnflag", "median_qty", "median_price", "mode_qty"
     )
+
+
+@register(
+    "agg_hll_shard_union",
+    oracle=None,  # DataSketches HLL binaries are engine-specific → rows-only;
+    # exact-count tolerance + shard-merge consistency gated in
+    # tests/test_rows_only_quality.py
+    tags=("B5",),
+)
+def agg_hll_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-and-merge distinct counting with MERGEABLE HLL sketches
+    (DataSketches hll_sketch_agg / hll_union_agg): each
+    (l_returnflag, l_shipmode) shard builds its own sketch — at 100 TB
+    these are computed per partition/day and PERSISTED — and the
+    per-flag answer is a union of shard sketches, never a re-scan of
+    the raw data. This is the capability approx_count_distinct alone
+    doesn't give: incremental maintenance (union yesterday's sketch
+    with today's delta) and cross-cut re-aggregation from stored
+    sketches."""
+    shard = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", F.date_trunc("month", "l_shipdate").alias("shard"))
+        .agg(F.hll_sketch_agg("l_orderkey").alias("sk"))
+    )
+    return (
+        shard.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_orders"),
+            F.count("*").alias("n_shards"),
+        )
+        .orderBy("l_returnflag")
+    )

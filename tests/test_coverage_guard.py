@@ -24,7 +24,7 @@ def test_every_query_row_covered():
 def test_oracle_coverage_floor():
     total = len(REGISTRY)
     with_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
-    assert total >= 147, total
+    assert total >= 148, total
     assert with_oracle / total >= 0.95, (with_oracle, total)
 
 
@@ -34,6 +34,7 @@ def test_rows_only_queries_are_quality_gated():
     gated = {
         "agg_approx_distinct",  # error bound vs exact (test_rows_only_quality)
         "agg_approx_percentiles",  # error bound vs exact
+        "agg_hll_shard_union",  # error bound + shard-merge consistency
         "stream_tumbling_micro_batch",  # equality vs batch window
     }
     rows_only = {n for n, q in REGISTRY.items() if q.oracle is None}

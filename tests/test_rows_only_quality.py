@@ -152,3 +152,38 @@ def test_learned_lang_id_learns_separable_corpus(spark):
     pred = lang_id_learned_apply(test, profiles)
     acc = pred.filter(F.col("predicted_lang") == F.col("lang")).count() / test.count()
     assert acc >= 0.95, acc
+
+
+def test_hll_shard_union_accuracy_and_merge_consistency(spark):
+    """agg_hll_shard_union quality gate: (a) the union-of-shard-sketch
+    estimate must sit within HLL error of the exact distinct count;
+    (b) merging shard sketches must agree with sketching the raw column
+    directly — the mergeability property the operator exists for."""
+    from stupp_exclusion_etl_spark.catalog import table
+    from pyspark.sql import functions as F
+
+    merged = {
+        r.l_returnflag: r.est_orders
+        for r in REGISTRY["agg_hll_shard_union"].fn(spark, SF_SMALL).collect()
+    }
+    li = table(spark, SF_SMALL, "lineitem")
+    exact = {
+        r.l_returnflag: r.exact
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    direct = {
+        r.l_returnflag: r.est
+        for r in li.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("l_orderkey")).alias("est"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k in merged:
+        assert abs(merged[k] - exact[k]) <= 0.05 * exact[k] + 5, (
+            k, merged[k], exact[k],
+        )
+        assert abs(merged[k] - direct[k]) <= 0.02 * direct[k] + 2, (
+            k, merged[k], direct[k],
+        )
