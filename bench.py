@@ -44,6 +44,8 @@ HEADLINE = [
     "sim_cosine_topk",
     "sim_ann_lsh_topk",
     "sim_pq_adc_topk",
+    "corpus_mix_weights",
+    "agg_hll_shard_union",
     "dedup_embedding_cosine",
     "mm_byte_histogram",
     "coercion_typify",

@@ -319,3 +319,30 @@ def merge_rollup_parquet(
     )
     out = out.localCheckpoint(eager=True)  # sever self-read before overwrite
     out.write.mode("overwrite").parquet(path)
+
+
+def bucketed_table_write(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+) -> None:
+    """Hive-bucketed, bucket-sorted external table: rows are hash-
+    distributed into `n_buckets` files per partition by `bucket_cols`
+    and sorted within each bucket. Two tables bucketed the same way on
+    their join key sort-merge-join WITHOUT any Exchange or Sort — the
+    shuffle happened once at write time and is amortized over every
+    subsequent join/aggregation on that key (proved on the physical
+    plan in tests/test_sinks.py). This is the co-located join layout
+    for repeated 100 TB fact-fact joins; the GSI analog of
+    partitioned_index_write for high-cardinality keys where one
+    directory per value would be absurd."""
+    (
+        df.write.bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )

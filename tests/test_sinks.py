@@ -262,3 +262,37 @@ def test_zorder_layout_write_skips_on_every_dimension(spark, tmp_path):
             f"{c}: {hit}/{n_files} files intersect a 1/16 probe range — "
             "z-order gave no pruning on this dimension"
         )
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join proof: orders and customer written bucketed on
+    their join key (same bucket count) must sort-merge-join with ZERO
+    Exchange nodes — the write-time shuffle is amortized across every
+    later join. Broadcast is disabled so the plan can't cheat."""
+    from stupp_exclusion_etl_spark.catalog import table as t
+    from stupp_exclusion_etl_spark.sinks.upsert import bucketed_table_write
+
+    sf = "/root/testdata/sf0.001"
+    bucketed_table_write(
+        t(spark, sf, "orders"), "b_orders", str(tmp_path / "bo"), ["o_custkey"], 8
+    )
+    bucketed_table_write(
+        t(spark, sf, "customer"), "b_customer", str(tmp_path / "bc"), ["c_custkey"], 8
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() == t(spark, sf, "orders").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
