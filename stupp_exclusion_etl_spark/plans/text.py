@@ -604,3 +604,44 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("total").cast("double")) - F.col("s") / F.col("n_tokens"), 6
         ).alias("nll"),
     )
+
+
+#: MG counter budget / heavy-hitter support threshold denominator.
+HH_K = 200
+
+
+@register(
+    "text_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT u.t AS token
+      FROM documents,
+           UNNEST(list_filter(string_split(text, ' '),
+                              x -> length(x) > 0)) AS u(t)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM tok CROSS JOIN tot
+    GROUP BY token, n_total
+    HAVING count(*) * {HH_K} > n_total
+    ORDER BY cnt DESC, token
+    LIMIT 20
+    """,
+    tags=("B12", "B5"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency > N/{k}) via the
+    Misra–Gries two-pass (operators.sketches.heavy_hitters_exact):
+    bounded-memory candidate sketch per partition (mapInPandas, Arrow),
+    candidate-only exact recount — the full token vocabulary is NEVER
+    shuffled, which is the difference between this and a naive
+    groupBy(token) at 100 TB. The MG superset guarantee makes the
+    result exactly equal to the oracle's full GROUP BY.""".replace(
+        "{k}", str(HH_K)
+    )
+    from stupp_exclusion_etl_spark.operators.sketches import heavy_hitters_exact
+    from stupp_exclusion_etl_spark.functions.text import tokens
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
+    d = spread(table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
+    return heavy_hitters_exact(toks, "token", k=HH_K, top=20)
