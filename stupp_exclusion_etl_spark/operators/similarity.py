@@ -350,16 +350,10 @@ def pq_kmeans_codebook(
     return book
 
 
-def _sq_l2(sub: Column, cent: list[float]) -> Column:
-    """Ordered-fold squared L2 between a sliced subvector and a literal
-    centroid — left-to-right summation so the DuckDB oracle's
-    list_sum over the same terms reproduces the double bit-for-bit."""
-    lits = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(sub, lits, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _dlit(x: float) -> str:
+    """Shortest-round-trip double literal for Spark SQL text (`D` suffix
+    — a bare decimal literal would parse as DECIMAL, not DOUBLE)."""
+    return f"{float(x)!r}D"
 
 
 def pq_encode(
@@ -376,18 +370,37 @@ def pq_encode(
     exchanges, emitting m small ints per vector: at m=8 that is 8
     bytes/vector vs 256 raw — 32× compression, the reason PQ is the
     standard billion-vector serving layout (IVF routes, PQ codes
-    score)."""
+    score).
+
+    The m·k squared-distance expressions are emitted as ONE SQL string
+    (selectExpr) rather than thousands of Column-API calls — the py4j
+    round-trips of building the tree object-by-object dominated plan
+    construction (measured ~13s → ~1s at m=8, k=16). The additions are
+    explicit and left-to-right, matching the DuckDB oracle's chains
+    bit-for-bit."""
     m = len(codebook)
+    k = len(codebook[0])
     d = len(codebook[0][0])
 
-    def code(s: int) -> Column:
-        sub = F.slice(F.col(vec_col), s * d + 1, d)
-        dists = F.array(*[_sq_l2(sub, codebook[s][c]) for c in range(len(codebook[s]))])
-        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    def sq_sum(s: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"(CAST({vec_col}[{s * d + i}] AS DOUBLE) - {_dlit(cent[i])})"
+            f" * (CAST({vec_col}[{s * d + i}] AS DOUBLE) - {_dlit(cent[i])})"
+            for i in range(d)
+        )
 
-    return vectors.select(
-        F.col(id_col), F.array(*[code(s) for s in range(m)]).alias("codes")
+    dists = vectors.selectExpr(
+        id_col,
+        *[
+            f"array({', '.join(sq_sum(s, codebook[s][c]) for c in range(k))}) AS __d{s}"
+            for s in range(m)
+        ],
     )
+    argmins = ", ".join(
+        f"CAST(array_position(__d{s}, array_min(__d{s})) - 1 AS INT)"
+        for s in range(m)
+    )
+    return dists.selectExpr(id_col, f"array({argmins}) AS codes")
 
 
 def pq_adc_topk(
@@ -412,16 +425,12 @@ def pq_adc_topk(
         ]
         for s in range(m)
     ]
-    terms = [
-        F.element_at(
-            F.array(*[F.lit(float(v)) for v in lut[s]]),
-            F.col("codes").getItem(s) + 1,
-        )
+    score = " + ".join(
+        f"element_at(array({', '.join(_dlit(v) for v in lut[s])}), codes[{s}] + 1)"
         for s in range(m)
-    ]
-    score = F.aggregate(F.array(*terms), F.lit(0.0), lambda acc, x: acc + x)
+    )
     return (
-        codes.select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+        codes.selectExpr(id_col, f"round({score}, 6) AS adc_score")
         .orderBy(F.col("adc_score").desc(), F.col(id_col))
         .limit(k)
     )
