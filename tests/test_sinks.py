@@ -296,3 +296,31 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_zorder_value_matches_python_morton(spark):
+    """zorder_value's width-bucket + bit-interleave expression must
+    equal a straightforward Python Morton encoding for known inputs
+    (lo=0, hi=256, bits=8 → bucket == floor(value) for ints 0..255)."""
+    import random
+
+    from stupp_exclusion_etl_spark.sinks.upsert import zorder_value
+
+    rng = random.Random(7)
+    pts = [(rng.randrange(256), rng.randrange(256)) for _ in range(64)]
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for b in range(8):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.withColumn(
+            "z", zorder_value([("x", 0.0, 256.0), ("y", 0.0, 256.0)], bits=8)
+        ).collect()
+    }
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z, morton(x, y))
