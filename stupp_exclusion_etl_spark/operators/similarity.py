@@ -389,18 +389,20 @@ def pq_encode(
             for i in range(d)
         )
 
-    dists = vectors.selectExpr(
-        id_col,
-        *[
-            f"array({', '.join(sq_sum(s, codebook[s][c]) for c in range(k))}) AS __d{s}"
-            for s in range(m)
-        ],
-    )
+    # argmin as array_min over (distance, centroid-idx) structs: one
+    # evaluation of each distance chain (array_position+array_min would
+    # inline the array twice after CollapseProject — measured ~2× cost)
+    # and the lexicographic struct order IS the oracle's
+    # `ORDER BY d2, c` tie-break.
     argmins = ", ".join(
-        f"CAST(array_position(__d{s}, array_min(__d{s})) - 1 AS INT)"
+        "CAST(array_min(array("
+        + ", ".join(
+            f"struct({sq_sum(s, codebook[s][c])} AS d, {c} AS c)" for c in range(k)
+        )
+        + ")).c AS INT)"
         for s in range(m)
     )
-    return dists.selectExpr(id_col, f"array({argmins}) AS codes")
+    return vectors.selectExpr(id_col, f"array({argmins}) AS codes")
 
 
 def pq_adc_topk(
