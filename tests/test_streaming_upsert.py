@@ -139,3 +139,59 @@ def test_incremental_rollup_maintenance_equals_batch(spark, tmp_path):
         assert m["min_value"] == d["min_value"], k
         assert m["max_value"] == d["max_value"], k
         assert abs(m["sum_value"] / m["n"] - d["avg_value"]) < 1e-9, k
+
+
+def test_foreach_batch_multi_sink_fanout(spark, tmp_path):
+    """The production multi-sink pattern: ONE stream, each micro-batch
+    persisted once and fanned out to two sinks — an additive IVM rollup
+    (merge_rollup_parquet) and an append-only deduplicated event log.
+    Both sinks must agree with one-shot batch computations afterward:
+    fan-out must not double-read or drop a batch."""
+    from stupp_exclusion_etl_spark.catalog import table
+    from stupp_exclusion_etl_spark.sinks.upsert import merge_rollup_parquet
+    from stupp_exclusion_etl_spark.streaming.windows import events_stream
+
+    sf = "/root/testdata/sf0.001"
+    rollup = str(tmp_path / "rollup")
+    log = str(tmp_path / "log")
+
+    def handle(batch_df, _batch_id):
+        batch_df.persist()
+        try:
+            partials = batch_df.groupBy("event_type").agg(
+                F.count("*").alias("n")
+            )
+            merge_rollup_parquet(
+                spark, partials, rollup, ["event_type"], {"n": "sum"}
+            )
+            (
+                batch_df.dropDuplicates(["event_id"])
+                .select("event_id", "event_type")
+                .write.mode("append")
+                .parquet(log)
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        events_stream(spark, sf)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+
+    ev = table(spark, sf, "events")
+    want = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    got = {r.event_type: r.n for r in spark.read.parquet(rollup).collect()}
+    assert got == want
+    # the bounded source has unique event_ids, so the dedup'd log must
+    # hold exactly the distinct ids
+    n_log = spark.read.parquet(log).count()
+    assert n_log == ev.select("event_id").distinct().count()
