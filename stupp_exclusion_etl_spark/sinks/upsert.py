@@ -346,3 +346,23 @@ def bucketed_table_write(
         .format("parquet")
         .saveAsTable(name)
     )
+
+
+def idempotent_batch_write(batch_df: DataFrame, path: str, batch_id: int) -> bool:
+    """Exactly-once-per-batch append for foreachBatch sinks: each
+    micro-batch lands in its own ``batch_id=N`` partition directory,
+    and a replayed batch (failure → micro-batch retry re-invokes the
+    handler with the SAME batch_id — Structured Streaming's contract)
+    sees its completed marker and becomes a no-op instead of a double
+    append. Returns True when the batch was written, False on replay.
+
+    Local/HDFS completion marker is the _SUCCESS file; on eventually-
+    consistent object stores use a transaction manifest or table-format
+    commit instead — the batch_id keying is the portable part."""
+    import os
+
+    out = os.path.join(path, f"batch_id={batch_id}")
+    if os.path.exists(os.path.join(out, "_SUCCESS")):
+        return False
+    batch_df.write.mode("overwrite").parquet(out)
+    return True

@@ -195,3 +195,21 @@ def test_foreach_batch_multi_sink_fanout(spark, tmp_path):
     # hold exactly the distinct ids
     n_log = spark.read.parquet(log).count()
     assert n_log == ev.select("event_id").distinct().count()
+
+
+def test_idempotent_batch_write_skips_replay(spark, tmp_path):
+    """A replayed micro-batch (same batch_id, possibly different
+    observed rows after upstream retry) must be a no-op: first write
+    lands, replay is skipped, totals unchanged, and the batch_id
+    partition column is queryable on read."""
+    from stupp_exclusion_etl_spark.sinks.upsert import idempotent_batch_write
+
+    path = str(tmp_path / "log")
+    b0 = spark.range(10).select(F.col("id").alias("event_id"))
+    assert idempotent_batch_write(b0, path, 0) is True
+    replay = spark.range(99).select(F.col("id").alias("event_id"))
+    assert idempotent_batch_write(replay, path, 0) is False
+    assert idempotent_batch_write(b0, path, 1) is True
+    got = spark.read.parquet(path)
+    assert got.count() == 20
+    assert got.filter(F.col("batch_id") == 0).count() == 10
