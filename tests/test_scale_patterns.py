@@ -343,3 +343,20 @@ def test_cdc_diff_join_reuses_snapshot_partitioning(spark):
     plan = _plan(REGISTRY["cdc_user_state_diff"].fn(spark, SF_SMALL))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "CartesianProduct" not in plan
+
+
+def test_misra_gries_survives_eviction_churn(spark):
+    """Adversarial MG bound check: 5 distinct items per partition force
+    constant eviction in a k=4 sketch, yet the globally-heavy item
+    (count > N/k) must surface with its EXACT count — the superset
+    guarantee under churn, not just on easy data."""
+    from stupp_exclusion_etl_spark.operators.sketches import heavy_hitters_exact
+
+    rows = []
+    for p in range(4):
+        rows += [("heavy",)] * 40
+        for f in range(4):
+            rows += [(f"filler_{p}_{f}",)] * 20
+    items = spark.createDataFrame(rows, "token string").repartition(4)
+    got = heavy_hitters_exact(items, "token", k=4, top=5).collect()
+    assert [(r.token, r.cnt) for r in got] == [("heavy", 160)]
