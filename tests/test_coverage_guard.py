@@ -39,3 +39,28 @@ def test_rows_only_queries_are_quality_gated():
     }
     rows_only = {n for n, q in REGISTRY.items() if q.oracle is None}
     assert rows_only == gated, rows_only.symmetric_difference(gated)
+
+
+def test_harness_compare_detects_injected_wrongness():
+    """Meta-test of the correctness foundation: compare() must flag a
+    flipped value, a dropped row, a renamed column, and a float nudged
+    past canonicalization — if the differential harness silently passed
+    any of these, every green query result would be meaningless."""
+    import pandas as pd
+
+    from tests.harness import compare
+
+    base = pd.DataFrame({"k": [1, 2, 3], "v": [1.25, 2.5, 3.75]})
+    assert compare(base, base.copy()) == []
+    flipped = base.copy()
+    flipped.loc[1, "v"] = 2.75
+    assert compare(base, flipped)
+    assert compare(base, base.iloc[:2].copy())
+    assert compare(base, base.rename(columns={"v": "val"}))
+    nudged = base.copy()
+    nudged.loc[0, "v"] = 1.2501
+    assert compare(base, nudged)
+    # column order must NOT matter (driver sorts by name)
+    assert compare(base, base[["v", "k"]].copy()) == []
+    # row order must NOT matter (order-insensitive hash)
+    assert compare(base, base.iloc[::-1].reset_index(drop=True)) == []
