@@ -78,3 +78,46 @@ def coercion_typify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.double_val").alias("double_val"),
         F.col("t.str_val").alias("str_val"),
     )
+
+
+# Contract-violation reasons over the typified raws, shared textually
+# with the oracle: untypable values, negative ids, oversize strings.
+def _reason_col(tag, long_val, raw) -> F.Column:
+    return (
+        F.when(tag == "null", F.lit("untypable"))
+        .when((tag == "long") & (long_val < 0), F.lit("negative_id"))
+        .when((tag == "string") & (F.length(raw) > 25), F.lit("oversize_string"))
+        .otherwise(F.lit("ok"))
+    )
+
+
+@register(
+    "ingest_reject_audit",
+    oracle=f"""
+    WITH raws AS (SELECT p_partkey, ({_RAW_SQL}) AS raw FROM part),
+    typed AS (
+      SELECT raw, ({oracle_case_sql('raw')}) AS tag,
+             try_cast(trim(raw) AS BIGINT) AS long_val
+      FROM raws)
+    SELECT CASE WHEN tag = 'null' THEN 'untypable'
+                WHEN tag = 'long' AND long_val < 0 THEN 'negative_id'
+                WHEN tag = 'string' AND length(raw) > 25 THEN 'oversize_string'
+                ELSE 'ok' END AS reason,
+           CAST(count(*) AS BIGINT) AS n
+    FROM typed
+    GROUP BY 1
+    """,
+    tags=("A13", "A18"),
+)
+def ingest_reject_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine audit rollup: the same dirty-string mix as
+    coercion_typify routed through the dead-letter contract
+    (sources.ingest.quarantine_split) — per-reason counts the pipeline
+    operator would write to its rejects table. One map-side reason
+    expression + one rollup shuffle."""
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_size", "p_name")
+    t = p.withColumn("raw", _raw_col()).withColumn("t", typify(F.col("raw")))
+    reason = _reason_col(
+        F.col("t.tag"), F.col("t.long_val"), F.col("raw")
+    ).alias("reason")
+    return t.select(reason).groupBy("reason").agg(F.count("*").alias("n"))

@@ -157,3 +157,23 @@ def parse_double_encoded_json(col: Column, schema: T.DataType) -> Column:
     (reference clients/exclusion_requests.py:116,138 —
     json.loads(json.loads(text))); decode with from_json twice."""
     return F.from_json(F.from_json(col, T.StringType()), schema)
+
+
+def quarantine_split(df, reason):
+    """Dead-letter split for dirty ingest: `reason` is an expression
+    evaluating to 'ok' for contract-passing rows and a reject-reason
+    string otherwise. Returns (clean, rejects) off ONE tagged, cached
+    pass — the classic quarantine-table pattern (the reference's analog
+    is silently swallowing bad keys, reference
+    clients/exclusion_requests.py:161-164; an engine must keep the
+    evidence instead). Caller unpersists after both sides are consumed.
+
+    At 100 TB: reasons are computed map-side; the rejects side is
+    typically tiny and lands in its own audit table, the clean side
+    proceeds down the pipeline — no second scan of the source."""
+    from pyspark.sql import functions as F
+
+    tagged = df.withColumn("__reason", reason).persist()
+    clean = tagged.filter(F.col("__reason") == "ok").drop("__reason")
+    rejects = tagged.filter(F.col("__reason") != "ok")
+    return clean, rejects

@@ -60,3 +60,37 @@ def test_binary_file_source_reads_real_images(spark, tmp_path):
     assert got == {
         f"img_{i}.png": ("png", i * 10, i * 20, 33) for i in range(1, 4)
     }
+
+
+def test_quarantine_split_two_sinks_one_scan(spark, tmp_path):
+    """Dead-letter pattern: one tagged pass splits clean rows from
+    rejects (with reasons); both sides written, counts reconcile, and
+    every reject carries a non-ok reason."""
+    from pyspark.sql import functions as F
+
+    from stupp_exclusion_etl_spark.sources.ingest import quarantine_split
+
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("name"),
+        (F.col("id") % 7 - 3).alias("qty"),
+    )
+    reason = (
+        F.when(F.col("name").isNull(), F.lit("missing_name"))
+        .when(F.col("qty") < 0, F.lit("negative_qty"))
+        .otherwise(F.lit("ok"))
+    )
+    clean, rejects = quarantine_split(df, reason)
+    clean.write.mode("overwrite").parquet(str(tmp_path / "clean"))
+    rejects.write.mode("overwrite").parquet(str(tmp_path / "rejects"))
+
+    c = spark.read.parquet(str(tmp_path / "clean"))
+    r = spark.read.parquet(str(tmp_path / "rejects"))
+    assert c.count() + r.count() == 100
+    assert "__reason" not in c.columns
+    reasons = {x["__reason"] for x in r.select("__reason").distinct().collect()}
+    assert reasons == {"missing_name", "negative_qty"}
+    # nulls on ids 0,10..90 (10 rows); negative qty on remaining ids
+    # with id%7 in {0,1,2} → reconcile exact counts
+    assert r.filter(F.col("__reason") == "missing_name").count() == 10
