@@ -366,3 +366,52 @@ def idempotent_batch_write(batch_df: DataFrame, path: str, batch_id: int) -> boo
         return False
     batch_df.write.mode("overwrite").parquet(out)
     return True
+
+
+def delete_keys_parquet(
+    spark,
+    path: str,
+    doomed_keys: DataFrame,
+    keys: list[str],
+    partition_by: list[str] | None = None,
+) -> None:
+    """Keyed delete (MERGE's WHEN MATCHED DELETE half, standalone — the
+    right-to-be-forgotten primitive): remove every row whose key appears
+    in `doomed_keys`. Partitioned tables rewrite ONLY partitions that
+    contain a doomed key (broadcast semi-join to find them, anti-join to
+    rewrite, dynamic overwrite to land); partitions fully emptied by the
+    delete are dropped explicitly, and untouched partitions' files are
+    never rewritten (byte-identity tested). Unpartitioned tables rewrite
+    whole — on Delta/Iceberg this is DELETE WHERE with file-level
+    granularity instead."""
+    existing = spark.read.parquet(path)
+    doomed = F.broadcast(doomed_keys.select(*keys).distinct())
+    if not partition_by:
+        kept = existing.join(doomed, keys, "left_anti").localCheckpoint(eager=True)
+        kept.write.mode("overwrite").parquet(path)
+        return
+    touched = (
+        existing.select(*keys, *partition_by)
+        .join(doomed, keys, "left_semi")
+        .select(*partition_by)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    relevant = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    kept = relevant.join(doomed, keys, "left_anti").localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        kept.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    emptied = touched.join(
+        kept.select(*partition_by).distinct(), partition_by, "left_anti"
+    ).collect()  # metadata-scale: bounded by touched-partition count
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for row in emptied:
+            part = "/".join(f"{c}={row[c]}" for c in partition_by)
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{part}")
+            p.getFileSystem(hconf).delete(p, True)

@@ -324,3 +324,40 @@ def test_zorder_value_matches_python_morton(spark):
     }
     for (x, y), z in got.items():
         assert z == morton(x, y), (x, y, z, morton(x, y))
+
+
+def test_delete_keys_partition_scoped(spark, tmp_path):
+    """Keyed delete: doomed keys vanish, untouched partitions' files
+    stay byte-identical (never rewritten), and a partition emptied by
+    the delete disappears from disk."""
+    import hashlib
+
+    from stupp_exclusion_etl_spark.sinks.upsert import delete_keys_parquet
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", i * 10) for i in range(40)], "id long, part string, v long"
+    )
+    df.write.mode("overwrite").partitionBy("part").parquet(path)
+
+    def file_hashes(sub):
+        root = os.path.join(path, f"part={sub}")
+        out = {}
+        for f in sorted(os.listdir(root)):
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    before_s1 = file_hashes("s1")
+    # doom: every s3 row (empties that partition) + two s0 rows
+    doomed = spark.createDataFrame(
+        [(i,) for i in range(40) if i % 4 == 3] + [(0,), (4,)], "id long"
+    )
+    delete_keys_parquet(spark, path, doomed, ["id"], partition_by=["part"])
+
+    got = spark.read.parquet(path)
+    assert got.count() == 40 - 10 - 2
+    assert got.filter(F.col("id").isin(0, 4, 3, 7)).count() == 0
+    assert file_hashes("s1") == before_s1, "untouched partition was rewritten"
+    assert not os.path.exists(os.path.join(path, "part=s3")), "emptied partition not dropped"
