@@ -106,10 +106,14 @@ def main() -> None:
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
 
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        REGISTRY[name].fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        try:
+            REGISTRY[name].fn(spark, sf_dir).count()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # one bad query must not void the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
     print(
@@ -120,6 +124,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **({"errors": errors} if errors else {}),
             }
         )
     )
