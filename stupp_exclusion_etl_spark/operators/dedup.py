@@ -276,6 +276,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) ≥ threshold
+    — catches a short document EMBEDDED in a long one (quotes, wrapper
+    boilerplate, chunk-of-parent), exactly the pairs symmetric Jaccard
+    dilutes toward 0 as the long side grows. Same inverted-index join,
+    distinct-shingle counting, and hot-shingle df-cap as
+    ngram_jaccard_pairs; only the final measure differs. Returns
+    (id1, id2, containment)."""
+    sh = (
+        _exploded_shingles(df, id_col, text_col, shingle_k)
+        .withColumnRenamed(id_col, "id")
+        .distinct()
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id1"), "s")
+    b = sh.select(F.col("id").alias("id2"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
+    sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    return (
+        inter.join(sa, "id1")
+        .join(sb, "id2")
+        .withColumn(
+            "containment",
+            F.col("n_inter").cast("double")
+            / F.least(F.col("n1"), F.col("n2")).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id1", "id2", "containment")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,

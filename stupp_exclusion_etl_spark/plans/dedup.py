@@ -337,3 +337,39 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.4)
         .select("id1", "id2", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex0 AS (SELECT DISTINCT doc_id AS id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 1000),
+    ex AS (SELECT ex0.id, ex0.s FROM ex0 JOIN keep USING (s)),
+    sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY id),
+    inter AS (
+      SELECT a.id AS id1, b.id AS id2, CAST(count(*) AS BIGINT) AS n_inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT id1, id2,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE), 6)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.id = id1
+    JOIN sizes sb ON sb.id = id2
+    WHERE CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.05
+    """,
+    tags=("B9",),
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment pairs ≥ 0.05
+    (operators.dedup.ngram_containment_pairs): |A∩B| / min(|A|,|B|)
+    flags a short document embedded in a longer one — the
+    quote/boilerplate-wrapper duplicates symmetric Jaccard dilutes
+    away. Shares the inverted-index + df-cap machinery (and its skew
+    bound) with dedup_ngram_jaccard."""
+    from stupp_exclusion_etl_spark.operators.dedup import ngram_containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    out = ngram_containment_pairs(d, "doc_id", "text", shingle_k=3, threshold=0.05)
+    return out.select("id1", "id2", F.round("containment", 6).alias("containment"))
