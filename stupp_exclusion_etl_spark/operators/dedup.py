@@ -239,6 +239,29 @@ def ngram_jaccard_pairs(
     exact over the capped shingle universe (deterministic, mirrored in
     the oracle SQL). The hot list is tiny by construction (≤ |shingles|
     / max_df entries) and broadcast for the anti-join."""
+    counts = _ngram_pair_counts(df, id_col, text_col, shingle_k, max_df)
+    return (
+        counts.withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
+def _ngram_pair_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_k: int,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index machinery for the set-overlap measures:
+    distinct shingles per doc, hot-shingle df-cap (skew guard), pair
+    intersection counts joined to both docs' shingle-set sizes.
+    Returns (id1, id2, n_inter, n1, n2)."""
     sh = (
         _exploded_shingles(df, id_col, text_col, shingle_k)
         .withColumnRenamed(id_col, "id")
@@ -263,17 +286,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
     sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
-    return (
-        inter.join(sa, "id1")
-        .join(sb, "id2")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", "jaccard")
-    )
+    return inter.join(sa, "id1").join(sb, "id2")
 
 
 def ngram_containment_pairs(
@@ -287,38 +300,12 @@ def ngram_containment_pairs(
     """Asymmetric near-dup: containment |A∩B| / min(|A|,|B|) ≥ threshold
     — catches a short document EMBEDDED in a long one (quotes, wrapper
     boilerplate, chunk-of-parent), exactly the pairs symmetric Jaccard
-    dilutes toward 0 as the long side grows. Same inverted-index join,
-    distinct-shingle counting, and hot-shingle df-cap as
-    ngram_jaccard_pairs; only the final measure differs. Returns
-    (id1, id2, containment)."""
-    sh = (
-        _exploded_shingles(df, id_col, text_col, shingle_k)
-        .withColumnRenamed(id_col, "id")
-        .distinct()
-    )
-    if max_df is not None:
-        hot = (
-            sh.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") > max_df)
-            .select("s")
-        )
-        sh = sh.join(F.broadcast(hot), "s", "left_anti")
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("id").alias("id1"), "s")
-    b = sh.select(F.col("id").alias("id2"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id1"), F.col("n_sh").alias("n1"))
-    sb = sizes.select(F.col("id").alias("id2"), F.col("n_sh").alias("n2"))
+    dilutes toward 0 as the long side grows. Shares
+    _ngram_pair_counts' inverted-index join and df-cap; only the final
+    measure differs. Returns (id1, id2, containment)."""
+    counts = _ngram_pair_counts(df, id_col, text_col, shingle_k, max_df)
     return (
-        inter.join(sa, "id1")
-        .join(sb, "id2")
-        .withColumn(
+        counts.withColumn(
             "containment",
             F.col("n_inter").cast("double")
             / F.least(F.col("n1"), F.col("n2")).cast("double"),

@@ -24,10 +24,11 @@ def misra_gries_candidates(
 ) -> DataFrame:
     """Per-partition Misra–Gries(k) over `item_col`, merged driver-free:
     each partition emits its ≤ k surviving (item, weight) counters via
-    Arrow (mapInPandas, never row-at-a-time Python), and a weight-sum +
-    top-k aggregation merges them. Output: `candidates` — at most k
-    items, a SUPERSET of every item with true count > N/k (the MG
-    guarantee; weights are lower bounds, not exact counts)."""
+    Arrow (mapInPandas, never row-at-a-time Python), and a weight-sum
+    merge keeps every positive-weight candidate. Output: at most
+    k · num_partitions candidate items (size the broadcast in callers
+    accordingly), a SUPERSET of every item with true count > N/k (the
+    MG guarantee; weights are lower bounds, not exact counts)."""
 
     def mg(batches):
         import pandas as pd
@@ -52,7 +53,8 @@ def misra_gries_candidates(
                 {item_col: list(counters), "w": list(counters.values())}
             )
 
-    partials = items.mapInPandas(mg, f"{item_col} string, w long")
+    item_type = items.schema[item_col].dataType.simpleString()
+    partials = items.mapInPandas(mg, f"{item_col} {item_type}, w long")
     # Weight-sum merge: an item with true count C > N/k keeps summed
     # weight ≥ C - Σ_p N_p/k = C - N/k > 0, so EVERY true heavy hitter
     # survives. All positive-weight candidates are kept (≤ k·partitions

@@ -407,14 +407,19 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "src_tokens",
-        F.round(F.col("src_tokens").cast("double") / F.col("total"), 6).alias(
-            "actual_share"
-        ),
+        # try_divide: a degenerate all-empty source (src_tokens = 0) must
+        # yield NULL like the DuckDB oracle's x/0, not an ANSI-mode
+        # ArithmeticException that kills the query.
+        F.round(
+            F.try_divide(F.col("src_tokens").cast("double"), F.col("total")), 6
+        ).alias("actual_share"),
         F.round(
             F.least(
                 F.lit(MIX_MAX_WEIGHT),
-                F.col("total").cast("double")
-                / (F.col("n_src") * F.col("src_tokens")),
+                F.try_divide(
+                    F.col("total").cast("double"),
+                    F.col("n_src") * F.col("src_tokens"),
+                ),
             ),
             6,
         ).alias("mix_weight"),

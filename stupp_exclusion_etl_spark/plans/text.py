@@ -629,15 +629,14 @@ HH_K = 200
     tags=("B12", "B5"),
 )
 def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters (tokens with frequency > N/{k}) via the
-    Misra–Gries two-pass (operators.sketches.heavy_hitters_exact):
-    bounded-memory candidate sketch per partition (mapInPandas, Arrow),
-    candidate-only exact recount — the full token vocabulary is NEVER
-    shuffled, which is the difference between this and a naive
-    groupBy(token) at 100 TB. The MG superset guarantee makes the
-    result exactly equal to the oracle's full GROUP BY.""".replace(
-        "{k}", str(HH_K)
-    )
+    """Exact heavy hitters (tokens with frequency > N/HH_K, HH_K=200)
+    via the Misra–Gries two-pass
+    (operators.sketches.heavy_hitters_exact): bounded-memory candidate
+    sketch per partition (mapInPandas, Arrow), candidate-only exact
+    recount — the full token vocabulary is NEVER shuffled, which is
+    the difference between this and a naive groupBy(token) at 100 TB.
+    The MG superset guarantee makes the result exactly equal to the
+    oracle's full GROUP BY."""
     from stupp_exclusion_etl_spark.operators.sketches import heavy_hitters_exact
     from stupp_exclusion_etl_spark.functions.text import tokens
     from stupp_exclusion_etl_spark.plans._shared import spread

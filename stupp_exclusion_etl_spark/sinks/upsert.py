@@ -271,6 +271,12 @@ def zorder_layout_write(
         *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
     ).first()
+    for c in cols:
+        if bounds[f"__lo_{c}"] is None or bounds[f"__hi_{c}"] is None:
+            raise ValueError(
+                f"zorder_layout_write: column {c!r} has no non-NULL values "
+                "(empty input or all-NULL column) — no bounds to bucket against"
+            )
     spec = [(c, bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]) for c in cols]
     zdf = df.withColumn("__z", zorder_value(spec, bits))
     (

@@ -110,9 +110,13 @@ def run_user_type_histogram_stream(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished and q.isActive:
             q.stop()
+            raise TimeoutError(
+                f"availableNow stream {name} did not finish in {timeout_sec}s "
+                "— snapshot would be partial"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if prev_store:

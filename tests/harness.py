@@ -99,3 +99,12 @@ def check(spark, sf_dir: str, name: str) -> list[str]:
     if oracle_pdf is None:
         return [] if len(spark_pdf) > 0 else ["rows-only query returned 0 rows"]
     return compare(spark_pdf, oracle_pdf)
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    """Formatted physical plan of a DataFrame — the one place that
+    touches the private _sc/_jdf plumbing (plan-shape tests import
+    this instead of re-deriving the incantation)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), mode
+    )

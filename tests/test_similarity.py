@@ -157,7 +157,7 @@ def test_pq_kmeans_recall_and_plan(spark):
     overlap = len(got & exact20)
     assert overlap >= K // 2, f"PQ ADC top-{K} ∩ exact top-{2*K} = {overlap}"
 
-    plan = top._sc._jvm.PythonSQLUtils.explainString(
-        top._jdf.queryExecution(), "formatted"
-    )
+    from tests.harness import plan_str
+
+    plan = plan_str(top)
     assert "Exchange" not in plan, f"PQ ADC plan shuffles:\n{plan}"

@@ -7,6 +7,8 @@ import os
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
+
 from stupp_exclusion_etl_spark.sinks.upsert import (
     foreach_batched_writer,
     micro_batches,
@@ -195,7 +197,7 @@ def test_sorted_layout_write_enables_file_skipping(spark, tmp_path):
     from stupp_exclusion_etl_spark.sinks.upsert import sorted_layout_write
 
     path = str(tmp_path / "sorted")
-    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    orders = t(spark, SF_SMALL, "orders")
     sorted_layout_write(orders, path, ["o_totalprice"], n_files=8)
 
     ranges = []
@@ -236,7 +238,7 @@ def test_zorder_layout_write_skips_on_every_dimension(spark, tmp_path):
     from stupp_exclusion_etl_spark.sinks.upsert import zorder_layout_write
 
     path = str(tmp_path / "zorder")
-    orders = t(spark, "/root/testdata/sf0.001", "orders")
+    orders = t(spark, SF_SMALL, "orders")
     cols = ["o_custkey", "o_totalprice"]
     zorder_layout_write(orders, path, cols, n_files=16)
 
@@ -272,7 +274,7 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
     from stupp_exclusion_etl_spark.catalog import table as t
     from stupp_exclusion_etl_spark.sinks.upsert import bucketed_table_write
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     bucketed_table_write(
         t(spark, sf, "orders"), "b_orders", str(tmp_path / "bo"), ["o_custkey"], 8
     )
@@ -286,9 +288,9 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
             spark.table("b_customer"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        plan = j._sc._jvm.PythonSQLUtils.explainString(
-            j._jdf.queryExecution(), "formatted"
-        )
+        from tests.harness import plan_str
+
+        plan = plan_str(j)
         assert "SortMergeJoin" in plan, plan
         assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
         assert j.count() == t(spark, sf, "orders").count()

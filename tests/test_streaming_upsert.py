@@ -12,6 +12,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_SMALL
+
 from stupp_exclusion_etl_spark.sinks.upsert import upsert_parquet
 
 
@@ -86,7 +88,7 @@ def test_incremental_rollup_maintenance_equals_batch(spark, tmp_path):
     from stupp_exclusion_etl_spark.sinks.upsert import merge_rollup_parquet
 
     path = str(tmp_path / "rollup")
-    ev = table(spark, "/root/testdata/sf0.001", "events").select(
+    ev = table(spark, SF_SMALL, "events").select(
         "event_type", F.col("value").cast("double").alias("value"), "ts"
     )
     ev = ev.withColumn("bucket", F.pmod(F.hour("ts"), F.lit(4)))
@@ -151,7 +153,7 @@ def test_foreach_batch_multi_sink_fanout(spark, tmp_path):
     from stupp_exclusion_etl_spark.sinks.upsert import merge_rollup_parquet
     from stupp_exclusion_etl_spark.streaming.windows import events_stream
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMALL
     rollup = str(tmp_path / "rollup")
     log = str(tmp_path / "log")
 
