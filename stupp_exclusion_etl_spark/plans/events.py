@@ -801,3 +801,58 @@ def cdc_user_state_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("s2.value"), 4).alias("new_value"),
         )
     )
+
+
+# 8-tap EWMA weights: alpha=1/2, so 0.5^(j+1) is an exact power of two
+# in BOTH engines — weighted terms are exact halvings of the input and
+# cross-engine parity needs no tolerance.
+_EWMA_TAPS = 8
+_EWMA_W = [0.5 ** (j + 1) for j in range(_EWMA_TAPS)]
+
+
+def _ewma_exprs() -> tuple[str, str]:
+    num = " + ".join(
+        f"coalesce({_EWMA_W[j]!r} * l{j}, 0.0)" for j in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN l{j} IS NOT NULL THEN {_EWMA_W[j]!r} ELSE 0.0 END)"
+        for j in range(_EWMA_TAPS)
+    )
+    return num, den
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id,
+             CAST(value AS DOUBLE) AS l0,
+             {", ".join(f"lag(CAST(value AS DOUBLE), {j}) OVER w AS l{j}" for j in range(1, _EWMA_TAPS))}
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT event_id,
+           ROUND(({_ewma_exprs()[0]}) / ({_ewma_exprs()[1]}), 6) AS ewma
+    FROM s
+    """,
+    tags=("B6", "B14"),
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finite-horizon EWMA smoother (8 taps, α=1/2) per event-type
+    series: the recursive filter unrolled into lag() taps with
+    partial-window renormalization, so the first rows of each series
+    are correctly weighted rather than biased toward zero. Pure window
+    functions — one shuffle on the series key; weights are powers of
+    two so every weighted term is an exact halving (bit-identical
+    across engines by construction)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ev = table(spark, sf_dir, "events")
+    v = F.col("value").cast("double")
+    s = ev.select(
+        "event_id",
+        v.alias("l0"),
+        *[F.lag(v, j).over(w).alias(f"l{j}") for j in range(1, _EWMA_TAPS)],
+    )
+    num, den = _ewma_exprs()
+    return s.selectExpr("event_id", f"round(({num}) / ({den}), 6) AS ewma")

@@ -395,3 +395,37 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     codes = pq_encode(e.filter(F.col("vec_id") != 0), book)
     return pq_adc_topk(codes, book, qv, k=20)
+
+
+@register(
+    "sim_mips_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, ROUND({_DOT.format(n=_DIM, a="e.embedding", b="q.qe")}, 6) AS ip
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY ip DESC, e.vec_id
+    LIMIT 10
+    """,
+    tags=("B13",),
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-10 — the recommendation-retrieval
+    scoring (un-normalized, so high-magnitude vectors can outrank
+    high-cosine ones; a genuinely different ranking from
+    sim_cosine_topk on the same data). Same map-only broadcast-query
+    shape as brute-force cosine; at 100 TB the scale path is PQ-ADC
+    (sim_pq_adc_topk scores EXACTLY this inner product from codes)."""
+    from stupp_exclusion_etl_spark.functions.vectors import dot
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", F.round(dot(F.col("embedding"), F.col("q")), 6).alias("ip")
+        )
+        .orderBy(F.col("ip").desc(), F.col("vec_id"))
+        .limit(10)
+    )
