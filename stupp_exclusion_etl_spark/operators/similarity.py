@@ -32,6 +32,23 @@ def _cos_with_qnorm(vec: Column, qvec: Column) -> Column:
     return dot(vec, qvec) / (norm2(vec) * F.col("__qn"))
 
 
+def _broadcast_score_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    score: Column,
+    score_name: str,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """Shared exact-serving shape for every brute-force ranking: query
+    broadcast against the full scan, round-6 score, top-K with id
+    tie-break (TakeOrderedAndProject — no global sort)."""
+    scored = vectors.crossJoin(F.broadcast(query)).select(
+        F.col(id_col), F.round(score, 6).alias(score_name)
+    )
+    return scored.orderBy(F.col(score_name).desc(), F.col(id_col)).limit(k)
+
+
 def brute_force_topk(
     vectors: DataFrame,
     query: DataFrame,
@@ -41,13 +58,35 @@ def brute_force_topk(
     query_vec_col: str = "q",
 ) -> DataFrame:
     """Exact top-K by cosine: (id, cos_sim), ties broken by id."""
-    scored = vectors.crossJoin(F.broadcast(_with_qnorm(query, query_vec_col))).select(
-        F.col(id_col),
-        F.round(_cos_with_qnorm(F.col(vec_col), F.col(query_vec_col)), 6).alias(
-            "cos_sim"
-        ),
+    return _broadcast_score_topk(
+        vectors,
+        _with_qnorm(query, query_vec_col),
+        _cos_with_qnorm(F.col(vec_col), F.col(query_vec_col)),
+        "cos_sim",
+        k,
+        id_col,
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
+
+
+def mips_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q",
+) -> DataFrame:
+    """Exact top-K by inner product (un-normalized MIPS — the
+    recommendation-retrieval ranking, and exactly what PQ's ADC
+    approximates from codes): (id, ip), ties broken by id."""
+    return _broadcast_score_topk(
+        vectors,
+        query,
+        dot(F.col(vec_col), F.col(query_vec_col)),
+        "ip",
+        k,
+        id_col,
+    )
 
 
 def hyperplane(dim: int, plane_idx: int) -> Column:

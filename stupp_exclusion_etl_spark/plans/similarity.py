@@ -416,16 +416,8 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim_cosine_topk on the same data). Same map-only broadcast-query
     shape as brute-force cosine; at 100 TB the scale path is PQ-ADC
     (sim_pq_adc_topk scores EXACTLY this inner product from codes)."""
-    from stupp_exclusion_etl_spark.functions.vectors import dot
+    from stupp_exclusion_etl_spark.operators.similarity import mips_topk
 
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
-    return (
-        e.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id", F.round(dot(F.col("embedding"), F.col("q")), 6).alias("ip")
-        )
-        .orderBy(F.col("ip").desc(), F.col("vec_id"))
-        .limit(10)
-    )
+    return mips_topk(e.filter(F.col("vec_id") != 0), q, k=10)
