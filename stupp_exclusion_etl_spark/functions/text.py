@@ -38,8 +38,13 @@ def bpe_token_count(text: Column) -> Column:
 
 
 def shingles(toks: Column, k: int = 3) -> Column:
-    """Word k-shingles. Documents shorter than k words become a single
-    whole-document shingle so every doc has ≥1 shingle."""
+    """Word k-shingles. Documents shorter than k words (but non-empty)
+    become a single whole-document shingle; ZERO-token documents get an
+    EMPTY shingle set — a shared "" fallback shingle would make every
+    empty/whitespace doc a perfect near-duplicate of every other one
+    (and, one level up, give them identical all-NULL minhash
+    signatures), quadratically pairing junk below the hot-shingle
+    df-cap."""
     # slice() references `toks` ONCE per element; k element_at() calls
     # would re-evaluate an inline `toks` child k times per shingle
     # (HOF lambdas don't share subexpressions — callers should still
@@ -48,7 +53,11 @@ def shingles(toks: Column, k: int = 3) -> Column:
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
         lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
     )
-    return F.when(F.size(toks) >= k, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+    return (
+        F.when(F.size(toks) >= k, joined)
+        .when(F.size(toks) > 0, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def stopword_hits(toks: Column, lang: str) -> Column:

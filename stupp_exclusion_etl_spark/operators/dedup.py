@@ -98,7 +98,14 @@ def minhash_signatures(
     toked = df.repartition(n).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    sh = toked.select(F.col(id_col), shingles(F.col("__toks"), shingle_k).alias("__sh"))
+    # Zero-shingle (empty/whitespace) docs are excluded from the LSH
+    # universe: array_min over an empty set would give an all-NULL
+    # signature shared by every such doc — one degenerate band bucket
+    # pairing all of them. Mirrors the oracle, where UNNEST of an empty
+    # shingle list yields no rows.
+    sh = toked.select(
+        F.col(id_col), shingles(F.col("__toks"), shingle_k).alias("__sh")
+    ).filter(F.size("__sh") > 0)
     based = sh.select(
         F.col(id_col),
         F.transform(

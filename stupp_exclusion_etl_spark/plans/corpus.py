@@ -196,7 +196,8 @@ def _duck_shingles(k: int) -> str:
         f"CASE WHEN len(toks) >= {k} THEN "
         f"list_transform(range(1, len(toks) - {k} + 2), "
         f"i -> array_to_string(list_slice(toks, i, i + {k - 1}), ' ')) "
-        f"ELSE [array_to_string(toks, ' ')] END"
+        f"WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')] "
+        f"ELSE CAST([] AS VARCHAR[]) END"
     )
 
 

@@ -29,7 +29,8 @@ _SHINGLES = f"""
     CASE WHEN len({_TOKENS}) >= 3
          THEN list_transform(range(1, len({_TOKENS}) - 1),
                              i -> {_TOKENS}[i] || ' ' || {_TOKENS}[i+1] || ' ' || {_TOKENS}[i+2])
-         ELSE [array_to_string({_TOKENS}, ' ')] END
+         WHEN len({_TOKENS}) > 0 THEN [array_to_string({_TOKENS}, ' ')]
+         ELSE CAST([] AS VARCHAR[]) END
 """
 
 _N_HASHES = 12

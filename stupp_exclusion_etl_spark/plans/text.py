@@ -484,7 +484,8 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN len({_TOKENS}) >= 3 THEN
                list_transform(range(1, len({_TOKENS}) - 1),
                  i -> array_to_string(list_slice({_TOKENS}, i, i + 2), ' '))
-             ELSE [array_to_string({_TOKENS}, ' ')] END AS sh
+             WHEN len({_TOKENS}) > 0 THEN [array_to_string({_TOKENS}, ' ')]
+             ELSE CAST([] AS VARCHAR[]) END AS sh
       FROM documents)
     SELECT doc_id,
            ROUND(1.0 - CAST(len(list_distinct(sh)) AS DOUBLE) / len(sh), 6)
@@ -505,9 +506,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingles(tokens(F.col("text")), 3)
     return d.select(
         "doc_id",
+        # try_divide: a zero-shingle (empty-text) doc yields NULL like
+        # the oracle's x/0, not an ANSI divide-by-zero.
         F.round(
             F.lit(1.0)
-            - F.size(F.array_distinct(sh)).cast("double") / F.size(sh),
+            - F.try_divide(
+                F.size(F.array_distinct(sh)).cast("double"), F.size(sh)
+            ),
             6,
         ).alias("rep_ratio"),
     )
