@@ -138,7 +138,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints within small Hamming distance; exact 16-bit values are
     oracle-checked. Two-step projection — token md5 values materialized
     once, then 16 cheap bit aggregates — so each token is hashed once,
-    not 16× (operators.dedup.simhash16_token_values)."""
+    not 16× (operators.dedup.simhash16_token_values). Zero-token (and
+    NULL-text) documents all fingerprint to 0 — a Hamming-bucketing
+    consumer must drop token_count = 0 docs first, the simhash analog
+    of minhash's zero-shingle exclusion."""
     from stupp_exclusion_etl_spark.plans._shared import spread
 
     d = spread(table(spark, sf_dir, "documents"))
