@@ -30,12 +30,19 @@ def norm2(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm2(a) * norm2(b))
+    """Cosine similarity; try_divide so a ZERO vector (all-zeros padding
+    row — crawls contain them) scores NULL instead of killing the whole
+    query with an ANSI DIVIDE_BY_ZERO (Spark 4 ANSI throws even for
+    double division). NULL sorts last under desc ordering, so zero
+    vectors simply never rank."""
+    return F.try_divide(dot(a, b), norm2(a) * norm2(b))
 
 
 def cosine_pandas():
     """Arrow-vectorized cosine for the numpy fast path (lazy: pandas_udf
-    creation needs an active SparkSession)."""
+    creation needs an active SparkSession). Zero vectors score NaN
+    (0/0 under numpy's IEEE semantics, warning suppressed) — the Arrow
+    analog of cosine()'s NULL."""
 
     @pandas_udf("double")
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -45,6 +52,7 @@ def cosine_pandas():
         bv = np.stack(b.to_numpy())
         num = (av * bv).sum(axis=1)
         den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
-        return pd.Series(num / den)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(num / den)
 
     return _udf

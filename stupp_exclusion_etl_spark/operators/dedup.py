@@ -349,7 +349,9 @@ def embedding_neardup_pairs(
         a.join(b, "bk")
         .filter(F.col("id1") < F.col("id2"))
         .withColumn(
-            "cos_sim", dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))
+            # try_divide: zero vectors score NULL (never >= threshold)
+            # instead of throwing ANSI DIVIDE_BY_ZERO.
+            "cos_sim", F.try_divide(dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2"))
         )
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")

@@ -29,7 +29,9 @@ def _with_qnorm(query: DataFrame, query_vec_col: str) -> DataFrame:
 
 
 def _cos_with_qnorm(vec: Column, qvec: Column) -> Column:
-    return dot(vec, qvec) / (norm2(vec) * F.col("__qn"))
+    # try_divide: a zero data vector must score NULL (rank last), not
+    # throw ANSI DIVIDE_BY_ZERO — same contract as functions.vectors.cosine.
+    return F.try_divide(dot(vec, qvec), norm2(vec) * F.col("__qn"))
 
 
 def _broadcast_score_topk(

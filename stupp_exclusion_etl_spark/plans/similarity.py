@@ -226,7 +226,9 @@ def sim_pairwise_label_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id1",
             "id2",
             F.round(
-                dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2")), 6
+                F.try_divide(
+                    dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")
+                ), 6
             ).alias("cos_sim"),
         )
     )

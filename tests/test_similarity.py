@@ -161,3 +161,26 @@ def test_pq_kmeans_recall_and_plan(spark):
 
     plan = plan_str(top)
     assert "Exchange" not in plan, f"PQ ADC plan shuffles:\n{plan}"
+
+
+def test_zero_vector_ranks_last_not_crash(spark):
+    """A zero (all-zeros padding) vector must not kill cosine queries
+    with ANSI DIVIDE_BY_ZERO: it scores NULL, sorts last under desc
+    ordering, and never enters near-dup pairs; MIPS scores it 0."""
+    from stupp_exclusion_etl_spark.operators.dedup import embedding_neardup_pairs
+    from stupp_exclusion_etl_spark.operators.similarity import mips_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 1.0], 1), (1, [1.0, 0.1, 0.0, 0.9], 1),
+        (2, [0.0, 0.0, 0.0, 0.0], 1), (3, [-1.0, 0.0, 0.0, -1.0], 1),
+        (4, [0.5, 0.5, 0.5, 0.5], 1),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    cos = brute_force_topk(e.filter(F.col("vec_id") != 0), q, k=4).collect()
+    assert [r.vec_id for r in cos] == [1, 4, 3, 2]  # zero vec last
+    assert cos[-1].cos_sim is None
+    ip = {r.vec_id: r.ip for r in mips_topk(e.filter(F.col("vec_id") != 0), q, k=4).collect()}
+    assert ip[2] == 0.0
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", F.col("label"), 0.5).collect()
+    assert all(2 not in (p.id1, p.id2) for p in pairs)
