@@ -86,7 +86,10 @@ def punct_count(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Heuristic document quality in [0,1]: rewards moderate length,
     low punctuation density, and presence of stopwords (fluency proxy).
-    Purely arithmetic → identical in any engine."""
+    Purely arithmetic → identical in any engine. NULL text scores NULL
+    (dropped by any >= gate) — without the explicit guard, least() and
+    greatest() SKIP NULL arguments, so a NULL-text doc would score 0.7
+    and sail through a 0.5 curation gate an empty-string doc fails."""
     t = tokens(text)
     n_tok = F.size(t).cast("double")
     n_chars = F.length(text).cast("double")
@@ -95,7 +98,9 @@ def quality_score(text: Column) -> Column:
     punct_score = F.lit(1.0) - F.least(punct_ratio * 5.0, F.lit(1.0))
     sw = stopword_hits(t, "en").cast("double") / F.greatest(n_tok, F.lit(1.0))
     sw_score = F.least(sw * 5.0, F.lit(1.0))
-    return len_score * 0.4 + punct_score * 0.3 + sw_score * 0.3
+    return F.when(
+        text.isNotNull(), len_score * 0.4 + punct_score * 0.3 + sw_score * 0.3
+    )
 
 
 def fingerprint(text: Column) -> Column:

@@ -40,9 +40,10 @@ def cosine(a: Column, b: Column) -> Column:
 
 def cosine_pandas():
     """Arrow-vectorized cosine for the numpy fast path (lazy: pandas_udf
-    creation needs an active SparkSession). Zero vectors score NaN
-    (0/0 under numpy's IEEE semantics, warning suppressed) — the Arrow
-    analog of cosine()'s NULL."""
+    creation needs an active SparkSession). Zero vectors score NULL,
+    matching cosine()'s try_divide contract — returning numpy's raw NaN
+    would INVERT it, since Spark orders NaN greater than every double
+    (NaN ranks first in desc top-k and passes >= thresholds)."""
 
     @pandas_udf("double")
     def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -53,6 +54,11 @@ def cosine_pandas():
         num = (av * bv).sum(axis=1)
         den = np.linalg.norm(av, axis=1) * np.linalg.norm(bv, axis=1)
         with np.errstate(divide="ignore", invalid="ignore"):
-            return pd.Series(num / den)
+            out = num / den
+        # nullable Float64 so non-finite → true NULL through Arrow (a
+        # plain float series would silently turn None back into NaN)
+        res = pd.array(out, dtype="Float64")
+        res[~np.isfinite(out)] = pd.NA
+        return pd.Series(res, dtype="Float64")
 
     return _udf

@@ -192,13 +192,14 @@ def ivf_topk(
         .select(cell_col)
     )
     cand = vectors.join(F.broadcast(probe_cells), cell_col)
-    scored = cand.crossJoin(F.broadcast(_with_qnorm(query, query_vec_col))).select(
-        F.col(id_col),
-        F.round(_cos_with_qnorm(F.col(vec_col), F.col(query_vec_col)), 6).alias(
-            "cos_sim"
-        ),
+    return _broadcast_score_topk(
+        cand,
+        _with_qnorm(query, query_vec_col),
+        _cos_with_qnorm(F.col(vec_col), F.col(query_vec_col)),
+        "cos_sim",
+        k,
+        id_col,
     )
-    return scored.orderBy(F.col("cos_sim").desc(), F.col(id_col)).limit(k)
 
 
 def knn_join(

@@ -139,15 +139,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked. Two-step projection — token md5 values materialized
     once, then 16 cheap bit aggregates — so each token is hashed once,
     not 16× (operators.dedup.simhash16_token_values). Zero-token (and
-    NULL-text) documents all fingerprint to 0 — a Hamming-bucketing
-    consumer must drop token_count = 0 docs first, the simhash analog
-    of minhash's zero-shingle exclusion."""
+    NULL-text) documents are EXCLUDED — they would all fingerprint to 0
+    and cluster as perfect Hamming-0 duplicates (minhash's zero-shingle
+    exclusion, one level down), and the oracle's UNNEST drops them
+    anyway, so emitting them would diverge engine from oracle on
+    exactly the degenerate docs."""
+    from stupp_exclusion_etl_spark.functions.text import token_count
     from stupp_exclusion_etl_spark.plans._shared import spread
 
     d = spread(table(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", simhash16_token_values(F.col("text")).alias("__sv")
-    ).select("doc_id", simhash16_from_values(F.col("__sv")).alias("simhash"))
+    return (
+        d.filter(token_count(F.col("text")) > 0)
+        .select("doc_id", simhash16_token_values(F.col("text")).alias("__sv"))
+        .select("doc_id", simhash16_from_values(F.col("__sv")).alias("simhash"))
+    )
 
 
 @register(

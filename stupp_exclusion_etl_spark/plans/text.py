@@ -107,9 +107,11 @@ def _quality_oracle() -> str:
              CAST(len(list_filter({_TOKENS}, t -> list_contains([{inlist}], lower(t)))) AS DOUBLE) AS sw_hits
       FROM documents)
     SELECT doc_id,
+           CASE WHEN n_chars IS NULL THEN NULL ELSE
            ROUND(least(n_tok / 50.0, 1.0) * 0.4
                + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
-               + least(sw_hits / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3, 6) AS quality
+               + least(sw_hits / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3, 6)
+           END AS quality
     FROM t
     """
 

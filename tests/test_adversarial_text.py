@@ -42,8 +42,9 @@ def test_text_functions_survive_and_behave(spark, adv):
     assert got[10].n_tok is None  # NULL propagates, no crash
     assert got[4].n_tok == 1 and got[5].n_tok == 2
     assert got[7].n_tok == 5000
-    for r in got.values():  # no crashes; NULL text may yield NULL fp
-        assert r.q is not None and r.lang is not None
+    for did, r in got.items():  # no crashes; NULL text scores NULL quality
+        assert r.lang is not None
+        assert (r.q is None) == (did == 10), (did, r.q)
     red = got[9].red
     for pii in ("a@b.co", "555-123-4567", "10.0.0.1"):
         assert pii not in red, red

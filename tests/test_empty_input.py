@@ -10,6 +10,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 
+from tests.conftest import SF_SMALL
+
 from stupp_exclusion_etl_spark.plans import REGISTRY
 
 TABLES = (
@@ -27,7 +29,7 @@ def empty_sf_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("sf_empty")
     con = duckdb.connect()
     for t in TABLES:
-        src = f"/root/testdata/sf0.001/{t}.parquet"
+        src = f"{SF_SMALL}/{t}.parquet"
         con.execute(
             f"COPY (SELECT * FROM '{src}' LIMIT 0) "
             f"TO '{d / t}.parquet' (FORMAT PARQUET)"
