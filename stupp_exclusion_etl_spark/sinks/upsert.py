@@ -50,7 +50,11 @@ def upsert_parquet(
     try:
         existing = spark.read.parquet(path)
     except Exception:  # first write: no table yet (A16 auto-create)
-        writer = new_data.write.mode("overwrite")
+        # keep-latest applies to the FIRST batch too — a batch carrying
+        # the same key twice must land one row, same as every later
+        # batch (found by adversarial sink probing: this branch used to
+        # write duplicates verbatim).
+        writer = keep_latest(new_data, keys, order_by).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)

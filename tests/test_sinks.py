@@ -363,3 +363,27 @@ def test_delete_keys_partition_scoped(spark, tmp_path):
     assert got.filter(F.col("id").isin(0, 4, 3, 7)).count() == 0
     assert file_hashes("s1") == before_s1, "untouched partition was rewritten"
     assert not os.path.exists(os.path.join(path, "part=s3")), "emptied partition not dropped"
+
+
+def test_upsert_first_batch_dedups_and_null_keys_group(spark, tmp_path):
+    """The auto-create (first-write) branch must apply keep-latest like
+    every later batch — a first batch carrying a key twice lands one
+    row — and NULL keys form their own group that later batches
+    replace (window partitioning treats NULL as a value)."""
+    from stupp_exclusion_etl_spark.sinks.upsert import upsert_parquet
+
+    p = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (None, "c", 1), (2, "b2", 2)],
+        "id long, v string, ver long",
+    )
+    upsert_parquet(base, p, ["id"], [F.col("ver").desc()])
+    r1 = {(r.id, r.v) for r in spark.read.parquet(p).collect()}
+    assert r1 == {(1, "a"), (2, "b2"), (None, "c")}, r1
+
+    inc = spark.createDataFrame(
+        [(None, "c2", 3), (1, "a2", 3)], "id long, v string, ver long"
+    )
+    upsert_parquet(inc, p, ["id"], [F.col("ver").desc()])
+    r2 = {(r.id, r.v) for r in spark.read.parquet(p).collect()}
+    assert r2 == {(1, "a2"), (2, "b2"), (None, "c2")}, r2
