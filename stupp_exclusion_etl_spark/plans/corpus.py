@@ -425,3 +425,74 @@ def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mix_weight"),
     )
+
+
+# --- post-curation mixture re-weighting ------------------------------------
+
+
+def _training_mix_oracle() -> str:
+    from stupp_exclusion_etl_spark.plans.text import curation_survivors_ctes
+
+    return curation_survivors_ctes() + f""",
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok_i) AS BIGINT) AS src_tokens
+      FROM survivors GROUP BY source),
+    tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_src FROM per)
+    SELECT source, n_docs, src_tokens,
+           ROUND(CAST(src_tokens AS DOUBLE) / total, 6) AS actual_share,
+           ROUND(LEAST({MIX_MAX_WEIGHT}, CAST(total AS DOUBLE) / (n_src * src_tokens)), 6)
+             AS mix_weight
+    FROM per CROSS JOIN tot
+    """
+
+
+@register(
+    "pipeline_training_mix",
+    oracle=_training_mix_oracle(),
+    tags=("B12", "B9", "B5", "A17"),
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pre-training data path as ONE declarative plan: language
+    filter → quality gate → exact-dedup survivor selection (the
+    pipeline_corpus_curation stages) → per-source token accounting →
+    uniform-target mixture weights over the SURVIVING corpus (the
+    corpus_mix_weights formula — weights computed on post-curation
+    token mass, which is what a training loader actually samples from).
+    Catalyst fuses the whole thing into one documents scan, the dedup
+    aggregate, one rollup, and a one-row broadcast."""
+    from pyspark.sql.window import Window
+
+    from stupp_exclusion_etl_spark.functions.text import fingerprint, quality_score
+
+    d = table(spark, sf_dir, "documents")
+    kept = (
+        d.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("n_tok", token_count(F.col("text")).cast("long"))
+        .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    )
+    w = Window.partitionBy(fingerprint(F.col("text"))).orderBy("doc_id")
+    survivors = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    per = survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("src_tokens")
+    )
+    tot = per.agg(F.sum("src_tokens").alias("total"), F.count("*").alias("n_src"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(
+            F.try_divide(F.col("src_tokens").cast("double"), F.col("total")), 6
+        ).alias("actual_share"),
+        F.round(
+            F.least(
+                F.lit(MIX_MAX_WEIGHT),
+                F.try_divide(
+                    F.col("total").cast("double"),
+                    F.col("n_src") * F.col("src_tokens"),
+                ),
+            ),
+            6,
+        ).alias("mix_weight"),
+    )

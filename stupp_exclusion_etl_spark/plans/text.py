@@ -416,7 +416,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _curation_oracle() -> str:
+def curation_survivors_ctes() -> str:
+    """WITH-body prefix ending in the `survivors` CTE — the shared
+    curation pipeline (en + quality gate + exact-dedup survivor) reused
+    by pipeline_corpus_curation and corpus.pipeline_training_mix."""
     inlist = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
     quality = """
         least(n_tok / 50.0, 1.0) * 0.4
@@ -443,7 +446,11 @@ def _curation_oracle() -> str:
              CAST(min(doc_id) AS BIGINT) AS doc_id
       FROM kept GROUP BY 1),
     survivors AS (
-      SELECT k.* FROM kept k JOIN deduped d USING (doc_id))
+      SELECT k.* FROM kept k JOIN deduped d USING (doc_id))"""
+
+
+def _curation_oracle() -> str:
+    return curation_survivors_ctes() + """
     SELECT source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok_i) AS BIGINT) AS total_tokens,
