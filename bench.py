@@ -55,6 +55,7 @@ HEADLINE = [
     "join_range_bucketed",
     "win_range_frame",
     "pipeline_corpus_curation",
+    "pipeline_training_mix",
     "text_lang_id_learned",
     "dedup_groups_cc",
     "sim_knn_join",
