@@ -215,3 +215,39 @@ def test_idempotent_batch_write_skips_replay(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 20
     assert got.filter(F.col("batch_id") == 0).count() == 10
+
+
+def test_stream_restart_from_checkpoint_no_duplication(spark, tmp_path):
+    """Structured Streaming recovery contract: a second availableNow run
+    over the SAME checkpoint must resume from committed offsets —
+    files ingested before the restart are not reprocessed (no
+    duplicates in a plain append sink), files added after the stop are
+    picked up exactly once."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add_file(lo, hi):
+        spark.range(lo, hi).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long").parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    add_file(0, 30)
+    add_file(30, 50)
+    run_once()
+    assert spark.read.parquet(out).count() == 50
+
+    add_file(50, 80)
+    run_once()
+    got = spark.read.parquet(out)
+    assert got.count() == 80, "restart reprocessed or dropped files"
+    assert got.select("id").distinct().count() == 80
