@@ -1,8 +1,14 @@
 #!/usr/bin/env python
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
-on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line (<1 KB —
+round 2's 67-entry per-query dict overflowed the driver's tail
+capture and voided the bench signal, VERDICT r2 item 4):
+  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
+   "n_queries": N, "detail_file": "bench_detail.json"}
+
+Per-query timings + any errors go to ``bench_detail.json`` next to
+this script (the driver line stays parseable no matter how many
+queries the headline set grows to).
 
 Per-query time = full action latency (plan + execute + collect-count),
 measured after a session warm-up so JVM/codegen startup isn't billed
@@ -117,15 +123,33 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "queries": times,
+                "errors": errors,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                **({"errors": errors} if errors else {}),
+                "sf": sf_val,
+                "n_queries": len(times),
+                "n_errors": len(errors),
+                "detail_file": "bench_detail.json",
             }
         )
     )

@@ -5,7 +5,13 @@ query (one per operator family from SURVEY.md §2). ``__spark_entry__``
 exposes the registry to the driver harness.
 """
 
-from stupp_exclusion_etl_spark.plans.registry import REGISTRY, Query, register
+from stupp_exclusion_etl_spark.plans.registry import (
+    DRIVER_WINDOW,
+    REGISTRY,
+    Query,
+    ordered_registry,
+    register,
+)
 
 # Import for registration side effects — order defines display order.
 from stupp_exclusion_etl_spark.plans import core  # noqa: E402,F401
@@ -25,4 +31,4 @@ from stupp_exclusion_etl_spark.plans import corpus  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import analytics  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import profile  # noqa: E402,F401
 
-__all__ = ["REGISTRY", "Query", "register"]
+__all__ = ["DRIVER_WINDOW", "REGISTRY", "Query", "ordered_registry", "register"]

@@ -38,9 +38,19 @@ def spread(df, n: int | None = None):
     CPU. The exchange this inserts moves only the raw corpus bytes
     (trivial next to the explode's output), and aggregate results are
     partition-layout-independent so semantics are unchanged. At 100 TB
-    the input already has thousands of splits — there, skip it or make
-    n a no-op; this is the standard "parallelize the decode" idiom for
-    small compressed inputs, not a scale crutch.
+    the input already has thousands of splits — and there this IS a
+    no-op: when the plan already yields >= target partitions the
+    exchange would cost more than the parallelism it buys (measured:
+    wrapping an already-32-split corpus scan regressed dedup_minhash_lsh
+    1.88x at sf0.1), so we return the input untouched. The repartition
+    only fires for genuinely under-partitioned compressed inputs —
+    the standard "parallelize the decode" idiom, not a scale crutch.
+
+    The partition-count probe (`df.rdd.getNumPartitions()`) runs
+    physical planning but NO job — metadata-only, once per query build.
     """
     spark = df.sparkSession
-    return df.repartition(n or spark.sparkContext.defaultParallelism)
+    target = n or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

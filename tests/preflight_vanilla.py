@@ -2,9 +2,15 @@
 (no session.py tuning — mimics the driver's environment) at sf0.01 and
 compare against the DuckDB oracle with the strict local harness.
 
-Usage:  python tests/preflight_vanilla.py [sf_dir]
+Usage:  python tests/preflight_vanilla.py [sf_dir] [--out PREFLIGHT.json]
 
-Exits non-zero if any query fails; prints a one-line verdict per query.
+Exits non-zero if any query fails; prints a one-line verdict per query
+and (with --out, default PREFLIGHT_r03.json at the repo root) writes a
+driver-format JSON — the same per-query record shape as
+CORRECTNESS_r{N}.json but over ALL registered queries, not just the
+50-slot window — so the judge can diff self-reported vs driver signal
+(VERDICT r2, Next round #4).
+
 This is the repo-side rehearsal for CORRECTNESS_r{N}.json (VERDICT.md
 round-1 item 1: the driver runs a vanilla session, so parity must not
 depend on our tuned session config).
@@ -12,12 +18,14 @@ depend on our tuned session config).
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 import time
 import traceback
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from pyspark.sql import SparkSession
 
@@ -25,27 +33,67 @@ from tests import harness
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    out_path = os.path.join(REPO, "PREFLIGHT_r03.json")
+    for i, a in enumerate(sys.argv):
+        if a == "--out" and i + 1 < len(sys.argv):
+            out_path = sys.argv[i + 1]
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("preflight-vanilla")
         .getOrCreate()
     )
-    from stupp_exclusion_etl_spark.plans import REGISTRY
+    from stupp_exclusion_etl_spark.plans import REGISTRY, ordered_registry
 
     failures: dict[str, list[str]] = {}
+    records: dict[str, dict] = {}
     t0 = time.time()
-    for name in sorted(REGISTRY):
+    # Driver sampling order (window first), so positions here mirror
+    # what CORRECTNESS_r{N}.json will sample.
+    for name in ordered_registry():
         t = time.time()
+        rec: dict = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
         try:
-            problems = harness.check(spark, sf_dir, name)
+            spark_pdf, oracle_pdf = harness.run_query(spark, sf_dir, name)
+            rec["spark_rows"] = len(spark_pdf)
+            if oracle_pdf is None:
+                rec["err"] = "no_oracle"
+                problems = (
+                    [] if len(spark_pdf) > 0 else ["rows-only query returned 0 rows"]
+                )
+            else:
+                rec["oracle_rows"] = len(oracle_pdf)
+                problems = harness.compare(spark_pdf, oracle_pdf)
+                rec["rows_match"] = len(spark_pdf) == len(oracle_pdf)
+                rec["schema_match"] = sorted(spark_pdf.columns) == sorted(
+                    oracle_pdf.columns
+                )
+                # strict cell-equality pass implies the driver's
+                # value-hash match
+                rec["hash_match"] = not problems
         except Exception:
             problems = ["exception:\n" + traceback.format_exc()]
+            rec["err"] = "exception"
+        records[name] = rec
         status = "ok" if not problems else "FAIL"
         print(f"{status:4s} {name:40s} {time.time() - t:6.2f}s", flush=True)
         if problems:
             failures[name] = problems
-    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} green in {time.time() - t0:.0f}s")
+    print(
+        f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} green "
+        f"in {time.time() - t0:.0f}s"
+    )
+    with open(out_path, "w") as fh:
+        json.dump(records, fh, indent=2)
+    print(f"wrote {out_path}")
     for name, problems in failures.items():
         print(f"\n=== {name} ===")
         for p in problems[:3]:
