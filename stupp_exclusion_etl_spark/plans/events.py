@@ -855,4 +855,7 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.lag(v, j).over(w).alias(f"l{j}") for j in range(1, _EWMA_TAPS)],
     )
     num, den = _ewma_exprs()
-    return s.selectExpr("event_id", f"round(({num}) / ({den}), 6) AS ewma")
+    # try_divide: den is 0.0 when value and all 7 lags are NULL in a
+    # series — ANSI mode would kill the query on plain '/' while the
+    # DuckDB oracle yields NULL for 0/0 (repo-wide try_divide policy).
+    return s.selectExpr("event_id", f"round(try_divide(({num}), ({den})), 6) AS ewma")

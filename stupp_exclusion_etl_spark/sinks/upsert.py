@@ -302,6 +302,7 @@ def merge_rollup_parquet(
     path: str,
     keys: list[str],
     measures: dict[str, str],
+    partition_by: list[str] | None = None,
 ) -> None:
     """Incremental view maintenance for distributive aggregates: fold a
     micro-batch's PARTIAL aggregates (per-key sum/count-as-sum/min/max)
@@ -311,24 +312,60 @@ def merge_rollup_parquet(
     the classic IVM bug, tested against in
     tests/test_streaming_upsert.py.
 
-    Same scale shape as upsert_parquet: union + one re-aggregation over
-    the touched keys, partition-scoped dynamic overwrite when the
-    rollup is partitioned — each micro-batch costs O(batch + touched
-    partitions), never a 100 TB rewrite."""
+    Table existence is probed via spark.read (works on HDFS/S3, not
+    just the driver's local filesystem — an os.path probe would treat
+    an existing remote rollup as absent and clobber it with one
+    batch's partials; ADVICE r2).
+
+    Partitioned rollups (``partition_by`` ⊆ ``keys``) take the 100 TB
+    path: only the partitions the batch touches are re-aggregated and
+    rewritten (dynamic partition overwrite). Because the partition
+    columns are group keys, a key can never move partitions and
+    distributive merges never delete keys — so unlike upsert_parquet
+    there is no emptied-partition delete half. Each micro-batch costs
+    O(batch + touched partitions), never a full-table rewrite.
+    Unpartitioned rollups necessarily re-aggregate whole."""
     for col, how in measures.items():
         if how not in ROLLUP_MERGES:
             raise ValueError(f"unsupported merge {how!r} for {col}")
-    import os
+    if partition_by and not set(partition_by) <= set(keys):
+        raise ValueError("partition_by must be a subset of the rollup keys")
 
-    merged = batch_partials
-    if os.path.exists(path):
+    def merged_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            *[ROLLUP_MERGES[how](c).alias(c) for c, how in measures.items()]
+        )
+
+    try:
         existing = spark.read.parquet(path)
-        merged = existing.unionByName(batch_partials)
-    out = merged.groupBy(*keys).agg(
-        *[ROLLUP_MERGES[how](c).alias(c) for c, how in measures.items()]
+    except Exception:  # first batch: no rollup yet
+        writer = merged_agg(batch_partials).write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        return
+
+    if not partition_by:
+        out = merged_agg(existing.unionByName(batch_partials))
+        # sever self-read before overwrite
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+        return
+
+    # Partition-scoped merge: existing rows outside the batch's
+    # partitions are untouched on disk AND never read (partition
+    # pruning via the broadcast semi-join on batch-sized `touched`).
+    touched = (
+        batch_partials.select(*partition_by).distinct().localCheckpoint(eager=True)
     )
-    out = out.localCheckpoint(eager=True)  # sever self-read before overwrite
-    out.write.mode("overwrite").parquet(path)
+    relevant = existing.join(F.broadcast(touched), partition_by, "left_semi")
+    out = merged_agg(relevant.unionByName(batch_partials))
+    out = out.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def bucketed_table_write(

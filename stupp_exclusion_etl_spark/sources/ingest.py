@@ -10,6 +10,8 @@ helpers to promote map entries to typed columns.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -159,14 +161,18 @@ def parse_double_encoded_json(col: Column, schema: T.DataType) -> Column:
     return F.from_json(F.from_json(col, T.StringType()), schema)
 
 
+@contextmanager
 def quarantine_split(df, reason):
     """Dead-letter split for dirty ingest: `reason` is an expression
     evaluating to 'ok' for contract-passing rows and a reject-reason
-    string otherwise. Returns (clean, rejects) off ONE tagged, cached
-    pass — the classic quarantine-table pattern (the reference's analog
-    is silently swallowing bad keys, reference
+    string otherwise. Context manager yielding (clean, rejects) off ONE
+    tagged, cached pass — the classic quarantine-table pattern (the
+    reference's analog is silently swallowing bad keys, reference
     clients/exclusion_requests.py:161-164; an engine must keep the
-    evidence instead). Caller unpersists after both sides are consumed.
+    evidence instead). The cache is owned HERE and unpersisted on exit:
+    unpersist() on a derived DataFrame would not release the parent, so
+    handing callers only (clean, rejects) leaked the cached data for
+    the session lifetime (ADVICE r2).
 
     At 100 TB: reasons are computed map-side; the rejects side is
     typically tiny and lands in its own audit table, the clean side
@@ -174,6 +180,9 @@ def quarantine_split(df, reason):
     from pyspark.sql import functions as F
 
     tagged = df.withColumn("__reason", reason).persist()
-    clean = tagged.filter(F.col("__reason") == "ok").drop("__reason")
-    rejects = tagged.filter(F.col("__reason") != "ok")
-    return clean, rejects
+    try:
+        clean = tagged.filter(F.col("__reason") == "ok").drop("__reason")
+        rejects = tagged.filter(F.col("__reason") != "ok")
+        yield clean, rejects
+    finally:
+        tagged.unpersist()

@@ -81,9 +81,11 @@ def test_quarantine_split_two_sinks_one_scan(spark, tmp_path):
         .when(F.col("qty") < 0, F.lit("negative_qty"))
         .otherwise(F.lit("ok"))
     )
-    clean, rejects = quarantine_split(df, reason)
-    clean.write.mode("overwrite").parquet(str(tmp_path / "clean"))
-    rejects.write.mode("overwrite").parquet(str(tmp_path / "rejects"))
+    with quarantine_split(df, reason) as (clean, rejects):
+        clean.write.mode("overwrite").parquet(str(tmp_path / "clean"))
+        rejects.write.mode("overwrite").parquet(str(tmp_path / "rejects"))
+    # context exit released the tagged cache — nothing left pinned
+    assert not df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
 
     c = spark.read.parquet(str(tmp_path / "clean"))
     r = spark.read.parquet(str(tmp_path / "rejects"))

@@ -143,6 +143,71 @@ def test_incremental_rollup_maintenance_equals_batch(spark, tmp_path):
         assert abs(m["sum_value"] / m["n"] - d["avg_value"]) < 1e-9, k
 
 
+def test_partitioned_rollup_scoped_merge(spark, tmp_path):
+    """Partition-scoped IVM: rollup partitioned by event_type; a batch
+    touching ONE partition must (a) keep the maintained table equal to
+    the direct aggregation and (b) leave untouched partitions'
+    files byte-identical — proof the merge neither read nor rewrote
+    them (dynamic partition overwrite, partition_by ⊆ keys)."""
+    import os
+
+    from stupp_exclusion_etl_spark.catalog import table
+    from stupp_exclusion_etl_spark.sinks.upsert import merge_rollup_parquet
+
+    path = str(tmp_path / "rollup_part")
+    ev = table(spark, SF_SMALL, "events").select(
+        "event_type",
+        F.hour("ts").alias("hour"),
+        F.col("value").cast("double").alias("value"),
+    )
+    measures = {"sum_value": "sum", "n": "sum"}
+
+    def partials(df):
+        return df.groupBy("event_type", "hour").agg(
+            F.sum("value").alias("sum_value"), F.count("*").alias("n")
+        )
+
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    assert len(types) >= 2
+    # batch 1: everything; batch 2: only the first event_type
+    merge_rollup_parquet(
+        spark, partials(ev), path,
+        keys=["event_type", "hour"], measures=measures,
+        partition_by=["event_type"],
+    )
+
+    def file_state(t):
+        d = os.path.join(path, f"event_type={t}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        }
+
+    before = {t: file_state(t) for t in types[1:]}
+    batch2 = ev.filter(F.col("event_type") == types[0])
+    merge_rollup_parquet(
+        spark, partials(batch2), path,
+        keys=["event_type", "hour"], measures=measures,
+        partition_by=["event_type"],
+    )
+    # untouched partitions: exact same files, same mtimes
+    assert {t: file_state(t) for t in types[1:]} == before
+
+    maintained = {
+        (r.event_type, r.hour): (r.sum_value, r.n)
+        for r in spark.read.parquet(path).collect()
+    }
+    doubled = ev.unionByName(batch2)
+    direct = {
+        (r.event_type, r.hour): (r.sum_value, r.n)
+        for r in partials(doubled).collect()
+    }
+    assert set(maintained) == set(direct)
+    for k, (s, n) in direct.items():
+        assert maintained[k][1] == n, k
+        assert abs(maintained[k][0] - s) < 1e-6, k
+
+
 def test_foreach_batch_multi_sink_fanout(spark, tmp_path):
     """The production multi-sink pattern: ONE stream, each micro-batch
     persisted once and fanned out to two sinks — an additive IVM rollup
