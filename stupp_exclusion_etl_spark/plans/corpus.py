@@ -128,7 +128,7 @@ CHUNK_TOKENS = 512
     oracle=f"""
     WITH toks AS (
       SELECT source, doc_id,
-             CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS BIGINT) AS n_tok
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tok
       FROM documents),
     offs AS (
       SELECT source, doc_id, n_tok,
@@ -180,7 +180,7 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collisions are negligible; standard practice is 8-13).
 CONTAM_K = 8
 
-_DUCK_TOKS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
 
 
 #: The stand-in held-out eval sentence (10 tokens -> 3 8-shingles).
@@ -252,9 +252,8 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tokens MUST be materialized before shingling (_exploded_shingles):
     # an inline tokens() child re-tokenizes per lambda element inside
     # the shingle HOF — measured 30x slower on this exact query.
-    from stupp_exclusion_etl_spark.plans._shared import spread
-
-    sh = _exploded_shingles(spread(d), "doc_id", "text", CONTAM_K)
+    # No spread() wrapper: _exploded_shingles repartitions internally.
+    sh = _exploded_shingles(d, "doc_id", "text", CONTAM_K)
     bench = (
         spark.createDataFrame([(_BENCH_SENTENCE,)], "text string")
         .select(F.explode(shingles(tokens(F.col("text")), CONTAM_K)).alias("s"))
@@ -272,7 +271,7 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
 
-_TOKS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
 
 
 @register(
@@ -302,6 +301,10 @@ def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         d.select("doc_id", tokens(F.col("text")).alias("l"))
+        # Zero-token docs produce zero chunks; without the guard
+        # sequence(0, -1, stride) throws on every empty/whitespace doc
+        # (found by the adversarial sweep; oracle's range(0,0) is empty).
+        .filter(F.size("l") > 0)
         .select(
             "doc_id",
             F.explode(
@@ -374,7 +377,7 @@ MIX_MAX_WEIGHT = 4.0
     oracle=f"""
     WITH per AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(list_filter(string_split(text, ' '),
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
                                       t -> length(t) > 0))) AS BIGINT) AS src_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,

@@ -22,7 +22,7 @@ from stupp_exclusion_etl_spark.plans.registry import register
 
 # --- shared oracle SQL fragments -------------------------------------------
 
-_TOKENS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
 # k=3 word shingles, whole-doc fallback for short docs (matches
 # functions.text.shingles).
 _SHINGLES = f"""
@@ -102,10 +102,12 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(12)+LSH(4 bands × 3) candidate near-dup pairs over
     3-word shingles. One shuffle for signatures, one equi-join on
-    (band, band_key) for candidates — never a cartesian (operators.dedup)."""
-    from stupp_exclusion_etl_spark.plans._shared import spread
+    (band, band_key) for candidates — never a cartesian (operators.dedup).
 
-    d = spread(table(spark, sf_dir, "documents"))
+    No spread() wrapper: minhash_signatures repartitions internally, so
+    an upstream spread was a second full corpus exchange — the r2
+    1.88x regression (VERDICT r2, What's wrong #3)."""
+    d = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
     ).select(F.col("id1").cast("long"), F.col("id2").cast("long"))
@@ -269,9 +271,8 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead."""
     from stupp_exclusion_etl_spark.operators.dedup import connected_components
 
-    from stupp_exclusion_etl_spark.plans._shared import spread
-
-    d = spread(table(spark, sf_dir, "documents"))
+    # No spread(): minhash_signatures repartitions internally.
+    d = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(
         d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
     )

@@ -74,7 +74,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(ord(u.c) // 32 AS INT) AS bin,
            CAST(count(*) AS BIGINT) AS cnt
-    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+    FROM (SELECT doc_id, text FROM documents
+          -- len(text) > 0: DuckDB split('', '') yields [''] whose
+          -- ord('') = 0 would count a phantom byte for empty payloads
+          -- (the engine correctly emits nothing; adversarial sweep)
+          WHERE doc_id < 100 AND len(text) > 0),
          UNNEST(split(text, '')) AS u(c)
     GROUP BY 1, 2
     """,

@@ -18,7 +18,7 @@ from stupp_exclusion_etl_spark.functions.text import (
 )
 from stupp_exclusion_etl_spark.plans.registry import register
 
-_TOKENS = "list_filter(string_split(text, ' '), t -> length(t) > 0)"
+_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
 
 
 @register(
@@ -177,12 +177,16 @@ def _rolling_oracle() -> str:
     hex8 = " + ".join(
         f"CAST({16 ** (7 - j)} AS BIGINT) * {nib.format(j=j + 1)}" for j in range(8)
     )
+    # CASE: NULL text must fingerprint to NULL (engine contract — NULL
+    # propagates like token_count); without it list_prepend(0, NULL)
+    # reduces to 0 (adversarial sweep).
     return f"""
     SELECT doc_id,
+           CASE WHEN text IS NULL THEN NULL ELSE
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
                           list_transform({_TOKENS}, t -> {hex8})),
-             (acc, h) -> (acc * 257 + h) % 1000000007) AS fp
+             (acc, h) -> (acc * 257 + h) % 1000000007) END AS fp
     FROM documents
     """
 
@@ -421,10 +425,16 @@ def curation_survivors_ctes() -> str:
     curation pipeline (en + quality gate + exact-dedup survivor) reused
     by pipeline_corpus_curation and corpus.pipeline_training_mix."""
     inlist = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    # NULL-text guard mirrors _quality_oracle and quality_score:
+    # DuckDB's least()/greatest() SKIP NULL args, so without the CASE a
+    # NULL-text doc would score 0.7 here and pass the quality gate
+    # while the engine scores it NULL and drops it (ADVICE r2).
     quality = """
+        CASE WHEN n_chars IS NULL THEN NULL ELSE
         least(n_tok / 50.0, 1.0) * 0.4
         + (1.0 - least(n_punct / greatest(n_chars, 1.0) * 5.0, 1.0)) * 0.3
         + least(sw_hits / greatest(n_tok, 1.0) * 5.0, 1.0) * 0.3
+        END
     """
     return f"""
     WITH scored AS (
@@ -630,7 +640,7 @@ HH_K = 200
     WITH tok AS (
       SELECT u.t AS token
       FROM documents,
-           UNNEST(list_filter(string_split(text, ' '),
+           UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
                               x -> length(x) > 0)) AS u(t)),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
     SELECT token, CAST(count(*) AS BIGINT) AS cnt
