@@ -394,18 +394,26 @@ def connected_components(
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["node"]
         ).groupBy("src").agg(F.min("label").alias("nl"))
+        # Convergence flag is computed IN the label-update select (labels
+        # only ever decrease, so chg := new < old), then read off the
+        # checkpointed blocks with a take-1 scan — one join per round
+        # instead of the former separate new-vs-old join + count job.
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select("node", F.least("label", F.coalesce("nl", "label")).alias("label"))
+            .select(
+                "node",
+                "label",
+                F.least("label", F.coalesce("nl", "label")).alias("new_label"),
+            )
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") < F.col("label")).alias("chg"),
+            )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        converged = new_labels.filter("chg").isEmpty()
+        labels = new_labels.drop("chg")
+        if converged:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))

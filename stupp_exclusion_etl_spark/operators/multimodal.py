@@ -142,6 +142,8 @@ def byte_histogram(
         for pdf in batches:
             ids, bins, cnts = [], [], []
             for i, payload in zip(pdf["id"], pdf["p"]):
+                if payload is None:  # NULL media: nothing to histogram
+                    continue
                 arr = np.frombuffer(bytes(payload), dtype=np.uint8) // width
                 hist = np.bincount(arr, minlength=n_bins)
                 for b in np.nonzero(hist)[0]:
@@ -187,6 +189,8 @@ def audio_frame_energy(
             fns: list[int] = []
             ens: list[float] = []
             for i, payload in zip(pdf["id"], pdf["p"]):
+                if payload is None:  # NULL media: no frames
+                    continue
                 arr = (
                     np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
                     - 128.0
@@ -441,6 +445,8 @@ def image_meta_scan(
         for pdf in batches:
             ids, fmts, ws, hs = [], [], [], []
             for i, payload in zip(pdf["id"], pdf["p"]):
+                if payload is None:  # NULL media: no header to parse
+                    continue
                 fmt, w, h = _header_geometry(bytes(payload))
                 ids.append(i)
                 fmts.append(fmt)
@@ -521,6 +527,399 @@ def _decode_wav_samples(b: bytes) -> tuple[tuple[int, int], int, "object"]:
     return (n, n_ch), rate, s[: n * n_ch]
 
 
+# --- baseline JPEG codec (pure numpy — no codec library) -------------------
+#
+# ITU-T T.81 baseline sequential DCT, the subset every JFIF file uses:
+# segment walk, DHT canonical Huffman tables, DC prediction + magnitude
+# categories, AC run/size with EOB/ZRL, FF00 byte unstuffing, dequant,
+# dezigzag, orthonormal 8x8 IDCT. Decodes grayscale and non-subsampled
+# (1x1) 3-component YCbCr; progressive (SOF2), subsampled chroma,
+# arithmetic coding and restart markers raise NotImplementedError with
+# the exact feature named. The matching encoder emits spec-valid
+# grayscale baseline JPEG (standard Annex K Huffman tables, caller's
+# quant table) so decode paths are value-checkable end-to-end: with an
+# all-ones quant table, block-constant images round-trip EXACTLY
+# (DC = 8*(v-128) is integral; AC quantize to 0), giving a closed-form
+# oracle for the full entropy-coded pipeline.
+
+#: Zigzag scan order: position k in the scan -> natural row-major index.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K "typical" luminance tables: (counts per code length 1..16, symbols).
+_JPEG_STD_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_STD_DC_VALS = tuple(range(12))
+_JPEG_STD_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_STD_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+
+def _huff_canonical(bits, vals):
+    """Canonical Huffman assignment (T.81 C.2): for each length 1..16,
+    codes increase by one; doubling when the length grows. Returns
+    {(length, code): symbol}."""
+    table = {}
+    code = 0
+    i = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _dct8_matrix():
+    """Orthonormal 8-point DCT-II matrix A: coeff = A @ px @ A.T,
+    px = A.T @ coeff @ A."""
+    import numpy as np
+
+    n = np.arange(8)
+    a = np.cos((2 * n + 1) * n.reshape(-1, 1) * np.pi / 16) * np.sqrt(0.25)
+    a[0] *= np.sqrt(0.5)
+    return a
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy-coded segment with FF00
+    unstuffing done up front."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.n = 0
+
+    def bits(self, count: int) -> int:
+        while self.n < count:
+            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.buf = (self.buf << 8) | byte
+            self.n += 8
+        self.n -= count
+        out = (self.buf >> self.n) & ((1 << count) - 1)
+        self.buf &= (1 << self.n) - 1
+        return out
+
+    def huff(self, table) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to the signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
+    """Decode baseline JPEG to ((h, w, ncomp), flat float64 pixels in
+    top-down row-major order; 3-component output converted YCbCr→RGB).
+    Raises NotImplementedError for the features that are genuinely out
+    of baseline-sequential scope (progressive, subsampling, restart
+    intervals, 12-bit precision)."""
+    import numpy as np
+
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    quant: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (h, w, [(comp_id, qid)])
+    scan_comps = None  # [(comp_id, dc_tbl, ac_tbl)]
+    entropy = None
+    pos = 2
+    while pos + 4 <= len(b) and entropy is None:
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG segment desync")
+        marker = b[pos + 1]
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        body = b[pos + 4 : pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit JPEG quant tables")
+                tbl = np.zeros(64)
+                for k in range(64):
+                    tbl[_JPEG_ZIGZAG[k]] = body[i + 1 + k]
+                quant[tid] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0x0F
+                bits = tuple(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = tuple(body[i + 17 : i + 17 + nvals])
+                huff[(cls, tid)] = _huff_canonical(bits, vals)
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if body[0] != 8:
+                raise NotImplementedError("12-bit JPEG sample precision")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            comps = []
+            for c in range(body[5]):
+                cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled JPEG chroma (sampling factors != 1x1)"
+                    )
+                comps.append((cid, qid))
+            if len(comps) not in (1, 3):
+                raise NotImplementedError(f"{len(comps)}-component JPEG")
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("progressive/extended JPEG (SOF2+)")
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            scan_comps = [
+                (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
+                for c in range(ns)
+            ]
+            # unstuff FF00 → FF; stop at any real marker (EOI)
+            raw = bytearray()
+            j = pos
+            while j < len(b):
+                if b[j] == 0xFF:
+                    if j + 1 < len(b) and b[j + 1] == 0x00:
+                        raw.append(0xFF)
+                        j += 2
+                        continue
+                    break
+                raw.append(b[j])
+                j += 1
+            entropy = bytes(raw)
+    if frame is None or scan_comps is None or entropy is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+    qid_of = dict(comps)
+    a_mat = _dct8_matrix()
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in scan_comps]
+    reader = _JpegBitReader(entropy)
+    pred = [0] * len(scan_comps)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, dct, act) in enumerate(scan_comps):
+                coeff = np.zeros(64)
+                t = reader.huff(huff[(0, dct)])
+                pred[ci] += _jpeg_extend(reader.bits(t), t)
+                coeff[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.huff(huff[(1, act)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    coeff[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(size), size)
+                    k += 1
+                block = coeff.reshape(8, 8) * quant[qid_of[cid]]
+                px = a_mat.T @ block @ a_mat + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    planes = [p[:h, :w] for p in planes]
+    if len(planes) == 1:
+        out = np.clip(np.round(planes[0]), 0, 255)
+        return (h, w, 1), out.reshape(-1)
+    y, cb, cr = planes
+    rgb = np.stack(
+        [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ],
+        axis=-1,
+    )
+    return (h, w, 3), np.clip(np.round(rgb), 0, 255).reshape(-1)
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with FF00 stuffing and 1-fill alignment."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.n = 0
+
+    def bits(self, value: int, count: int) -> None:
+        self.buf = (self.buf << count) | (value & ((1 << count) - 1))
+        self.n += count
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.buf >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+        self.buf &= (1 << self.n) - 1
+
+    def finish(self) -> bytes:
+        if self.n:
+            self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
+        return bytes(self.out)
+
+
+def _encode_jpeg_gray(px, quant=None) -> bytes:
+    """Encode a (h, w) uint8 array (h, w multiples of 8) as spec-valid
+    grayscale baseline JPEG: forward orthonormal DCT, caller's quant
+    table (default all-ones — lossless for block-constant images),
+    zigzag, DC prediction, Annex K Huffman tables, FF stuffing. The
+    stdlib-free twin of ``_decode_jpeg_pixels`` used to synthesize
+    deterministic payloads for end-to-end decode checks."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires dimensions that are multiples of 8")
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+    enc_dc = {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(
+            _JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS
+        ).items()
+    }
+    enc_ac = {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(
+            _JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS
+        ).items()
+    }
+    a_mat = _dct8_matrix()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = b"\xff\xd8"  # SOI
+    zz_q = bytes(int(q.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    head += seg(0xDB, b"\x00" + zz_q)
+    head += seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + b"\x01" + b"\x01\x11\x00")
+    head += seg(0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS))
+    head += seg(0xC4, b"\x10" + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS))
+    head += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+
+    wtr = _JpegBitWriter()
+    pred = 0
+
+    def put(table, sym: int, extra: int, t: int) -> None:
+        code, length = table[sym]
+        wtr.bits(code, length)
+        if t:
+            wtr.bits(extra if extra >= 0 else extra + (1 << t) - 1, t)
+
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeff = np.round((a_mat @ block @ a_mat.T) / q).astype(np.int64)
+            zz = coeff.reshape(-1)[list(_JPEG_ZIGZAG)]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = int(abs(diff)).bit_length()
+            put(enc_dc, t, diff, t)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(enc_ac, 0xF0, 0, 0)
+                    run -= 16
+                s = abs(v).bit_length()
+                put(enc_ac, (run << 4) | s, v, s)
+                run = 0
+            if run:
+                put(enc_ac, 0x00, 0, 0)  # EOB
+    return head + wtr.finish() + b"\xff\xd9"  # EOI
+
+
+_JPEG_SYNTH_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def synth_jpeg_gray(df: DataFrame, id_col: str, seed_col: str,
+                    w_col: str, h_col: str) -> DataFrame:
+    """Deterministic JPEG corpus generator: per row, encode a (h, w)
+    grayscale image whose 8x8 block at (bx, by) is the constant
+    ``(seed + 7*bx + 13*by) % 256`` — closed-form recomputable by a SQL
+    oracle, and exactly recoverable through the all-ones-quant baseline
+    codec (DC-only blocks). Arrow-batched mapInPandas, repartitioned by
+    id like every CPU-bound media stage."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for i, seed, w, h in zip(pdf["id"], pdf["s"], pdf["w"], pdf["h"]):
+                bx = (np.arange(int(w)) // 8).reshape(1, -1)
+                by = (np.arange(int(h)) // 8).reshape(-1, 1)
+                img = ((int(seed) + 7 * bx + 13 * by) % 256).astype(np.uint8)
+                ids.append(int(i))
+                payloads.append(_encode_jpeg_gray(img))
+                ws.append(int(w))
+                hs.append(int(h))
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "width": ws, "height": hs}
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(seed_col).cast("long").alias("s"),
+        F.col(w_col).cast("int").alias("w"),
+        F.col(h_col).cast("int").alias("h"),
+    ).repartition("id")
+    return src.mapInPandas(gen, _JPEG_SYNTH_SCHEMA)
+
+
 _DECODE_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -557,6 +956,8 @@ def decode_media(
         for pdf in batches:
             ids, kinds, shapes, rates, datas = [], [], [], [], []
             for i, payload in zip(pdf["id"], pdf["p"]):
+                if payload is None:  # NULL media decodes to nothing
+                    continue
                 b = bytes(payload)
                 if b[:2] == b"BM":
                     shape, flat = _decode_bmp_pixels(b)
@@ -564,11 +965,15 @@ def decode_media(
                 elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                     shape, rate, flat = _decode_wav_samples(b)
                     kind = "wav"
+                elif b[:2] == b"\xff\xd8":
+                    shape, flat = _decode_jpeg_pixels(b)
+                    kind, rate = "jpeg", None
                 else:
                     raise NotImplementedError(
-                        "payload is not BMP or WAV; entropy-coded formats "
-                        "(JPEG/PNG/H.264) need codec libraries this container "
-                        "does not ship — see decode_media docstring"
+                        "payload is not BMP, WAV, or baseline JPEG; other "
+                        "entropy-coded formats (PNG/H.264) need codec "
+                        "libraries this container does not ship — see "
+                        "decode_media docstring"
                     )
                 ids.append(int(i))
                 kinds.append(kind)
@@ -635,6 +1040,8 @@ def resize_images(
         for pdf in batches:
             ids, payloads = [], []
             for i, payload in zip(pdf["id"], pdf["p"]):
+                if payload is None:  # NULL media: nothing to resize
+                    continue
                 (h, w, _), flat = _decode_bmp_pixels(bytes(payload))
                 px = flat.astype(np.uint8).reshape(h, w, 3)
                 ys = (np.arange(height) * h) // height
