@@ -98,6 +98,7 @@ HEADLINE = [
     "analytics_excess_shippers",
     "mm_bmp_decode_channel_stats",
     "mm_wav_decode_energy",
+    "mm_jpeg_decode_block_stats",
 ]
 
 

@@ -393,3 +393,60 @@ def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = audio_frame_energy(d, "doc_id", "payload", frame=16)
     return out.select(F.col("id").alias("doc_id"), "frame_no", "energy")
+
+
+@register(
+    "mm_jpeg_decode_block_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (doc_id * 17) % 256 AS seed,
+             8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id < 60)
+    SELECT doc_id,
+           CAST(u.x AS INT) AS bx, CAST(v.y AS INT) AS by,
+           CAST((seed + 7 * u.x + 13 * v.y) % 256 AS DOUBLE) AS lo,
+           CAST((seed + 7 * u.x + 13 * v.y) % 256 AS DOUBLE) AS hi,
+           CAST(64 AS BIGINT) AS n_px
+    FROM g, UNNEST(range(0, w // 8)) AS u(x), UNNEST(range(0, h // 8)) AS v(y)
+    """,
+    tags=("B15", "B11"),
+)
+def mm_jpeg_decode_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ENTROPY-CODED image decode, no codec library: per
+    document synthesize a spec-valid baseline JPEG (synth_jpeg_gray —
+    canonical Huffman DHT, DC prediction, FF stuffing) whose 8x8 block
+    (bx, by) is the constant (seed + 7*bx + 13*by) % 256, fully decode
+    it back (decode_media's _decode_jpeg_pixels: segment walk, Huffman,
+    dequant, dezigzag, IDCT), and reduce per block JVM-side. min = max
+    = closed form and n_px = 64 prove EVERY pixel of every block
+    survived the entropy-coded round trip — one wrong Huffman bit, DC
+    prediction, zigzag slot, or IDCT term breaks the hash match. With
+    the all-ones quant table the round trip is exact (DC = 8*(v-128)
+    integral, AC quantize to 0), so the oracle needs no tolerance."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        synth_jpeg_gray,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        (F.col("doc_id") * 17 % 256).alias("seed"),
+        (8 * (2 + F.col("doc_id") % 3)).cast("int").alias("w"),
+        (8 * (1 + F.col("doc_id") % 2)).cast("int").alias("h"),
+    )
+    jp = synth_jpeg_gray(d, "doc_id", "seed", "w", "h")
+    dec = decode_media(jp, "id")
+    px = dec.select(
+        F.col("id").alias("doc_id"),
+        F.col("shape")[1].alias("w"),
+        F.posexplode("data"),
+    )
+    return px.groupBy(
+        "doc_id",
+        F.floor((F.col("pos") % F.col("w")) / 8).cast("int").alias("bx"),
+        F.floor(F.floor(F.col("pos") / F.col("w")) / 8).cast("int").alias("by"),
+    ).agg(
+        F.min("col").alias("lo"),
+        F.max("col").alias("hi"),
+        F.count(F.lit(1)).alias("n_px"),
+    )

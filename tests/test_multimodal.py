@@ -76,7 +76,7 @@ def test_decode_unsupported_format_raises(spark):
     payloads are raw UTF-8 bytes (no container), so decoding them must
     raise the NotImplementedError from inside the Arrow stage."""
     d = _docs(spark)
-    with pytest.raises(Exception, match="BMP or WAV"):
+    with pytest.raises(Exception, match="BMP, WAV, or baseline JPEG"):
         decode_media(d, "doc_id").collect()
     with pytest.raises(Exception, match="not a BMP"):
         resize_images(d, "doc_id", 32, 32).collect()
@@ -337,3 +337,166 @@ def test_png_payload_roundtrip_matches_stdlib_parse(spark):
     for r in rows:
         assert _header_geometry(bytes(r.payload)) == ("png", r.id * 100, r.id * 50)
         assert (r.m.fmt, r.m.width, r.m.height) == ("png", r.id * 100, r.id * 50)
+
+
+# --- baseline JPEG codec ----------------------------------------------------
+
+
+def _block_img(w, h, seed=37):
+    img_bx = (np.arange(w) // 8).reshape(1, -1)
+    img_by = (np.arange(h) // 8).reshape(-1, 1)
+    return ((seed + 7 * img_bx + 13 * img_by) % 256).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_block_constant_exact():
+    """With the all-ones quant table, block-constant images survive the
+    full entropy-coded round trip EXACTLY (DC = 8*(v-128) is integral,
+    AC quantize to 0) — the closed-form contract the
+    mm_jpeg_decode_block_stats oracle relies on."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+        _header_geometry,
+    )
+
+    for w, h, seed in ((8, 8, 0), (24, 16, 37), (40, 32, 250), (16, 48, 129)):
+        img = _block_img(w, h, seed)
+        payload = _encode_jpeg_gray(img)
+        assert _header_geometry(payload) == ("jpeg", w, h)
+        (dh, dw, nc), flat = _decode_jpeg_pixels(payload)
+        assert (dh, dw, nc) == (h, w, 1)
+        assert np.array_equal(flat.reshape(h, w), img.astype(float))
+
+
+def test_jpeg_roundtrip_arbitrary_within_one():
+    """Arbitrary images: all-ones quant only rounds DCT coefficients,
+    so reconstruction is within 1 grey level — exercises nonzero AC
+    runs, ZRL, negative DC diffs, and FF byte stuffing."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    payload = _encode_jpeg_gray(img)
+    assert b"\xff\x00" in payload  # stuffing actually exercised
+    (h, w, _), flat = _decode_jpeg_pixels(payload)
+    assert np.abs(flat.reshape(h, w) - img.astype(float)).max() <= 1.0
+
+
+def test_jpeg_decoder_rejects_out_of_scope_features():
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+    )
+
+    payload = bytearray(_encode_jpeg_gray(_block_img(8, 8)))
+    sof = payload.index(b"\xff\xc0")
+    progressive = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2:])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        _decode_jpeg_pixels(progressive)
+    subsampled = bytearray(payload)
+    subsampled[sof + 11] = 0x22  # component sampling factors 2x2
+    with pytest.raises(NotImplementedError, match="subsampl"):
+        _decode_jpeg_pixels(bytes(subsampled))
+    dri = (bytes(payload[:sof]) + b"\xff\xdd\x00\x04\x00\x08"
+           + bytes(payload[sof:]))
+    with pytest.raises(NotImplementedError, match="restart"):
+        _decode_jpeg_pixels(dri)
+
+
+def _encode_jpeg_3comp_neutral_chroma(px):
+    """Spec-valid 3-component (YCbCr 1x1) baseline stream: Y from the
+    image, Cb = Cr = 128 (zero after level shift) — decoded RGB must
+    equal Y in all three channels."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _JPEG_STD_AC_BITS,
+        _JPEG_STD_AC_VALS,
+        _JPEG_STD_DC_BITS,
+        _JPEG_STD_DC_VALS,
+        _JPEG_ZIGZAG,
+        _JpegBitWriter,
+        _dct8_matrix,
+        _huff_canonical,
+    )
+
+    h, w = px.shape
+    enc_dc = {s: (c, ln) for (ln, c), s in
+              _huff_canonical(_JPEG_STD_DC_BITS, _JPEG_STD_DC_VALS).items()}
+    enc_ac = {s: (c, ln) for (ln, c), s in
+              _huff_canonical(_JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS).items()}
+
+    def seg(m, body):
+        return bytes([0xFF, m]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    head = b"\xff\xd8"
+    head += seg(0xDB, b"\x00" + bytes([1] * 64))
+    head += seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + b"\x03" + b"\x01\x11\x00" + b"\x02\x11\x00" + b"\x03\x11\x00")
+    head += seg(0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS))
+    head += seg(0xC4, b"\x10" + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS))
+    head += seg(0xDA, b"\x03" + b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00")
+    wtr = _JpegBitWriter()
+    a = _dct8_matrix()
+    pred = [0, 0, 0]
+
+    def put_block(ci, block):
+        coeff = np.round(a @ (block - 128.0) @ a.T).astype(int)
+        zz = coeff.reshape(-1)[list(_JPEG_ZIGZAG)]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        t = abs(diff).bit_length()
+        code, ln = enc_dc[t]
+        wtr.bits(code, ln)
+        if t:
+            wtr.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        assert not zz[1:].any()  # constant blocks only in this helper
+        code, ln = enc_ac[0x00]  # EOB
+        wtr.bits(code, ln)
+
+    neutral = np.full((8, 8), 128.0)
+    for img_by in range(h // 8):
+        for img_bx in range(w // 8):
+            put_block(0, px[img_by * 8:img_by * 8 + 8,
+                            img_bx * 8:img_bx * 8 + 8].astype(float))
+            put_block(1, neutral)
+            put_block(2, neutral)
+    return head + wtr.finish() + b"\xff\xd9"
+
+
+def test_jpeg_three_component_ycbcr_decode():
+    from stupp_exclusion_etl_spark.operators.multimodal import _decode_jpeg_pixels
+
+    img = _block_img(24, 16, 77)
+    payload = _encode_jpeg_3comp_neutral_chroma(img)
+    (h, w, nc), flat = _decode_jpeg_pixels(payload)
+    assert (h, w, nc) == (16, 24, 3)
+    rgb = flat.reshape(h, w, 3)
+    for ch in range(3):
+        assert np.array_equal(rgb[:, :, ch], img.astype(float))
+
+
+def test_jpeg_through_decode_media_spark(spark):
+    """End to end on the engine: synthesize per-row JPEGs in one Arrow
+    stage, decode them in another, and check every pixel against the
+    generator's closed form."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        synth_jpeg_gray,
+    )
+
+    src = spark.range(6).select(
+        F.col("id"),
+        (F.col("id") * 31 % 256).alias("seed"),
+        F.lit(24).alias("w"),
+        F.lit(16).alias("h"),
+    )
+    jp = synth_jpeg_gray(src, "id", "seed", "w", "h")
+    rows = decode_media(jp, "id").collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert (r.kind, list(r.shape)) == ("jpeg", [16, 24, 1])
+        got = np.array(r.data).reshape(16, 24)
+        want = _block_img(24, 16, (r.id * 31) % 256).astype(float)
+        assert np.array_equal(got, want), r.id
