@@ -282,6 +282,44 @@ def dedup_groups_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups_cc_star",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES},
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION
+              SELECT id2, id1 FROM pairs),
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS group_id
+    FROM reach GROUP BY src
+    """,
+    tags=("B9",),
+)
+def dedup_groups_cc_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same group assignment as dedup_groups_cc, computed by the
+    alternating large-star/small-star contraction
+    (operators.dedup.connected_components_star) instead of min-label
+    propagation: O(log n) rounds independent of component diameter, and
+    each round shrinks hot components toward their star — the variant
+    to reach for when one boilerplate cluster dominates a 100 TB
+    corpus. Oracle is the identical recursive-CTE transitive closure,
+    so both engines AND both algorithms are pinned to one answer."""
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "doc_id", "text", n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3
+    )
+    return connected_components_star(pairs).select(
+        F.col("doc_id").cast("long"), F.col("group_id").cast("long")
+    )
+
+
+@register(
     "dedup_lsh_verified",
     oracle=f"""
     WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),

@@ -360,3 +360,46 @@ def test_misra_gries_survives_eviction_churn(spark):
     items = spark.createDataFrame(rows, "token string").repartition(4)
     got = heavy_hitters_exact(items, "token", k=4, top=5).collect()
     assert [(r.token, r.cnt) for r in got] == [("heavy", 160)]
+
+
+def test_connected_components_star_matches_label_propagation(spark):
+    """The alternating large-star/small-star contraction must produce
+    the identical (doc_id, group_id) map as min-label propagation on a
+    graph with every awkward shape at once: a diameter-9 chain (worst
+    case for propagation), a 60-spoke hub (the skew shape star
+    contraction exists for), a triangle, an isolated pair, and a dense
+    random blob."""
+    import random
+
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    random.seed(23)
+    edges = [(i, i + 1) for i in range(100, 109)]           # chain
+    edges += [(200, 200 + k) for k in range(1, 61)]          # hub
+    edges += [(300, 301), (301, 302), (300, 302), (400, 401)]
+    edges += [(500 + random.randrange(40), 500 + random.randrange(40))
+              for _ in range(80)]                            # random blob
+    pairs = spark.createDataFrame(
+        [e for e in edges if e[0] != e[1]], "id1 long, id2 long"
+    )
+    want = {r.doc_id: r.group_id for r in connected_components(pairs).collect()}
+    got = {r.doc_id: r.group_id
+           for r in connected_components_star(pairs).collect()}
+    assert got == want
+    assert got[109] == 100 and got[260] == 200 and got[401] == 400
+
+
+def test_connected_components_star_empty_and_self_loops(spark):
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "id1 long, id2 long")
+    assert connected_components_star(empty).count() == 0
+    loops = spark.createDataFrame([(7, 7), (8, 8), (7, 8)], "id1 long, id2 long")
+    got = {r.doc_id: r.group_id
+           for r in connected_components_star(loops).collect()}
+    assert got == {7: 7, 8: 7}
