@@ -334,18 +334,22 @@ def _pq_oracle(m: int = 8, d: int = 8, kc: int = 16, topk: int = 20) -> str:
     engines fold the same doubles in the same order (see
     operators.similarity._sq_l2's ordered-fold contract)."""
 
-    def sq_sum(vec_a: str, vec_b: str) -> str:
-        return " + ".join(
-            f"(CAST({vec_a}[g.s*{d}+{i}] AS DOUBLE) - CAST({vec_b}[g.s*{d}+{i}] AS DOUBLE))"
-            f" * (CAST({vec_a}[g.s*{d}+{i}] AS DOUBLE) - CAST({vec_b}[g.s*{d}+{i}] AS DOUBLE))"
-            for i in range(1, d + 1)
-        )
-
     def dot_sum(vec_a: str, vec_b: str) -> str:
         return " + ".join(
             f"CAST({vec_a}[g.s*{d}+{i}] AS DOUBLE) * CAST({vec_b}[g.s*{d}+{i}] AS DOUBLE)"
             for i in range(1, d + 1)
         )
+
+    # Reduced ranking form ||c||² − 2·<v_s, c>, mirroring
+    # operators.similarity.pq_encode term for term: the ||c||² chain
+    # below folds the same doubles left-to-right that the engine folds
+    # driver-side into its literal, and SQL `+` is left-associative in
+    # both engines, so d2 is bit-identical across Spark and DuckDB.
+    cent_norm = " + ".join(
+        f"CAST(sd.embedding[g.s*{d}+{i}] AS DOUBLE)"
+        f" * CAST(sd.embedding[g.s*{d}+{i}] AS DOUBLE)"
+        for i in range(1, d + 1)
+    )
 
     score = " + ".join(f"pl[{s + 1}]" for s in range(m))
     return f"""
@@ -355,7 +359,9 @@ def _pq_oracle(m: int = 8, d: int = 8, kc: int = 16, topk: int = 20) -> str:
     g AS (SELECT CAST(range AS INT) AS s FROM range(0, {m})),
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     grid AS (
-      SELECT e.vec_id, g.s, sd.c, {sq_sum('e.embedding', 'sd.embedding')} AS d2
+      SELECT e.vec_id, g.s, sd.c,
+             ({cent_norm})
+             - CAST(2.0 AS DOUBLE) * ({dot_sum('e.embedding', 'sd.embedding')}) AS d2
       FROM embeddings e CROSS JOIN g CROSS JOIN seeds sd
       WHERE e.vec_id <> 0),
     codes AS (
@@ -388,14 +394,18 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py."""
     from stupp_exclusion_etl_spark.operators.similarity import (
         pq_adc_topk,
-        pq_encode,
+        pq_encode_arrow,
         pq_seed_codebook,
     )
 
     e = table(spark, sf_dir, "embeddings")
     book = pq_seed_codebook(e, m=8, k=16)
     qv = [float(x) for x in e.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
-    codes = pq_encode(e.filter(F.col("vec_id") != 0), book)
+    # Arrow-vectorized encode: the SQL literal-chain encode defeats JVM
+    # codegen (janino 64 KB) and runs interpreted; the numpy path is
+    # bit-identical (engineered fold order, see pq_encode_arrow) and 6×
+    # faster — tests pin arrow == sql == oracle.
+    codes = pq_encode_arrow(e.filter(F.col("vec_id") != 0), book)
     return pq_adc_topk(codes, book, qv, k=20)
 
 

@@ -184,3 +184,28 @@ def test_zero_vector_ranks_last_not_crash(spark):
     assert ip[2] == 0.0
     pairs = embedding_neardup_pairs(e, "vec_id", "embedding", F.col("label"), 0.5).collect()
     assert all(2 not in (p.id1, p.id2) for p in pairs)
+
+
+def test_pq_encode_arrow_bit_identical_to_sql(spark):
+    """The Arrow-vectorized encode must reproduce the SQL literal-chain
+    encode code-for-code: the fold order is engineered to match
+    (left-to-right accumulate, same ||c||² literals, first-min
+    tie-break), so any drift is a bug, not tolerance."""
+    from pyspark.sql import functions as F
+
+    from stupp_exclusion_etl_spark.catalog import table
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+        pq_seed_codebook,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    book = pq_seed_codebook(e, m=8, k=16)
+    base = e.filter(F.col("vec_id") != 0)
+    sql_codes = {r.vec_id: list(r.codes) for r in pq_encode(base, book).collect()}
+    arrow_codes = {
+        r.vec_id: list(r.codes) for r in pq_encode_arrow(base, book).collect()
+    }
+    assert arrow_codes == sql_codes
+    assert len(arrow_codes) == base.count()
