@@ -99,6 +99,8 @@ HEADLINE = [
     "mm_bmp_decode_channel_stats",
     "mm_wav_decode_energy",
     "mm_jpeg_decode_block_stats",
+    "sim_ivf_pq_topk",
+    "dedup_groups_cc_star",
 ]
 
 

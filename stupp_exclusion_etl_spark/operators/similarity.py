@@ -526,7 +526,7 @@ def pq_encode_arrow(
     src = vectors.select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("__v")
     )
-    out = src.mapInPandas(enc, f"id long, codes array<int>")
+    out = src.mapInPandas(enc, "id long, codes array<int>")
     return out.select(F.col("id").alias(id_col), "codes")
 
 

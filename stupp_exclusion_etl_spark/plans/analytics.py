@@ -535,17 +535,26 @@ def analytics_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     into aggregate + self-equi-join (no partsupp table in this schema;
     lineitem unit prices stand in for supply cost). Float equality on
     unit_price is engine-safe: both engines evaluate the identical
-    IEEE division row-by-row and MIN is order-independent. Scale: both
-    aggregates and the re-join share the l_partkey shuffle key, so AQE
-    reuses one exchange; part(size=7) and supplier broadcast."""
-    li = table(spark, sf_dir, "lineitem")
+    IEEE division row-by-row and MIN is order-independent. Scale: the
+    size-7 part filter is pushed BELOW both aggregates as a broadcast
+    semi-join on the lineitem scan — offers/best exist only for parts
+    that can reach the result (~1/50 of rows; equivalent to the
+    oracle's late filter because best_price per part is independent of
+    other parts). Both aggregates and the re-join share the l_partkey
+    shuffle key, so AQE reuses one exchange; part and supplier
+    broadcast."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 7)
+    li = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select(F.col("p_partkey").alias("l_partkey"))),
+        "l_partkey",
+        "left_semi",
+    )
     offers = li.groupBy(
         F.col("l_partkey").alias("o_pk"), F.col("l_suppkey").alias("l_suppkey")
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
     best = offers.groupBy(F.col("o_pk").alias("l_partkey")).agg(
         F.min("unit_price").alias("best_price")
     )
-    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 7)
     s = table(spark, sf_dir, "supplier")
     return (
         best.join(

@@ -328,11 +328,20 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_oracle(m: int = 8, d: int = 8, kc: int = 16, topk: int = 20) -> str:
+def _pq_oracle(
+    m: int = 8,
+    d: int = 8,
+    kc: int = 16,
+    topk: int = 20,
+    extra_ctes: str = "",
+    src: str = "embeddings e",
+) -> str:
     """SQL restatement of the seeded-codebook PQ pipeline. All inner
     sums are written as explicit left-to-right additions so both
     engines fold the same doubles in the same order (see
-    operators.similarity._sq_l2's ordered-fold contract)."""
+    operators.similarity._sq_l2's ordered-fold contract).
+    ``extra_ctes``/``src`` let the IVF+PQ composite swap the scored
+    universe from the full table to the probed-cell candidates."""
 
     def dot_sum(vec_a: str, vec_b: str) -> str:
         return " + ".join(
@@ -358,11 +367,12 @@ def _pq_oracle(m: int = 8, d: int = 8, kc: int = 16, topk: int = 20) -> str:
       FROM embeddings WHERE vec_id BETWEEN 1 AND {kc}),
     g AS (SELECT CAST(range AS INT) AS s FROM range(0, {m})),
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    {extra_ctes}
     grid AS (
       SELECT e.vec_id, g.s, sd.c,
              ({cent_norm})
              - CAST(2.0 AS DOUBLE) * ({dot_sum('e.embedding', 'sd.embedding')}) AS d2
-      FROM embeddings e CROSS JOIN g CROSS JOIN seeds sd
+      FROM {src} CROSS JOIN g CROSS JOIN seeds sd
       WHERE e.vec_id <> 0),
     codes AS (
       SELECT vec_id, s, c FROM grid
@@ -407,6 +417,69 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # faster — tests pin arrow == sql == oracle.
     codes = pq_encode_arrow(e.filter(F.col("vec_id") != 0), book)
     return pq_adc_topk(codes, book, qv, k=20)
+
+
+def _ivf_pq_oracle(n_probe: int = 4, topk: int = 10) -> str:
+    """IVF routing + PQ-ADC scoring: _ivf_oracle's probe CTEs pick the
+    candidate cells, _pq_oracle's grid/codes/LUT CTEs score only those
+    candidates."""
+    cent_cos = _cos("c.centroid", "q.qe")
+    probe_ctes = f"""
+    comp AS (
+      SELECT label, u.i AS i, AVG(CAST(embedding[u.i] AS DOUBLE)) AS m
+      FROM embeddings, UNNEST(range(1, {_DIM}+1)) AS u(i)
+      GROUP BY label, u.i),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM comp GROUP BY label),
+    probe AS (
+      SELECT c.label FROM cent c CROSS JOIN q
+      ORDER BY {cent_cos} DESC LIMIT {n_probe}),
+    cand AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN probe USING (label) WHERE e.vec_id <> 0),
+    """
+    return _pq_oracle(
+        topk=topk, extra_ctes=probe_ctes.strip(), src="cand e"
+    )
+
+
+@register("sim_ivf_pq_topk", oracle=_ivf_pq_oracle(), tags=("B13",))
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full billion-vector serving stack in one query — IVF routes,
+    PQ codes score: probe the query's 4 nearest cells (label-mean
+    centroids, broadcast), PQ-encode ONLY the candidates from those
+    cells (Arrow path, bit-identical to the SQL chains), then
+    asymmetric-distance top-10 from the 128-entry LUT. At 100 TB the
+    candidate read is partition-pruned on the cell column and the ADC
+    scan touches 8 bytes/vector; everything after the centroid agg is
+    map-only + TakeOrderedAndProject. Fully oracled: probe, codes, and
+    LUT all re-derived in SQL."""
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        cosine,
+        mean_centroids,
+        pq_adc_topk,
+        pq_encode_arrow,
+        pq_seed_codebook,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    book = pq_seed_codebook(e, m=8, k=16)
+    qrow = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    qv = [float(x) for x in qrow.first()[0]]
+    cent = mean_centroids(e, cell_col="label")
+    probe = (
+        cent.crossJoin(F.broadcast(qrow))
+        .select(
+            F.col("cell").alias("label"),
+            cosine(F.col("centroid"), F.col("q")).alias("__c"),
+        )
+        .orderBy(F.col("__c").desc())
+        .limit(4)
+        .select("label")
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(F.broadcast(probe), "label")
+    codes = pq_encode_arrow(cand, book)
+    return pq_adc_topk(codes, book, qv, k=10)
 
 
 @register(

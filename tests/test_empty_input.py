@@ -21,7 +21,10 @@ TABLES = (
 
 #: Queries whose plan construction NEEDS data rows by design, with the
 #: documented ValueError they must raise on empty input.
-DATA_DEPENDENT = {"sim_pq_adc_topk": "need vec ids 1..16 as PQ seeds"}
+DATA_DEPENDENT = {
+    "sim_pq_adc_topk": "need vec ids 1..16 as PQ seeds",
+    "sim_ivf_pq_topk": "need vec ids 1..16 as PQ seeds",
+}
 
 
 @pytest.fixture(scope="session")
