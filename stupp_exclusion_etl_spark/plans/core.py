@@ -363,3 +363,40 @@ def ingest_html_form_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         g("EmptyNotes").alias("empty_notes"),
         g("URL").alias("url"),
     )
+
+
+@register(
+    "source_paged_filter_pushdown",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE lang = 'en' AND n_chars >= 200 AND source IN ('src1', 'src2', 'src3')
+    """,
+    tags=("A1", "A2", "A17", "B1", "B3"),
+)
+def source_paged_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's paginated scan-with-pushdown (A1/A2) as a REAL
+    custom connector, not a parquet delegation: a Spark 4 Python
+    DataSource whose partitions are pages (each task fetches one page —
+    parallelized pagination, A17) and whose pushFilters() consumes the
+    eq/range/IN predicate set a DataTables-style endpoint evaluates
+    server-side (sources/paged.py; reference
+    clients/exclusion_requests.py:78-90). The physical plan is a bare
+    BatchScan with NO Filter node above it — Spark dropped the
+    predicates because the source proved it handles them
+    (tests/test_paged_source.py pins that plan shape)."""
+    from stupp_exclusion_etl_spark.sources.paged import register_paged_source
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    register_paged_source(spark)
+    df = (
+        spark.read.format("paged_documents")
+        .option("path", f"{sf_dir}/documents.parquet")
+        .option("page_size", "1500")
+        .load()
+    )
+    return df.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_chars") >= 200)
+        & F.col("source").isin("src1", "src2", "src3")
+    ).select("doc_id", "lang", "source", "n_chars")
