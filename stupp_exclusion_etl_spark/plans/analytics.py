@@ -150,9 +150,19 @@ def analytics_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame
               li.l_suppkey == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
+            # try_divide: a year-group whose revenue sums to 0.0 (all
+            # zero-price/zero-quantity lines) must yield NULL, not an
+            # ANSI DIVIDE_BY_ZERO — DuckDB x/0.0 is NULL (adversarial
+            # relational sweep; repo-wide try_divide policy).
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_7", rev).otherwise(F.lit(0.0)))
-                / F.sum(rev),
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("n_name") == "NATION_7", rev
+                        ).otherwise(F.lit(0.0))
+                    ),
+                    F.sum(rev),
+                ),
                 6,
             ).alias("mkt_share")
         )

@@ -297,17 +297,26 @@ def ingest_normalize_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ingest_html_form_parse",
     oracle="""
+    WITH g AS (
+      SELECT o_orderkey,
+             coalesce(CAST(o_custkey AS VARCHAR), 'None') AS ck_g,
+             coalesce(o_orderpriority, 'None') AS pr_g,
+             coalesce(o_orderstatus, 'None') AS st_g
+      FROM orders)
     SELECT o_orderkey AS id,
-           CAST(o_custkey AS VARCHAR) AS customer_id,
-           o_orderpriority AS priority,
-           o_orderstatus AS status,
-           o_orderstatus AS untitled3,
+           ck_g AS customer_id,
+           NULLIF(pr_g, '') AS priority,
+           -- empty pairs drop BEFORE the last-wins fold (reference
+           -- :158 then :159), so '' status falls back to the earlier
+           -- STALE input instead of erasing the key
+           CASE WHEN st_g = '' THEN 'STALE' ELSE st_g END AS status,
+           NULLIF(st_g, '') AS untitled3,
            'None' AS missing_value,
            CAST(NULL AS VARCHAR) AS empty_absent,
-           o_orderpriority AS notes,
+           NULLIF(pr_g, '') AS notes,
            'None' AS empty_notes,
            'https://example.invalid/detail/' || CAST(o_orderkey AS VARCHAR) AS url
-    FROM orders
+    FROM g
     """,
     tags=("A6", "A7", "A8", "A9", "A10"),
 )
@@ -329,18 +338,23 @@ def ingest_html_form_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stupp_exclusion_etl_spark.sources.ingest import parse_form_inputs
 
     o = table(spark, sf_dir, "orders")
-    ck = F.col("o_custkey").cast("string")
+    # NULL source fields render as str(None) = 'None', like the
+    # reference's str()-based pipeline — and so a NULL column can never
+    # NULL out the whole concat'd document (adversarial sweep finding).
+    ck = F.coalesce(F.col("o_custkey").cast("string"), F.lit("None"))
+    pr = F.coalesce(F.col("o_orderpriority"), F.lit("None"))
+    st = F.coalesce(F.col("o_orderstatus"), F.lit("None"))
     html = F.concat(
         F.lit('<form><input title="BIS232Request.CustomerId" value="'), ck,
-        F.lit('"/><input name="Priority" value="'), F.col("o_orderpriority"),
+        F.lit('"/><input name="Priority" value="'), pr,
         F.lit('"/><input title="Status" value="STALE"/>'),
-        F.lit('<input value="'), F.col("o_orderstatus"),
+        F.lit('<input value="'), st,
         F.lit('"/><input title="MissingValue"/>'),
         F.lit('<input title="Empty" value=""/>'),
         F.lit('<input title="__RequestVerificationToken" value="tok-abc"/>'),
-        F.lit('<input title="JSONData.Status" value="'), F.col("o_orderstatus"),
+        F.lit('<input title="JSONData.Status" value="'), st,
         F.lit('"/><textarea title="BIS232Objection.Notes">  '),
-        F.col("o_orderpriority"),
+        pr,
         F.lit(" </textarea><textarea title=\"EmptyNotes\"></textarea></form>"),
     )
     url = F.concat(

@@ -21,8 +21,11 @@ from stupp_exclusion_etl_spark.plans.registry import register
     oracle="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+           -- NULLIF+TRY_CAST: malformed/empty props extract '' which a
+           -- bare CAST rejects; the engine's from_json yields NULL for
+           -- them (adversarial relational sweep)
+           CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
     """,
     tags=("A11", "B11"),
@@ -169,8 +172,14 @@ def func_string_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nested_double_json",
     oracle="""
     SELECT event_id,
-           CAST(json_extract(json_extract_string(
-                json_object('body', props), '$.body'), '$.k') AS BIGINT) AS k
+           -- json_valid guard: the engine's from_json returns NULL for
+           -- malformed inner text; DuckDB json_extract raises
+           -- (adversarial relational sweep)
+           CASE WHEN json_valid(json_extract_string(
+                  json_object('body', props), '$.body'))
+                THEN CAST(json_extract(json_extract_string(
+                       json_object('body', props), '$.body'), '$.k') AS BIGINT)
+                END AS k
     FROM events WHERE event_id < 500
     """,
     tags=("A19", "B11"),
@@ -232,7 +241,8 @@ def func_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH src AS (
       SELECT event_id, event_type,
-             CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k
+             TRY_CAST(NULLIF(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                      AS BIGINT) AS k
       FROM events WHERE event_id < 2000)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
@@ -257,7 +267,11 @@ def nested_variant_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the same numbers from the branch arithmetic, so the
     variant path is fully value-checked."""
     e = table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long")
+    # nullif first: regexp_extract returns '' on no-match (malformed /
+    # NULL-less props) and ANSI cast('') throws (adversarial sweep)
+    k = F.nullif(
+        F.regexp_extract("props", '"k": ([0-9]+)', 1), F.lit("")
+    ).cast("long")
     payload = F.when(k % 2 == 0, F.col("props")).otherwise(k.cast("string"))
     v = F.parse_json(payload)
     k_obj = F.try_variant_get(v, "$.k", "long")

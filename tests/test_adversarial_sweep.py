@@ -198,3 +198,98 @@ def test_adversarial_oracle_parity(spark, adv_sf_dir, name):
     assert not problems, f"{name} diverges on adversarial corpus:\n" + "\n".join(
         problems[:3]
     )
+
+
+# --- adversarial RELATIONAL corpus (TPC-H-ish tables) -----------------------
+#
+# Same pattern, aimed at the analytics/agg/join/window/subquery surface:
+# mutate the sf0.001 tables with the rows a 100 TB lakehouse actually
+# contains — NULL foreign keys, orphan keys, NULL/zero/negative
+# measures, NULL dates, empty strings — and require full oracle parity.
+# DuckDB yields NULL for double x/0.0 while Spark ANSI throws, so any
+# plain `/` over a zero-able divisor shows up here as a crash.
+
+
+@pytest.fixture(scope="module")
+def adv_rel_sf_dir(tmp_path_factory, adv_sf_dir):
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sf_adversarial_rel")
+    # documents/events/embeddings: reuse the degenerate corpus
+    for t in ("documents", "events", "embeddings"):
+        shutil.copy(f"{adv_sf_dir}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    src = SF_SMALL
+
+    def mutate(table, extra_values_sql):
+        con.execute(
+            f"""COPY (
+                SELECT * FROM '{src}/{table}.parquet'
+                UNION ALL BY NAME
+                {extra_values_sql}
+            ) TO '{d / table}.parquet' (FORMAT PARQUET)"""
+        )
+
+    mutate("orders", """
+        SELECT * FROM (VALUES
+          (900001, CAST(NULL AS BIGINT), 'O', 123.45,
+           TIMESTAMP '1996-06-01', '1-URGENT'),
+          (900002, 999999, '', CAST(NULL AS DOUBLE),
+           CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR)),
+          (900003, 1, 'F', 0.0, TIMESTAMP '1993-02-03', '5-LOW')
+        ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+            o_orderdate, o_orderpriority)""")
+    mutate("lineitem", """
+        SELECT * FROM (VALUES
+          (900001, 999999, 999999, 1, 0.0, 100.0, 0.0, 0.0, 'N', 'O',
+           TIMESTAMP '1996-06-10'),
+          (900001, 1, 1, 2, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+           CAST(NULL AS VARCHAR), CAST(NULL AS TIMESTAMP)),
+          (900002, 2, 2, 1, -5.0, -10.0, 1.0, 0.0, 'R', 'F',
+           TIMESTAMP '1994-01-01'),
+          (900003, 3, 3, 1, 7.0, 0.0, 0.5, 0.08, 'A', 'F',
+           TIMESTAMP '1993-03-04')
+        ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+            l_extendedprice, l_discount, l_tax, l_returnflag,
+            l_linestatus, l_shipdate)""")
+    mutate("customer", """
+        SELECT * FROM (VALUES
+          (800001, '', CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+           CAST(NULL AS VARCHAR)),
+          (800002, 'null-balance', 0, 0.0, 'BUILDING')
+        ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)""")
+    mutate("supplier", """
+        SELECT * FROM (VALUES
+          (700001, 'orphan-nation', CAST(NULL AS INTEGER),
+           CAST(NULL AS DOUBLE))
+        ) t(s_suppkey, s_name, s_nationkey, s_acctbal)""")
+    mutate("part", """
+        SELECT * FROM (VALUES
+          (600001, '', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+           CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE)),
+          (600002, 'zero-price', 'Brand#00', 'TYPE ZERO', 7, 0.0)
+        ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)""")
+    mutate("nation", """
+        SELECT * FROM (VALUES
+          (500, 'NULL-REGION', CAST(NULL AS INTEGER))
+        ) t(n_nationkey, n_name, n_regionkey)""")
+    shutil.copy(f"{src}/region.parquet", d / "region.parquet")
+    con.close()
+    return str(d)
+
+
+#: Relational-family queries NOT already in the corpus sweep.
+REL_SWEEP = sorted(
+    n for n, q in REGISTRY.items()
+    if q.oracle is not None and not n.startswith(_FAMILIES)
+)
+
+
+@pytest.mark.parametrize("name", REL_SWEEP)
+def test_adversarial_relational_parity(spark, adv_rel_sf_dir, name):
+    problems = harness.check(spark, adv_rel_sf_dir, name)
+    assert not problems, (
+        f"{name} diverges on adversarial relational tables:\n"
+        + "\n".join(problems[:3])
+    )
