@@ -58,8 +58,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "flagship_code_revenue",
     "scan_project",
     "point_lookup",
+    "source_paged_filter_pushdown",  # A1/A2 as a REAL pushdown connector
     "filter_eq",
-    "filter_range",
     "filter_in",
     "filter_like_regex",
     "filter_null_and_empty",
