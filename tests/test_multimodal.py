@@ -500,3 +500,36 @@ def test_jpeg_through_decode_media_spark(spark):
         got = np.array(r.data).reshape(16, 24)
         want = _block_img(24, 16, (r.id * 31) % 256).astype(float)
         assert np.array_equal(got, want), r.id
+
+
+def test_jpeg_codec_property_roundtrip():
+    """Property: ANY uint8 image (dims multiples of 8) survives the
+    all-ones-quant baseline codec within one grey level, and any
+    block-constant image survives EXACTLY — over random geometries and
+    content, not just the handcrafted cases."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.integers(1, 4),  # width in blocks
+        st.integers(1, 4),  # height in blocks
+        st.integers(0, 2**31 - 1),
+    )
+    def check(wb, hb, seed):
+        rng = np.random.default_rng(seed)
+        w, h = wb * 8, hb * 8
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        (dh, dw, _), flat = _decode_jpeg_pixels(_encode_jpeg_gray(img))
+        assert (dh, dw) == (h, w)
+        assert np.abs(flat.reshape(h, w) - img.astype(float)).max() <= 1.0
+        const = np.full((h, w), int(rng.integers(0, 256)), np.uint8)
+        (_, _, _), flat_c = _decode_jpeg_pixels(_encode_jpeg_gray(const))
+        assert np.array_equal(flat_c.reshape(h, w), const.astype(float))
+
+    check()
