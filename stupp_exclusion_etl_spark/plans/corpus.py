@@ -325,6 +325,47 @@ def corpus_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_chunks_udtf",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(o // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(l, o + 1, o + {_CHUNK_W})) AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(l, o + 1, o + {_CHUNK_W}), ' ') AS chunk_text
+    FROM (SELECT doc_id, {_TOKS} AS l FROM documents) t,
+         UNNEST(range(0, len(t.l), {_CHUNK_S})) AS g(o)
+    """,
+    tags=("B12", "B15"),
+)
+def corpus_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME sliding-chunk semantics as corpus_sliding_chunks,
+    expressed through a Python UDTF in a LATERAL join (functions.udtfs.
+    SlidingChunksUDTF) instead of sequence+explode — completing the UDF
+    surface trio (B15: scalar UDF, pandas UDF, table function) and
+    differentially pinned: both mechanisms AND both engines must agree
+    on one oracle. Tokens are computed JVM-side; the UDTF only
+    re-slices per row inside an Arrow batch (ArrowEvalPythonUDTF — the
+    plan-invariant sweep still forbids row-at-a-time BatchEvalPython).
+    At 100 TB prefer the pure-Catalyst twin; this exists because real
+    pipelines have fan-outs (tokenizer-aware chunkers, sentence
+    splitters) that genuinely need Python, and THIS is their shape."""
+    from stupp_exclusion_etl_spark.functions.text import tokens
+    from stupp_exclusion_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    d.createOrReplaceTempView("__chunks_udtf_src")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.n_chunk_tokens, c.chunk_text
+        FROM __chunks_udtf_src d,
+             LATERAL sliding_chunks_udtf(d.toks, {_CHUNK_W}, {_CHUNK_S}) c
+        """
+    )
+
+
 # --- per-source cap (domain balancing) -------------------------------------
 
 _SOURCE_CAP = 15
