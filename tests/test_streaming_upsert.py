@@ -316,3 +316,37 @@ def test_stream_restart_from_checkpoint_no_duplication(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 80, "restart reprocessed or dropped files"
     assert got.select("id").distinct().count() == 80
+
+
+def test_incremental_join_view_equals_batch(spark, tmp_path):
+    """Join IVM: maintain J = orders ⋈ lineitem-on-orderkey through 3
+    interleaved delta batches (left-only, right-only, both) and require
+    exact row-multiset equality with the one-shot join of everything —
+    the ΔL⋈ΔR double-count bug would show here immediately."""
+    from stupp_exclusion_etl_spark.catalog import table
+    from stupp_exclusion_etl_spark.sinks.upsert import merge_join_parquet
+
+    state = str(tmp_path / "jview")
+    o = table(spark, SF_SMALL, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderstatus"
+    )
+    li = table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_quantity"
+    )
+    o1, o2 = o.filter("k % 2 = 0"), o.filter("k % 2 = 1")
+    l1, l2, l3 = (
+        li.filter("l_linenumber = 1"),
+        li.filter("l_linenumber = 2"),
+        li.filter("l_linenumber >= 3"),
+    )
+    # batch 1: left+right; batch 2: right only; batch 3: left+right
+    merge_join_parquet(spark, state, o1, l1, ["k"])
+    merge_join_parquet(spark, state, None, l2, ["k"])
+    merge_join_parquet(spark, state, o2, l3, ["k"])
+
+    view = spark.read.parquet(f"{state}/J.parquet")
+    direct = o.join(li, "k")
+    cols = ["k", "o_orderstatus", "l_linenumber", "l_quantity"]
+    got = sorted(map(tuple, view.select(*cols).collect()))
+    want = sorted(map(tuple, direct.select(*cols).collect()))
+    assert len(got) == len(want) and got == want
