@@ -101,6 +101,8 @@ HEADLINE = [
     "mm_jpeg_decode_block_stats",
     "sim_ivf_pq_topk",
     "dedup_groups_cc_star",
+    "source_paged_filter_pushdown",
+    "corpus_chunks_udtf",
 ]
 
 

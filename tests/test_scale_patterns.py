@@ -403,3 +403,37 @@ def test_connected_components_star_empty_and_self_loops(spark):
     got = {r.doc_id: r.group_id
            for r in connected_components_star(loops).collect()}
     assert got == {7: 7, 8: 7}
+
+
+def test_cbo_table_stats_reach_the_optimizer(spark):
+    """Catalog statistics surface (the CBO half of A16's DDL story):
+    saveAsTable + ANALYZE TABLE must land row/column stats in the
+    catalog AND the optimizer's cost view — `explain('cost')` carries a
+    rowCount only after ANALYZE, which is what lets the planner pick
+    broadcast sides by cardinality instead of file size at 100 TB."""
+    from tests.harness import plan_str
+
+    spark.sql("DROP TABLE IF EXISTS cbo_probe")
+    try:
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.range(0, 1000).selectExpr(
+            "id", "id % 7 AS k"
+        ).write.saveAsTable("cbo_probe")
+        q = spark.table("cbo_probe").filter("k = 3")
+        before = plan_str(q, "cost")
+        assert "rowCount=" not in before
+        spark.sql(
+            "ANALYZE TABLE cbo_probe COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        q2 = spark.table("cbo_probe").filter("k = 3")
+        after = plan_str(q2, "cost")
+        assert "rowCount=" in after, after  # CBO estimates present
+        desc = {
+            r.info_name: r.info_value
+            for r in spark.sql("DESC EXTENDED cbo_probe k").collect()
+        }
+        assert desc["distinct_count"] == "7"
+        assert desc["max"] == "6" and desc["min"] == "0"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_probe")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
