@@ -414,3 +414,38 @@ def source_paged_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_chars") >= 200)
         & F.col("source").isin("src1", "src2", "src3")
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "source_session_double_json",
+    oracle="""
+    SELECT o_orderkey AS id,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           o_totalprice AS total
+    FROM orders
+    """,
+    tags=("A19", "A18", "A1", "B1"),
+)
+def source_session_double_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's authenticated-session source (A19) as a real
+    connector: CSRF-login handshake once on the driver, session cookie
+    shipped to executors, one paged authenticated fetch per partition,
+    and the double json.loads decode of the wire body
+    (sources/session_client.py; reference
+    clients/exclusion_requests.py:56-75,109-117). The portal is an
+    in-process deterministic emulation backed by the orders table (no
+    network in this container), so the whole login→fetch→decode→type
+    path is oracle-checked; unauthenticated fetches raise (pinned in
+    tests/test_session_source.py)."""
+    from stupp_exclusion_etl_spark.sources.session_client import (
+        register_session_source,
+    )
+
+    register_session_source(spark)
+    return (
+        spark.read.format("session_filings")
+        .option("path", f"{sf_dir}/orders.parquet")
+        .option("page_size", "1200")
+        .load()
+    )
