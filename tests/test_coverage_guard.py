@@ -24,7 +24,7 @@ def test_every_query_row_covered():
 def test_oracle_coverage_floor():
     total = len(REGISTRY)
     with_oracle = sum(1 for q in REGISTRY.values() if q.oracle is not None)
-    assert total >= 154, total
+    assert total >= 160, total
     assert with_oracle / total >= 0.95, (with_oracle, total)
 
 

@@ -437,3 +437,46 @@ def test_cbo_table_stats_reach_the_optimizer(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS cbo_probe")
         spark.conf.set("spark.sql.cbo.enabled", "false")
+
+
+def test_aqe_splits_skewed_join_partitions(spark, tmp_path):
+    """AQE skew-join handling actually fires: a join where one key owns
+    ~95% of the fact side must show `isSkew=true`-split partitions in
+    the post-execution adaptive plan once the skew thresholds are
+    lowered to test scale. This is the runtime half of the skew story
+    (operators.joins.salted_join is the plan-time half)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7))
+            .otherwise(F.col("id") % 97)
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias(
+                "payload"
+            ),
+        )
+        dim = spark.range(0, 97).select(
+            F.col("id").alias("k"), F.col("id").alias("v")
+        )
+        joined = fact.join(dim, "k")
+        # execute THIS dataset (count() would spawn a separate query
+        # execution and leave joined's adaptive plan unfinalized)
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isSkew=true" in plan or "skewed" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
