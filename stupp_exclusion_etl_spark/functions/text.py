@@ -105,9 +105,15 @@ def quality_score(text: Column) -> Column:
 
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
-    (lowercase, whitespace collapsed). Identical across engines, so
-    exact near-dup grouping is oracle-testable."""
-    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    (lowercase, ASCII-whitespace trimmed + collapsed). Trimming is a
+    REGEX (`^\\s+|\\s+$`), not trim(): Java and RE2 agree that \\s is
+    the ASCII class, while engines disagree about trim() itself —
+    DuckDB's strips U+00A0 NBSP, Spark's does not (unicode sweep
+    finding) — so regex-trim is the only cross-engine-deterministic
+    spelling. Identical across engines, so exact near-dup grouping is
+    oracle-testable."""
+    trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
+    normalized = F.regexp_replace(F.lower(trimmed), r"\s+", " ")
     return F.md5(normalized)
 
 

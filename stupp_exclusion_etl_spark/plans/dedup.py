@@ -64,7 +64,9 @@ _BAND_SELECTS = "\n    UNION ALL\n".join(
 @register(
     "dedup_exact_fingerprint",
     oracle="""
-    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+    SELECT md5(regexp_replace(lower(
+             regexp_replace(text, '(^\\s+)|(\\s+$)', '', 'g')),
+             '\\s+', ' ', 'g')) AS fp,
            CAST(min(doc_id) AS BIGINT) AS canonical_id,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM documents

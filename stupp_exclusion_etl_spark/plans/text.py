@@ -452,7 +452,9 @@ def curation_survivors_ctes() -> str:
     kept AS (
       SELECT * FROM q WHERE lang = 'en' AND quality >= 0.5),
     deduped AS (
-      SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+      SELECT md5(regexp_replace(lower(
+               regexp_replace(text, '(^\\s+)|(\\s+$)', '', 'g')),
+               '\\s+', ' ', 'g')) AS fp,
              CAST(min(doc_id) AS BIGINT) AS doc_id
       FROM kept GROUP BY 1),
     survivors AS (

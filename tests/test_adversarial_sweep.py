@@ -293,3 +293,78 @@ def test_adversarial_relational_parity(spark, adv_rel_sf_dir, name):
         f"{name} diverges on adversarial relational tables:\n"
         + "\n".join(problems[:3])
     )
+
+
+# --- UNICODE corpus sweep ---------------------------------------------------
+#
+# The main corpus sweep is ASCII by design (multimodal oracles equate
+# char ops with byte ops). The text/dedup/corpus families have no such
+# excuse: their oracles must hold for accents, CJK, Cyrillic, Greek,
+# emoji, NBSP, and combining-character zalgo too. Both engines agree
+# that regex \s is the ASCII class and md5 hashes UTF-8 bytes, so
+# parity is achievable — it was trim()'s NBSP disagreement that broke
+# dedup_exact_fingerprint here until normalization switched to
+# regex-trim.
+
+_UNI_TEXTS = [
+    ("héllo wörld ünïcode tökens everywhere", "de", "src0"),
+    ("中文 文本 分词 测试 样本 数据", "zh", "src1"),
+    ("русский текст для проверки токенизации", "ru", "src0"),
+    ("mixed ascii and 中文 and émoji 🎉 content here", "en", "src2"),
+    ("Ångström naïve café déjà vu", "fr", "src1"),
+    ("tab\tseparated\tünicode\ttokens", "de", "src2"),
+    ("αβγ δεζ ηθι κλμ greek letters", "el", "src3"),
+    ("the quick brown fox jumps over the lazy dog", "en", "src0"),
+    (" non breaking space test", "en", "src1"),
+    ("ZALGO z̴̢̗a̷l̶g̸o̵ text", "en", "src3"),
+]
+
+#: Cross-engine FUNCTION-semantic gaps, not bugs in this repo — each
+#: verified against both engines directly:
+UNICODE_EXCLUDED = {
+    # DuckDB levenshtein counts BYTES ('héllo'->'hello' = 2); Spark
+    # counts code points (= 1). No SQL-expressible alignment.
+    "text_fuzzy_match_levenshtein": "levenshtein bytes (DuckDB) vs codepoints (Spark)",
+}
+
+_UNI_FAMILIES = ("dedup_", "text_", "corpus_", "pipeline_")
+
+UNI_SWEEP = sorted(
+    n for n, q in REGISTRY.items()
+    if q.oracle is not None
+    and n.startswith(_UNI_FAMILIES)
+    and n not in UNICODE_EXCLUDED
+)
+
+
+@pytest.fixture(scope="module")
+def uni_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_unicode")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    rows = [
+        (i, t, lg, s, len(t))
+        for i, (t, lg, s) in enumerate(_UNI_TEXTS * 3)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", UNI_SWEEP)
+def test_unicode_oracle_parity(spark, uni_sf_dir, name):
+    problems = harness.check(spark, uni_sf_dir, name)
+    assert not problems, f"{name} diverges on unicode corpus:\n" + "\n".join(
+        problems[:3]
+    )
