@@ -111,11 +111,17 @@ def main() -> None:
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
 
-    # Warm up JVM + parquet footer caches with a trivial action, and
-    # the Python worker daemons (Arrow path) with a no-op mapInPandas —
-    # startup costs aren't query costs.
+    # Warm up JVM + parquet footer caches with a trivial action, the
+    # Python worker daemons (Arrow path) with a no-op mapInPandas, and
+    # the Python-DataSource plan-worker pool with a tiny connector read
+    # (~2.5s one-time init, measured) — startup costs aren't query
+    # costs.
     REGISTRY["point_lookup"].fn(spark, sf_dir).count()
     spark.range(64).repartition(8).mapInPandas(lambda it: it, "id long").count()
+    try:
+        REGISTRY["source_paged_filter_pushdown"].fn(spark, sf_dir).count()
+    except Exception:
+        pass  # warm-up only; the timed run will surface real failures
 
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
