@@ -423,3 +423,54 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     out = ngram_containment_pairs(d, "doc_id", "text", shingle_k=3, threshold=0.05)
     return out.select("id1", "id2", F.round("containment", 6).alias("containment"))
+
+
+_EMB_COS = """list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+           * sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))"""
+
+
+@register(
+    "dedup_semantic_groups",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2
+      FROM embeddings a
+      JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE {_EMB_COS} >= 0.35),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+              UNION
+              SELECT id2, id1 FROM pairs),
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    SELECT src AS vec_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS group_id
+    FROM reach GROUP BY src
+    """,
+    tags=("B9", "B13"),
+)
+def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC near-dup groups: embedding-cosine candidate pairs
+    (bucketed, never all-pairs — dedup_embedding_cosine's pair stage)
+    closed into clusters by star-contraction connected components —
+    the embedding-space twin of dedup_groups_cc's MinHash pipeline, so
+    B9 group assignment is proven from BOTH signal families. The skew
+    argument is stronger here than for MinHash: semantic dup clusters
+    (boilerplate, templated pages) are exactly the hub-shaped
+    components star contraction collapses in O(log n) rounds. Oracle:
+    recursive-CTE transitive closure over the identical cosine pairs."""
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        connected_components_star,
+        embedding_neardup_pairs,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(e, "vec_id", "embedding", F.col("label"), 0.35)
+    return connected_components_star(pairs).select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        F.col("group_id").cast("long"),
+    )
