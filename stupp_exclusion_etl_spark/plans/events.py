@@ -15,8 +15,17 @@ from stupp_exclusion_etl_spark.catalog import table
 from stupp_exclusion_etl_spark.plans._shared import r4
 from stupp_exclusion_etl_spark.plans.registry import register
 
-# window start for a tumbling window of `sec` seconds, as DuckDB SQL
-_BUCKET = "make_timestamp((epoch_us(ts) // ({sec} * 1000000)) * ({sec} * 1000000))"
+# window start for a tumbling window of `sec` seconds, as DuckDB SQL.
+# floor(), not `//`: DuckDB integer division truncates toward ZERO, so
+# a pre-1970 (negative-epoch) timestamp would bucket one window too
+# late while Spark's window() floors (extreme-timestamp sweep finding).
+# The double division is exact at boundary multiples: epoch_us < 2^53
+# for any representable timestamp, and a correctly rounded a/b is
+# exactly k whenever a == k*b.
+_BUCKET = (
+    "make_timestamp(CAST(floor(epoch_us(ts) / ({sec} * 1000000.0)) AS BIGINT)"
+    " * ({sec} * 1000000))"
+)
 
 
 @register(

@@ -368,3 +368,89 @@ def test_unicode_oracle_parity(spark, uni_sf_dir, name):
     assert not problems, f"{name} diverges on unicode corpus:\n" + "\n".join(
         problems[:3]
     )
+
+
+# --- EXTREME-TIMESTAMP events sweep -----------------------------------------
+#
+# Window arithmetic is where engines disagree quietly: DuckDB integer
+# division truncates toward zero, so pre-1970 (negative-epoch)
+# timestamps bucketed one window late until the oracle's _BUCKET
+# switched to floor() (found by this sweep). Cover negative epochs, the
+# microsecond before the epoch, the epoch itself, leap-day edges, and a
+# far-future year in one events table.
+
+EXTREME_TS_EXCLUDED = {
+    # watermarked streaming dedup DROPS events arriving later than the
+    # watermark horizon — with 1901 and 2200 in one replay that is
+    # correct streaming semantics, not batch DISTINCT; bounded-state
+    # eviction is pinned in tests/test_streaming_dedup.py instead.
+    "stream_dedup_replay": "watermark late-drop under extreme disorder",
+}
+
+_TS_FAMILIES = ("events_", "stream_", "cdc_", "scd2_")
+
+TS_SWEEP = sorted(
+    n for n, q in REGISTRY.items()
+    if q.oracle is not None
+    and n.startswith(_TS_FAMILIES)
+    and n not in EXTREME_TS_EXCLUDED
+)
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_sf_dir(tmp_path_factory):
+    from datetime import datetime, timedelta
+
+    d = tmp_path_factory.mktemp("sf_extreme_ts")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    rows = []
+    eid = 0
+
+    def add(ts, u, et, v, p):
+        nonlocal eid
+        rows.append((eid, ts, u, et, v, p))
+        eid += 1
+
+    add(datetime(1901, 7, 1, 3, 4, 5, 123456), 100, "view", 1.0, '{"k": 1}')
+    add(datetime(1969, 12, 31, 23, 59, 59, 999999), 100, "click", 2.0,
+        '{"k": 2}')
+    add(datetime(1970, 1, 1), 100, "purchase", 3.0, '{"k": 3}')
+    add(datetime(2200, 1, 1, 12), 101, "view", 4.0, '{"k": 4}')
+    add(datetime(2024, 2, 29, 23, 59, 59, 999999), 101, "click", 5.0,
+        '{"k": 5}')
+    add(datetime(2024, 3, 1), 101, "purchase", 6.0, '{"k": 6}')
+    base = datetime(2024, 1, 1)
+    for u in range(5, 9):
+        for day in range(3):
+            for m in range(6):
+                add(
+                    base + timedelta(days=day, hours=u, minutes=11 * m),
+                    u,
+                    ["view", "click", "purchase", "signup", "error"][(u + m) % 5],
+                    round(u * 10 + day + m * 0.5, 2),
+                    f'{{"k": {u * 100 + m}}}',
+                )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", TS_SWEEP)
+def test_extreme_timestamp_oracle_parity(spark, extreme_ts_sf_dir, name):
+    problems = harness.check(spark, extreme_ts_sf_dir, name)
+    assert not problems, (
+        f"{name} diverges on extreme timestamps:\n" + "\n".join(problems[:3])
+    )
