@@ -530,18 +530,6 @@ def pq_encode_arrow(
     return out.select(F.col("id").alias(id_col), "codes")
 
 
-def materialize_pq_codes(codes: DataFrame) -> DataFrame:
-    """Materialize PQ codes eagerly — PQ codes ARE the serving layout:
-    at 100 TB they are written once to a codes table and scanned by
-    every query, never recomputed per query, so downstream ADC plans
-    (and their codegen) see a plain 8-bytes-per-row scan instead of
-    re-inlining the encode expression. With pq_encode's reduced
-    ||c||²−2·<v,c> form the encode stage whole-stage-compiles fine;
-    no codegen conf games needed (the expanded squared-difference form
-    used to blow janino's 64 KB limit — see pq_encode)."""
-    return codes.localCheckpoint(eager=True)
-
-
 def pq_adc_topk(
     codes: DataFrame,
     codebook: list[list[list[float]]],
