@@ -124,12 +124,22 @@ def main() -> None:
         pass  # warm-up only; the timed run will surface real failures
 
     times: dict[str, float] = {}
+    times_warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         try:
             REGISTRY[name].fn(spark, sf_dir).count()
             times[name] = round(time.perf_counter() - t0, 3)
+            # Second fresh build of the same plan: generated-code cache
+            # hits, so this isolates execution from per-plan codegen
+            # compilation — the 100 TB-relevant number, since compile
+            # amortizes across a cluster job but dominates several
+            # small-SF cold timings (measured: lang-ID train stage
+            # 4.8s cold vs 1.1s warm for the identical plan).
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            times_warm[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one bad query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -146,6 +156,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "queries": times,
+                "queries_warm": times_warm,
+                "warm_total_sec": round(sum(times_warm.values()), 3),
                 "errors": errors,
             },
             fh,
