@@ -41,6 +41,10 @@ BLURBS = {
     "analytics_min_cost_supplier": "Q2 shape with the size-7 part filter pushed BELOW both aggregates as a broadcast semi-join on the lineitem scan — offers exist only for parts that can reach the result.",
     "mm_jpeg_decode_block_stats": "Entropy-coded round trip: Arrow synth-encode → Arrow Huffman/IDCT decode (both repartitioned by id), block reduction is a JVM-side hash agg on (doc, bx, by).",
     "sim_ivf_pq_topk": "IVF routes, PQ scores: centroid agg + broadcast probe prune candidates (partition-prunable on a cell-layout table), Arrow PQ encode, map-only LUT top-k.",
+    "dedup_semantic_groups": "Embedding-cosine pairs from a bucketed equi-join (never all-pairs) closed into clusters by O(log n) star contraction.",
+    "source_paged_filter_pushdown": "Python DataSource scan: bare BatchScan, NO Filter node — pushFilters consumed every predicate; pages are input partitions.",
+    "corpus_chunks_udtf": "Python table function in a LATERAL join: ArrowEvalPythonUDTF over JVM-computed token arrays — the sanctioned Python fan-out shape.",
+    "source_session_double_json": "Authenticated-session connector scan: one-partition-per-page BatchScan; login/cookie/double-JSON decode all inside the source.",
 }
 
 
