@@ -131,17 +131,22 @@ def main() -> None:
         try:
             REGISTRY[name].fn(spark, sf_dir).count()
             times[name] = round(time.perf_counter() - t0, 3)
-            # Second fresh build of the same plan: generated-code cache
-            # hits, so this isolates execution from per-plan codegen
-            # compilation — the 100 TB-relevant number, since compile
-            # amortizes across a cluster job but dominates several
-            # small-SF cold timings (measured: lang-ID train stage
-            # 4.8s cold vs 1.1s warm for the identical plan).
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).count()
-            times_warm[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one bad query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        # Second fresh build of the same plan: generated-code cache
+        # hits, so this isolates execution from per-plan codegen
+        # compilation — the 100 TB-relevant number, since compile
+        # amortizes across a cluster job but dominates several small-SF
+        # cold timings (measured: lang-ID train stage 4.8s cold vs 1.1s
+        # warm for the identical plan). A warm-run failure is recorded
+        # separately so cold totals stay self-consistent.
+        t0 = time.perf_counter()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).count()
+            times_warm[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

@@ -106,12 +106,13 @@ def quality_score(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercase, ASCII-whitespace trimmed + collapsed). Trimming is a
-    REGEX (`^\\s+|\\s+$`), not trim(): Java and RE2 agree that \\s is
-    the ASCII class, while engines disagree about trim() itself —
-    DuckDB's strips U+00A0 NBSP, Spark's does not (unicode sweep
-    finding) — so regex-trim is the only cross-engine-deterministic
-    spelling. Identical across engines, so exact near-dup grouping is
-    oracle-testable."""
+    REGEX, not trim(): engines disagree about trim() itself — DuckDB's
+    strips U+00A0 NBSP, Spark's does not (unicode sweep finding). The
+    engine keeps Java's `\\s` ([ \\t\\n\\x0B\\f\\r]); the oracles spell
+    that class out explicitly because RE2's \\s EXCLUDES \\x0B vertical
+    tab (code review r3) — the explicit class is the only
+    cross-engine-deterministic spelling. Identical across engines, so
+    exact near-dup grouping is oracle-testable."""
     trimmed = F.regexp_replace(text, r"^\s+|\s+$", "")
     normalized = F.regexp_replace(F.lower(trimmed), r"\s+", " ")
     return F.md5(normalized)

@@ -439,6 +439,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    converged = edges.isEmpty()  # empty graph is trivially a fixed point
     for _ in range(max_iter):
         # Large-star over symmetric neighborhoods: (v, m) for v > u.
         sym = edges.select(F.col("s").alias("u"), F.col("l").alias("v")).unionAll(
@@ -471,6 +472,17 @@ def connected_components_star(
         edges = nxt
         if converged:
             break
+    if not converged:
+        # The star-forest extraction below is only valid AT the fixed
+        # point — a node still attached to two parents would emit
+        # conflicting (doc_id, group_id) rows. Fail loudly rather than
+        # silently double-count (code review r3); the alternating
+        # algorithm converges in O(log² n) rounds w.h.p., so max_iter=30
+        # only trips on pathological inputs worth surfacing.
+        raise ValueError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds; raise max_iter or use connected_components"
+        )
     # Fixed point is a star forest: every non-root appears exactly once
     # as `l` pointing at its root `s`; roots label themselves.
     roots = edges.select(F.col("s").alias("doc_id")).distinct().join(

@@ -128,7 +128,7 @@ CHUNK_TOKENS = 512
     oracle=f"""
     WITH toks AS (
       SELECT source, doc_id,
-             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tok
+             CAST(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), t -> length(t) > 0)) AS BIGINT) AS n_tok
       FROM documents),
     offs AS (
       SELECT source, doc_id, n_tok,
@@ -180,7 +180,7 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: collisions are negligible; standard practice is 8-13).
 CONTAM_K = 8
 
-_DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
+_DUCK_TOKS = r"list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> length(t) > 0)"
 
 
 #: The stand-in held-out eval sentence (10 tokens -> 3 8-shingles).
@@ -271,7 +271,7 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_W = 32  # tokens per chunk
 _CHUNK_S = 24  # stride (overlap = W - S = 8 tokens)
 
-_TOKS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
+_TOKS = r"list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> length(t) > 0)"
 
 
 @register(
@@ -418,7 +418,7 @@ MIX_MAX_WEIGHT = 4.0
     oracle=f"""
     WITH per AS (
       SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             CAST(sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+             CAST(sum(len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                                       t -> length(t) > 0))) AS BIGINT) AS src_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total,

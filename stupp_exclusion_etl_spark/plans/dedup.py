@@ -22,7 +22,7 @@ from stupp_exclusion_etl_spark.plans.registry import register
 
 # --- shared oracle SQL fragments -------------------------------------------
 
-_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
+_TOKENS = r"list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> length(t) > 0)"
 # k=3 word shingles, whole-doc fallback for short docs (matches
 # functions.text.shingles).
 _SHINGLES = f"""
@@ -65,8 +65,8 @@ _BAND_SELECTS = "\n    UNION ALL\n".join(
     "dedup_exact_fingerprint",
     oracle="""
     SELECT md5(regexp_replace(lower(
-             regexp_replace(text, '(^\\s+)|(\\s+$)', '', 'g')),
-             '\\s+', ' ', 'g')) AS fp,
+             regexp_replace(text, '(^[ \\t\\n\\x0B\\f\\r]+)|([ \\t\\n\\x0B\\f\\r]+$)', '', 'g')),
+             '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
            CAST(min(doc_id) AS BIGINT) AS canonical_id,
            CAST(count(*) AS BIGINT) AS n_docs
     FROM documents

@@ -16,15 +16,17 @@ from stupp_exclusion_etl_spark.plans._shared import r4
 from stupp_exclusion_etl_spark.plans.registry import register
 
 # window start for a tumbling window of `sec` seconds, as DuckDB SQL.
-# floor(), not `//`: DuckDB integer division truncates toward ZERO, so
-# a pre-1970 (negative-epoch) timestamp would bucket one window too
-# late while Spark's window() floors (extreme-timestamp sweep finding).
-# The double division is exact at boundary multiples: epoch_us < 2^53
-# for any representable timestamp, and a correctly rounded a/b is
-# exactly k whenever a == k*b.
+# Floored modulo in pure INT64 — two wrongness classes ruled out:
+# DuckDB's `//` truncates toward zero (pre-1970 timestamps bucketed one
+# window late; extreme-timestamp sweep finding), and a float-division
+# floor() loses exactness once epoch_us exceeds 2^53 (~year 2255; code
+# review r3). epoch_us - ((epoch_us % m) + m) % m is the floored
+# multiple for any int64, negative or huge ( % follows the dividend's
+# sign in DuckDB, the +m %m normalizes it ).
 _BUCKET = (
-    "make_timestamp(CAST(floor(epoch_us(ts) / ({sec} * 1000000.0)) AS BIGINT)"
-    " * ({sec} * 1000000))"
+    "make_timestamp(epoch_us(ts)"
+    " - ((epoch_us(ts) % ({sec} * 1000000)) + ({sec} * 1000000))"
+    " % ({sec} * 1000000))"
 )
 
 

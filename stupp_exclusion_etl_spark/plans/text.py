@@ -18,7 +18,7 @@ from stupp_exclusion_etl_spark.functions.text import (
 )
 from stupp_exclusion_etl_spark.plans.registry import register
 
-_TOKENS = r"list_filter(regexp_split_to_array(text, '\s+'), t -> length(t) > 0)"
+_TOKENS = r"list_filter(regexp_split_to_array(text, '[ \t\n\x0B\f\r]+'), t -> length(t) > 0)"
 
 
 @register(
@@ -50,9 +50,9 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \\t\\n\\x0B\\f\\r]')) AS BIGINT) AS n_bpe_tokens,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
-           CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT) AS n_punct
+           CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS BIGINT) AS n_punct
     FROM documents
     """,
     tags=("B12",),
@@ -103,7 +103,7 @@ def _quality_oracle() -> str:
       SELECT doc_id,
              CAST(len({_TOKENS}) AS DOUBLE) AS n_tok,
              CAST(length(text) AS DOUBLE) AS n_chars,
-             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) AS n_punct,
              CAST(len(list_filter({_TOKENS}, t -> list_contains([{inlist}], lower(t)))) AS DOUBLE) AS sw_hits
       FROM documents)
     SELECT doc_id,
@@ -461,15 +461,15 @@ def curation_survivors_ctes() -> str:
       FROM (SELECT *,
               CAST(n_tok_i AS DOUBLE) AS n_tok,
               CAST(length(text) AS DOUBLE) AS n_chars,
-              CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE) AS n_punct,
+              CAST(length(text) - length(regexp_replace(text, '[^\\w \\t\\n\\x0B\\f\\r]', '', 'g')) AS DOUBLE) AS n_punct,
               CAST(len(list_filter({_TOKENS}, t -> list_contains([{inlist}], lower(t)))) AS DOUBLE) AS sw_hits
             FROM scored)),
     kept AS (
       SELECT * FROM q WHERE lang = 'en' AND quality >= 0.5),
     deduped AS (
       SELECT md5(regexp_replace(lower(
-               regexp_replace(text, '(^\\s+)|(\\s+$)', '', 'g')),
-               '\\s+', ' ', 'g')) AS fp,
+               regexp_replace(text, '(^[ \\t\\n\\x0B\\f\\r]+)|([ \\t\\n\\x0B\\f\\r]+$)', '', 'g')),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS fp,
              CAST(min(doc_id) AS BIGINT) AS doc_id
       FROM kept GROUP BY 1),
     survivors AS (
@@ -657,7 +657,7 @@ HH_K = 200
     WITH tok AS (
       SELECT u.t AS token
       FROM documents,
-           UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+           UNNEST(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'),
                               x -> length(x) > 0)) AS u(t)),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok)
     SELECT token, CAST(count(*) AS BIGINT) AS cnt

@@ -117,6 +117,11 @@ class KeyedUpsertWriter(DataSourceWriter):
         staged = [f for m in messages if m for f in m.files]
         parts = [pq.read_table(f) for f in staged]
         final = self._final_path()
+        if self.overwrite and not parts and os.path.exists(final):
+            # overwrite with an empty batch REPLACES the table — the
+            # old contents must not survive a mode("overwrite") save
+            # that promised replacement (code review r3)
+            os.remove(final)
         if not self.overwrite and os.path.exists(final):
             existing = pq.read_table(final)
             # existing rows lose to anything in this job

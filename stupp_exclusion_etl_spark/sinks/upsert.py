@@ -20,8 +20,32 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from stupp_exclusion_etl_spark.operators.dedup import keep_latest
+
+
+def read_parquet_if_absent_none(spark, path: str) -> DataFrame | None:
+    """Probe a parquet table: DataFrame if it exists, None ONLY when the
+    path genuinely does not exist (AnalysisException PATH_NOT_FOUND).
+    Every other failure — transient S3/HDFS errors, permissions, a
+    corrupt footer — RE-RAISES: treating 'could not read' as 'first
+    batch' would take the auto-create branch and overwrite accumulated
+    state with one batch's data (silent data loss; code review r3).
+    Works on remote filesystems, unlike an os.path probe."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as exc:
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, attr, None)
+            if fn is not None:
+                cond = fn()
+                if cond:
+                    break
+        if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
+            return None
+        raise
 
 
 def upsert_parquet(
@@ -47,9 +71,8 @@ def upsert_parquet(
     to scope to); on Delta/Iceberg this whole function is MERGE INTO —
     same logical spec, table format supplies file-level granularity."""
     spark = new_data.sparkSession
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first write: no table yet (A16 auto-create)
+    existing = read_parquet_if_absent_none(spark, path)
+    if existing is None:  # first write: no table yet (A16 auto-create)
         # keep-latest applies to the FIRST batch too — a batch carrying
         # the same key twice must land one row, same as every later
         # batch (found by adversarial sink probing: this branch used to
@@ -336,9 +359,10 @@ def merge_rollup_parquet(
             *[ROLLUP_MERGES[how](c).alias(c) for c, how in measures.items()]
         )
 
-    try:
-        existing = spark.read.parquet(path)
-    except Exception:  # first batch: no rollup yet
+    existing = read_parquet_if_absent_none(spark, path)
+    if existing is None:  # first batch: no rollup yet (PATH_NOT_FOUND
+        # only — any other read failure raises, see
+        # read_parquet_if_absent_none)
         writer = merged_agg(batch_partials).write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -497,10 +521,10 @@ def merge_join_parquet(
     view_p = os.path.join(state_dir, "J.parquet")
 
     def _read(p):
-        try:
-            return spark.read.parquet(p)
-        except Exception:
-            return None
+        # None ONLY for a genuinely absent snapshot; transient read
+        # errors raise instead of silently dropping an IVM join term
+        # (code review r3).
+        return read_parquet_if_absent_none(spark, p)
 
     old_l, old_r = _read(left_p), _read(right_p)
     new_view_parts = []

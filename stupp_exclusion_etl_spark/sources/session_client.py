@@ -47,6 +47,12 @@ class FakePortal:
         self.orders_path = orders_path
         self.page_size = page_size
         self._salt = hashlib.md5(orders_path.encode()).hexdigest()[:8]
+        self._table = None  # lazy per-process cache (never pickled)
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_table"] = None  # the cached table must not ship to tasks
+        return state
 
     # -- the two login round-trips (reference :56-75) ----------------------
     def login_page(self) -> str:
@@ -69,18 +75,27 @@ class FakePortal:
         n = pq.ParquetFile(self.orders_path).metadata.num_rows
         return max(1, (n + self.page_size - 1) // self.page_size)
 
+    def _load(self):
+        # One read+sort per PROCESS, not per page fetch (a task serves
+        # one page, so this is one read per task — the local-emulation
+        # floor; the production portal is a remote server where each
+        # fetch is O(page) server-side). Code review r3.
+        if self._table is None:
+            import pyarrow.parquet as pq
+
+            self._table = pq.read_table(
+                self.orders_path,
+                columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
+                         "o_totalprice"],
+            ).sort_by("o_orderkey")
+        return self._table
+
     def fetch_page(self, cookie: str, page: int) -> str:
         if cookie != hashlib.md5(
             f"cookie:{self._salt}:etl".encode()
         ).hexdigest():
             raise PermissionError("not logged in")
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(
-            self.orders_path,
-            columns=["o_orderkey", "o_orderstatus", "o_orderpriority",
-                     "o_totalprice"],
-        ).sort_by("o_orderkey")
+        t = self._load()
         sl = t.slice(page * self.page_size, self.page_size)
         records = [
             {

@@ -33,12 +33,18 @@ from tests import harness
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
     out_path = os.path.join(REPO, "PREFLIGHT_r03.json")
-    for i, a in enumerate(sys.argv):
-        if a == "--out" and i + 1 < len(sys.argv):
-            out_path = sys.argv[i + 1]
+    positional: list[str] = []
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--out" and i + 1 < len(argv):
+            out_path = argv[i + 1]
+            i += 2  # consume the value too — it is NOT the sf_dir
+        else:
+            positional.append(argv[i])
+            i += 1
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("preflight-vanilla")

@@ -317,6 +317,9 @@ _UNI_TEXTS = [
     ("the quick brown fox jumps over the lazy dog", "en", "src0"),
     (" non breaking space test", "en", "src1"),
     ("ZALGO z̴̢̗a̷l̶g̸o̵ text", "en", "src3"),
+    # \x0B vertical tab: Java \s includes it, RE2's does not — the
+    # oracles spell the whitespace class explicitly to agree (r3)
+    ("vertical\x0Btab\x0Bseparated words", "en", "src0"),
 ]
 
 #: Cross-engine FUNCTION-semantic gaps, not bugs in this repo — each
