@@ -125,6 +125,7 @@ def main() -> None:
 
     times: dict[str, float] = {}
     times_warm: dict[str, float] = {}
+    times_exec: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
@@ -134,17 +135,26 @@ def main() -> None:
         except Exception as exc:  # one bad query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        # Second fresh build of the same plan: generated-code cache
-        # hits, so this isolates execution from per-plan codegen
-        # compilation — the 100 TB-relevant number, since compile
-        # amortizes across a cluster job but dominates several small-SF
-        # cold timings (measured: lang-ID train stage 4.8s cold vs 1.1s
-        # warm for the identical plan). A warm-run failure is recorded
-        # separately so cold totals stay self-consistent.
+        # Two more tiers decompose the cold number (all three recorded
+        # in bench_detail.json):
+        #   warm = second FRESH build of the same plan (amortizes
+        #          codegen compile the way a long session does);
+        #   exec = re-running the already-built DataFrame (pure
+        #          execution — analysis/planning/compile all amortized,
+        #          the closest small-SF proxy for per-task cost at
+        #          100 TB, where fixed per-plan overhead is noise).
+        # Measured spread: profile_columns 2.6s cold / 0.1s exec — the
+        # cold bench largely measures Spark's fixed per-plan overhead
+        # at this scale, not the operators. A warm/exec failure is
+        # recorded separately so cold totals stay self-consistent.
         t0 = time.perf_counter()
         try:
-            REGISTRY[name].fn(spark, sf_dir).count()
+            df2 = REGISTRY[name].fn(spark, sf_dir)
+            df2.count()
             times_warm[name] = round(time.perf_counter() - t0, 3)
+            t0 = time.perf_counter()
+            df2.count()
+            times_exec[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:
             errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -162,7 +172,9 @@ def main() -> None:
                 "sf": sf_val,
                 "queries": times,
                 "queries_warm": times_warm,
+                "queries_exec": times_exec,
                 "warm_total_sec": round(sum(times_warm.values()), 3),
+                "exec_total_sec": round(sum(times_exec.values()), 3),
                 "errors": errors,
             },
             fh,
