@@ -474,3 +474,84 @@ def dedup_semantic_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("vec_id"),
         F.col("group_id").cast("long"),
     )
+
+
+@register(
+    "pipeline_near_dedup",
+    oracle=f"""
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex AS (SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    based AS (SELECT doc_id, ({_MD5_BASE}) % {MINHASH_P} AS hb
+              FROM (SELECT doc_id, s FROM ex)),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM based GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN ex e1 ON e1.doc_id = c.id1
+      JOIN ex e2 ON e2.doc_id = c.id2 AND e2.s = e1.s
+      GROUP BY c.id1, c.id2),
+    vpairs AS (
+      SELECT i.id1, i.id2
+      FROM inter i
+      JOIN n na ON na.doc_id = i.id1
+      JOIN n nb ON nb.doc_id = i.id2
+      WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.4),
+    edges AS (SELECT id1 AS src, id2 AS dst FROM vpairs
+              UNION
+              SELECT id2, id1 FROM vpairs),
+    reach AS (SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    grp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+            FROM reach GROUP BY src),
+    sizes AS (SELECT group_id, CAST(count(*) AS BIGINT) AS n_members
+              FROM grp GROUP BY group_id)
+    SELECT d.doc_id,
+           CAST(coalesce(g.group_id, d.doc_id) AS BIGINT) AS group_id,
+           CAST(coalesce(s.n_members, 1) AS BIGINT) AS n_members
+    FROM documents d
+    LEFT JOIN grp g ON g.doc_id = d.doc_id
+    LEFT JOIN sizes s ON s.group_id = g.group_id
+    WHERE g.doc_id IS NULL OR g.group_id = d.doc_id
+    """,
+    tags=("B9", "A15"),
+)
+def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production near-dedup pipeline as one oracled plan:
+    MinHash-LSH candidates → exact-Jaccard verification (≥ 0.4) →
+    star-contraction connected components → keep exactly one canonical
+    document (min id) per near-dup cluster plus every untouched
+    singleton, with the cluster size it represents. This is the
+    keep-one-of-each step a training-data pipeline actually ships —
+    upstream of tokenization, downstream of everything in this module —
+    and every stage is the sub-quadratic shape proven individually
+    (bucket-capped candidates, candidate-bounded verification,
+    O(log n) contraction). The oracle restates all four stages plus the
+    survivor anti-join in one recursive-CTE SQL statement."""
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    verified = dedup_lsh_verified(spark, sf_dir).select("id1", "id2")
+    groups = connected_components_star(verified)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("n_members"))
+    non_canon = groups.filter(F.col("doc_id") != F.col("group_id"))
+    surv = d.select("doc_id").join(non_canon.select("doc_id"), "doc_id", "left_anti")
+    return (
+        surv.join(groups, "doc_id", "left")
+        .join(sizes, "group_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("group_id"), F.col("doc_id")).cast("long").alias("group_id"),
+            F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+        )
+    )
