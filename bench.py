@@ -103,6 +103,7 @@ HEADLINE = [
     "dedup_groups_cc_star",
     "source_paged_filter_pushdown",
     "corpus_chunks_udtf",
+    "pipeline_near_dedup",
 ]
 
 
