@@ -458,7 +458,7 @@ def pq_encode(
         + ")).c AS INT)"
         for s in range(m)
     )
-    pre = vectors.selectExpr(
+    pre = vectors.filter(F.col(vec_col).isNotNull()).selectExpr(
         id_col,
         *[f"CAST({vec_col}[{i}] AS DOUBLE) AS __v{i}" for i in range(dim)],
     )
@@ -523,7 +523,11 @@ def pq_encode_arrow(
                 codes[:, s] = best_c
             yield pd.DataFrame({"id": pdf["id"], "codes": list(codes)})
 
-    src = vectors.select(
+    # NULL embeddings (failed encoder upstream) cannot be coded — they
+    # are excluded JVM-side before the Arrow stage, mirroring the
+    # oracle's explicit IS NOT NULL (adversarial null-embedding probe:
+    # np.stack over a None crashed the worker).
+    src = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("__v")
     )
     out = src.mapInPandas(enc, "id long, codes array<int>")

@@ -373,7 +373,7 @@ def _pq_oracle(
              ({cent_norm})
              - CAST(2.0 AS DOUBLE) * ({dot_sum('e.embedding', 'sd.embedding')}) AS d2
       FROM {src} CROSS JOIN g CROSS JOIN seeds sd
-      WHERE e.vec_id <> 0),
+      WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
     codes AS (
       SELECT vec_id, s, c FROM grid
       QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) = 1),
@@ -436,7 +436,8 @@ def _ivf_pq_oracle(n_probe: int = 4, topk: int = 10) -> str:
       ORDER BY {cent_cos} DESC LIMIT {n_probe}),
     cand AS (
       SELECT e.vec_id, e.embedding FROM embeddings e
-      JOIN probe USING (label) WHERE e.vec_id <> 0),
+      JOIN probe USING (label)
+      WHERE e.vec_id <> 0 AND e.embedding IS NOT NULL),
     """
     return _pq_oracle(
         topk=topk, extra_ctes=probe_ctes.strip(), src="cand e"

@@ -117,6 +117,8 @@ def _emb_rows():
             vec = [0.0] * dim                      # zero vector: cos 0/0
         elif v in (21, 22):
             vec = [1.0] * dim                      # identical pair
+        elif v == 24:
+            vec = None                             # failed encoder: NULL row
         else:
             vec = [((v * dim + i) * 31 % 17 - 8) / 8.0 for i in range(dim)]
         rows.append((v, vec, None if v == 23 else v % 10))
