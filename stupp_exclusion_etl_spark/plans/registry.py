@@ -97,10 +97,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # guarded coercion + reject audit — A13, A18, B15
     "coercion_typify",
     "ingest_reject_audit",
-    # dedup family — B9 end-to-end (exact → MinHash+LSH → components)
+    # dedup family — B9 end-to-end (exact → MinHash+LSH → the full
+    # candidates→verify→components→survivors composite)
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
-    "dedup_groups_cc",
+    "pipeline_near_dedup",
     # text analysis — B12
     "text_doc_stats",
     "text_quality_score",
