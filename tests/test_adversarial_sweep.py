@@ -459,3 +459,75 @@ def test_extreme_timestamp_oracle_parity(spark, extreme_ts_sf_dir, name):
     assert not problems, (
         f"{name} diverges on extreme timestamps:\n" + "\n".join(problems[:3])
     )
+
+
+# --- LONG-DOCUMENT sweep ----------------------------------------------------
+#
+# Web corpora contain 10k+-token documents; the shingle/token pipelines
+# must stay LINEAR in document length. The ENGINE is: exploding 80k
+# shingles from six long docs measures ~0.6s. The ORACLE is not —
+# DuckDB lambdas over big captured lists (list_slice / indexing inside
+# list_transform) go quadratic (~25s for ONE 20k-token doc, measured),
+# which caps the fixture at 2k tokens and excludes the recursive-CTE
+# closure queries (their pair INPUTS are pinned here via
+# dedup_lsh_verified; the closure logic is pinned on small graphs
+# elsewhere). Identical 2k-token twins pin near-dup detection on long
+# docs end to end.
+
+LONGDOC_SWEEP = sorted(
+    n for n in (
+        "corpus_contamination_check", "corpus_pack_chunks",
+        "corpus_sliding_chunks", "corpus_chunks_udtf",
+        "dedup_exact_fingerprint", "dedup_minhash_lsh",
+        "dedup_lsh_verified", "dedup_ngram_jaccard", "dedup_simhash",
+        "text_doc_stats", "text_quality_score", "text_repetition_ratio",
+        "text_fingerprint_rolling",
+    )
+)
+
+
+@pytest.fixture(scope="module")
+def longdoc_sf_dir(tmp_path_factory):
+    import random
+
+    random.seed(3)
+    words = [f"w{i}" for i in range(500)]
+
+    def mkdoc(n):
+        return " ".join(random.choice(words) for _ in range(n))
+
+    d = tmp_path_factory.mktemp("sf_longdoc")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_SMALL}/{t}.parquet", d / f"{t}.parquet")
+    big = mkdoc(2000)
+    raw = [
+        (0, mkdoc(2000), "en", "src0"),
+        (1, mkdoc(2000), "en", "src1"),
+        (2, mkdoc(50), "de", "src0"),
+        (3, "tiny", "fr", "src1"),
+        (4, big, "en", "src2"),   # identical long twins: near-dup
+        (5, big, "en", "src3"),   # detection must survive length
+    ]
+    rows = [(i, t, lg, s, len(t)) for i, t, lg, s in raw]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+                "source": pa.array([r[3] for r in rows], pa.string()),
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", LONGDOC_SWEEP)
+def test_longdoc_oracle_parity(spark, longdoc_sf_dir, name):
+    problems = harness.check(spark, longdoc_sf_dir, name)
+    assert not problems, f"{name} diverges on long documents:\n" + "\n".join(
+        problems[:3]
+    )
