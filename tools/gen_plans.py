@@ -44,6 +44,7 @@ BLURBS = {
     "dedup_semantic_groups": "Embedding-cosine pairs from a bucketed equi-join (never all-pairs) closed into clusters by O(log n) star contraction.",
     "source_paged_filter_pushdown": "Python DataSource scan: bare BatchScan, NO Filter node — pushFilters consumed every predicate; pages are input partitions.",
     "corpus_chunks_udtf": "Python table function in a LATERAL join: ArrowEvalPythonUDTF over JVM-computed token arrays — the sanctioned Python fan-out shape.",
+    "pipeline_near_dedup": "The full near-dedup composite: LSH bands -> verify joins -> star-contraction rounds -> survivor anti-join; every join an equi-join, the contraction localCheckpointed per round.",
     "source_session_double_json": "Authenticated-session connector scan: one-partition-per-page BatchScan; login/cookie/double-JSON decode all inside the source.",
 }
 
