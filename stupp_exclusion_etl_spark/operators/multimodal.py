@@ -618,9 +618,15 @@ class _JpegBitReader:
 
     def bits(self, count: int) -> int:
         while self.n < count:
-            byte = self.data[self.pos] if self.pos < len(self.data) else 0
+            if self.pos >= len(self.data):
+                # A well-formed scan ends with every block decoded before
+                # the buffered bits run out (the final byte's alignment
+                # padding is already in self.buf); needing MORE bytes means
+                # the entropy stream was truncated — fail loudly like every
+                # other malformed-input path instead of decoding garbage.
+                raise ValueError("truncated JPEG entropy stream")
+            self.buf = (self.buf << 8) | self.data[self.pos]
             self.pos += 1
-            self.buf = (self.buf << 8) | byte
             self.n += 8
         self.n -= count
         out = (self.buf >> self.n) & ((1 << count) - 1)

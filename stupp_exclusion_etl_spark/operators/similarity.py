@@ -187,7 +187,7 @@ def ivf_topk(
             F.col(cell_col),
             cosine(F.col(centroid_vec_col), F.col(query_vec_col)).alias("__c"),
         )
-        .orderBy(F.col("__c").desc())
+        .orderBy(F.col("__c").desc(), F.col(cell_col))
         .limit(n_probe)
         .select(cell_col)
     )
@@ -290,7 +290,7 @@ def ivf_probe_cells(
             F.col(cell_col),
             cosine(F.col(centroid_vec_col), F.col(query_vec_col)).alias("__c"),
         )
-        .orderBy(F.col("__c").desc())
+        .orderBy(F.col("__c").desc(), F.col(cell_col))
         .limit(n_probe)
         .collect()
     )

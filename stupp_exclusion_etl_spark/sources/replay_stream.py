@@ -33,6 +33,12 @@ EVENTS_SCHEMA = (
     "event_type string, value double, props string"
 )
 
+# Declared column order — rows are yielded positionally, so slices must be
+# selected by NAME in this order, never in the parquet file's physical order
+# (a rewritten/reordered events.parquet would otherwise silently misassign
+# columns, e.g. user_id into event_type).
+_EVENT_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
 
 class EventsReplayStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
@@ -47,7 +53,8 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
             import pyarrow.parquet as pq
 
             t = pq.read_table(self.path)
-            self._table = t.sort_by("event_id")
+            # Normalize to schema order regardless of file layout.
+            self._table = t.select(_EVENT_COLS).sort_by("event_id")
         return self._table
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name

@@ -35,7 +35,9 @@ def test_rows_only_queries_are_quality_gated():
         "agg_approx_distinct",  # error bound vs exact (test_rows_only_quality)
         "agg_approx_percentiles",  # error bound vs exact
         "agg_hll_shard_union",  # error bound + shard-merge consistency
-        "stream_tumbling_micro_batch",  # equality vs batch window
+        # stream_tumbling_micro_batch graduated to a FULL oracle in r4:
+        # the drained sink end state hash-matches the batch window() SQL
+        # (it keeps its equality test in test_rows_only_quality too).
     }
     rows_only = {n for n, q in REGISTRY.items() if q.oracle is None}
     assert rows_only == gated, rows_only.symmetric_difference(gated)

@@ -282,6 +282,24 @@ def test_idempotent_batch_write_skips_replay(spark, tmp_path):
     assert got.filter(F.col("batch_id") == 0).count() == 10
 
 
+def test_idempotent_batch_write_uri_path(spark, tmp_path):
+    """The replay-skip probe must resolve the path's own scheme (Hadoop
+    FileSystem API), not the driver's local os.path view — exercised
+    with an explicit file:/ URI, which os.path.exists cannot resolve
+    (it would see a literal 'file:' directory and always answer False,
+    silently degrading skip-replay to rewrite-every-replay)."""
+    import os
+
+    from stupp_exclusion_etl_spark.sinks.upsert import idempotent_batch_write
+
+    path = "file://" + str(tmp_path / "urilog")
+    assert not os.path.exists(path)  # the URI is opaque to os.path
+    b0 = spark.range(7).select(F.col("id").alias("event_id"))
+    assert idempotent_batch_write(b0, path, 0) is True
+    assert idempotent_batch_write(b0, path, 0) is False  # replay skipped
+    assert spark.read.parquet(path).count() == 7
+
+
 def test_stream_restart_from_checkpoint_no_duplication(spark, tmp_path):
     """Structured Streaming recovery contract: a second availableNow run
     over the SAME checkpoint must resume from committed offsets —
