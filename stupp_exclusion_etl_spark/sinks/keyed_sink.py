@@ -62,7 +62,6 @@ class KeyedUpsertWriter(DataSourceWriter):
         self.batch_size = int(options.get("batch_size", 20))
         self.schema = schema
         self.overwrite = overwrite
-        self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
         if self.key not in schema.fieldNames():
             raise ValueError(f"key column {self.key!r} not in schema")
         # write() injects these two columns; a user schema already carrying
@@ -79,12 +78,32 @@ class KeyedUpsertWriter(DataSourceWriter):
         # a real multi-node object-store deployment swaps the staging I/O
         # for the store's client, same protocol. Enforced here so a
         # misconfigured remote path fails fast instead of losing staged
-        # batches at commit time.
-        if "://" in self.path and not self.path.startswith("file:"):
+        # batches at commit time. file: URIs are NORMALIZED to plain local
+        # paths (os.path.join would otherwise treat 'file:///x' as a
+        # relative './file:' directory — the exact silent-misplacement
+        # this guard exists to prevent; ADVICE r4); every other scheme is
+        # rejected.
+        if self.path.startswith("file:"):
+            from urllib.parse import urlparse, unquote
+
+            parsed = urlparse(self.path)
+            if parsed.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"keyed_upsert: file: URI with a remote host is not a "
+                    f"local path (got {self.path!r})"
+                )
+            local = unquote(parsed.path)
+            if not local.startswith("/"):
+                raise ValueError(
+                    f"keyed_upsert: malformed file: URI {self.path!r}"
+                )
+            self.path = local
+        elif "://" in self.path:
             raise ValueError(
                 "keyed_upsert stages via the local filesystem; remote URIs "
                 f"are not supported (got {self.path!r})"
             )
+        self.staging = os.path.join(self.path, f"_staging_{uuid.uuid4().hex}")
 
     # -- executor side ----------------------------------------------------
     def write(self, rows) -> _TaskCommit:
