@@ -87,10 +87,23 @@ class KeyedUpsertWriter(DataSourceWriter):
             from urllib.parse import urlparse, unquote
 
             parsed = urlparse(self.path)
-            if parsed.netloc not in ("", "localhost"):
+            # URI hosts are case-insensitive: compare parsed.hostname
+            # (lowercased by urllib), so file://LOCALHOST/x is local.
+            if parsed.hostname not in (None, "", "localhost"):
                 raise ValueError(
                     f"keyed_upsert: file: URI with a remote host is not a "
                     f"local path (got {self.path!r})"
+                )
+            # urlparse silently strips '?query'/'#fragment', so a
+            # POSIX-legal path like file:///tmp/run#1 would normalize to
+            # /tmp/run and stage data in the WRONG directory — the exact
+            # misplacement class this guard exists to prevent (ADVICE
+            # r5). Reject instead of silently truncating.
+            if parsed.query or parsed.fragment:
+                raise ValueError(
+                    f"keyed_upsert: file: URI {self.path!r} carries a "
+                    "query/fragment component; percent-encode '?'/'#' in "
+                    "the path or pass a plain local path"
                 )
             local = unquote(parsed.path)
             if not local.startswith("/"):

@@ -45,6 +45,13 @@ def _list_parquet_files(spark, root: str) -> list[tuple[str, int]]:
     p = jvm.org.apache.hadoop.fs.Path(root)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     out: list[tuple[str, int]] = []
+    # Probe first: fs.listFiles on a missing root throws a raw
+    # Py4JJavaError(FileNotFoundException) — fail with a clean,
+    # descriptive error instead (ADVICE r4 item 2).
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"parquet table root does not exist: {root!r}"
+        )
     it = fs.listFiles(p, True)  # recursive
     while it.hasNext():
         st = it.next()

@@ -104,3 +104,62 @@ def test_writer_chunking_unit(tmp_path):
     assert sizes == [2, 4, 4]
     w.abort([msg])
     assert not os.path.exists(w.staging)
+
+
+def _writer(path, tmp_ok=True):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stupp_exclusion_etl_spark.sinks.keyed_sink import KeyedUpsertWriter
+
+    schema = StructType([StructField("k", LongType())])
+    return KeyedUpsertWriter({"path": path, "key": "k"}, schema, False)
+
+
+def test_file_uri_normalizes_to_local_path(spark, sink):
+    """file:///abs end-to-end: staged+published under /abs, not ./file:."""
+    df = spark.createDataFrame([(1, "a")], "k int, v string").coalesce(1)
+    df.write.format("keyed_upsert").option("path", "file://" + sink).option(
+        "key", "k"
+    ).mode("append").save()
+    assert {r.ID: r.v for r in _read(spark, sink).collect()} == {"1": "a"}
+    # nothing misplaced into a literal './file:' directory
+    assert not os.path.exists(os.path.join(os.getcwd(), "file:"))
+
+
+def test_file_uri_localhost_any_case_accepted(tmp_path):
+    """URI hosts are case-insensitive: LOCALHOST == localhost (ADVICE r5)."""
+    for host in ("localhost", "LOCALHOST", "LocalHost"):
+        w = _writer(f"file://{host}{tmp_path}")
+        assert w.path == str(tmp_path)
+
+
+def test_file_uri_remote_host_rejected(tmp_path):
+    with pytest.raises(ValueError, match="remote host"):
+        _writer(f"file://nfs-server{tmp_path}")
+
+
+def test_file_uri_query_fragment_rejected(tmp_path):
+    """POSIX-legal '#'/'?' path chars must not be silently truncated
+    into a different directory (ADVICE r5)."""
+    for bad in (f"file://{tmp_path}/run#1", f"file://{tmp_path}/run?x=1"):
+        with pytest.raises(ValueError, match="query/fragment"):
+            _writer(bad)
+    # percent-encoded forms ARE the path, and decode back
+    w = _writer(f"file://{tmp_path}/run%231")
+    assert w.path == f"{tmp_path}/run#1"
+
+
+def test_file_uri_relative_and_remote_scheme_rejected(tmp_path):
+    with pytest.raises(ValueError, match="malformed"):
+        _writer("file:relative/dir")
+    with pytest.raises(ValueError, match="remote URIs"):
+        _writer("s3://bucket/x")
+
+
+def test_compact_missing_table_raises_descriptive(spark, tmp_path):
+    """compact_parquet on an absent root: clean FileNotFoundError, not a
+    raw Py4JJavaError (ADVICE r4 item 2)."""
+    from stupp_exclusion_etl_spark.sinks.upsert import compact_parquet
+
+    with pytest.raises(FileNotFoundError, match="does not exist"):
+        compact_parquet(spark, str(tmp_path / "never_written"))
