@@ -3,22 +3,41 @@
 on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON line (<1 KB —
 round 2's 67-entry per-query dict overflowed the driver's tail
 capture and voided the bench signal, VERDICT r2 item 4):
-  {"metric": "...", "value": <total sec>, "unit": "sec", "sf": <sf>,
-   "n_queries": N, "detail_file": "bench_detail.json"}
+  {"metric": "...", "value": <cold total sec>, "unit": "sec",
+   "sf": <sf>, "n_queries": N, "warm_sec": ..., "exec_sec": ...,
+   "detail_file": "bench_detail.json"}
 
-Per-query timings + any errors go to ``bench_detail.json`` next to
-this script (the driver line stays parseable no matter how many
-queries the headline set grows to).
+Per-query timings + any errors go to ``bench_detail.json``.
 
-Per-query time = full action latency (plan + execute + collect-count),
-measured after a session warm-up so JVM/codegen startup isn't billed
-to the first query.
+Tiers (VERDICT r5: single-shot numbers swung 1.5× on unchanged plans,
+so every repeatable tier is now a median over $SPARK_GRAFT_BENCH_REPS
+fresh samples, default 3 — use the MEDIAN tiers as the cross-round
+regression gate):
+
+  cold  — the query's FIRST build+run in the session (codegen compile,
+          parquet footer reads). Definitionally unrepeatable within a
+          session, so it stays single-shot: treat it as fixed-overhead
+          context, not a regression signal.
+  build — median time to CONSTRUCT the DataFrame (the fn() call).
+          ~ms for declarative plans, but checkpoint-based iterative
+          queries (connected components, near-dedup) run their rounds
+          eagerly AT CONSTRUCTION — this tier makes that work visible
+          instead of hiding it from exec (VERDICT r3-r5 "tier
+          attribution" issue).
+  warm  — median of `reps` fresh build+run samples (plan re-analyzed,
+          codegen cached): what a long-lived session pays per query.
+  exec  — median of `reps` re-runs of an already-built DataFrame:
+          pure execution, the closest small-SF proxy for per-task cost
+          at 100 TB where per-plan overhead is noise. For checkpoint
+          queries read exec TOGETHER WITH build — the rounds ran at
+          construction (true_exec ≈ build + exec).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -109,6 +128,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
 
@@ -125,6 +145,7 @@ def main() -> None:
         pass  # warm-up only; the timed run will surface real failures
 
     times: dict[str, float] = {}
+    times_build: dict[str, float] = {}
     times_warm: dict[str, float] = {}
     times_exec: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -136,30 +157,32 @@ def main() -> None:
         except Exception as exc:  # one bad query must not void the bench
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             continue
-        # Two more tiers decompose the cold number (all three recorded
-        # in bench_detail.json):
-        #   warm = second FRESH build of the same plan (amortizes
-        #          codegen compile the way a long session does);
-        #   exec = re-running the already-built DataFrame (pure
-        #          execution — analysis/planning/compile all amortized,
-        #          the closest small-SF proxy for per-task cost at
-        #          100 TB, where fixed per-plan overhead is noise).
-        # Measured spread: profile_columns 2.6s cold / 0.1s exec — the
-        # cold bench largely measures Spark's fixed per-plan overhead
-        # at this scale, not the operators. A warm/exec failure is
-        # recorded separately so cold totals stay self-consistent.
-        t0 = time.perf_counter()
         try:
-            df2 = REGISTRY[name].fn(spark, sf_dir)
-            df2.count()
-            times_warm[name] = round(time.perf_counter() - t0, 3)
-            t0 = time.perf_counter()
-            df2.count()
-            times_exec[name] = round(time.perf_counter() - t0, 3)
+            builds: list[float] = []
+            warms: list[float] = []
+            df2 = None
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df2 = REGISTRY[name].fn(spark, sf_dir)
+                t1 = time.perf_counter()
+                df2.count()
+                builds.append(t1 - t0)
+                warms.append(time.perf_counter() - t0)
+            execs: list[float] = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df2.count()
+                execs.append(time.perf_counter() - t0)
+            times_build[name] = round(statistics.median(builds), 3)
+            times_warm[name] = round(statistics.median(warms), 3)
+            times_exec[name] = round(statistics.median(execs), 3)
         except Exception as exc:
             errors[f"{name}__warm"] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(times.values()), 3)
+    warm_total = round(sum(times_warm.values()), 3)
+    exec_total = round(sum(times_exec.values()), 3)
+    build_total = round(sum(times_build.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
@@ -171,11 +194,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                "reps": reps,
                 "queries": times,
+                "queries_build": times_build,
                 "queries_warm": times_warm,
                 "queries_exec": times_exec,
-                "warm_total_sec": round(sum(times_warm.values()), 3),
-                "exec_total_sec": round(sum(times_exec.values()), 3),
+                "build_total_sec": build_total,
+                "warm_total_sec": warm_total,
+                "exec_total_sec": exec_total,
                 "errors": errors,
             },
             fh,
@@ -190,6 +216,10 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(times),
                 "n_errors": len(errors),
+                "reps": reps,
+                "warm_sec": warm_total,
+                "exec_sec": exec_total,
+                "build_sec": build_total,
                 "detail_file": "bench_detail.json",
             }
         )
