@@ -6,11 +6,17 @@ audit (VERDICT r4/r5 directed task #8). tools/gen_plan_snapshots.py
 writes the committed snapshot; tests/test_plan_snapshots.py diffs
 every registered query's current plan against it.
 
-Plans are normalized before comparison: expression/plan ids, RDD
-numbers and file-index paths vary run-to-run and machine-to-machine,
-but the plan SHAPE — operators, join strategies, pushed filters,
-read schemas, exchange placement — is deterministic under the pinned
-test session config (8 cores / 8 shuffle partitions, AQE on)."""
+Plans are normalized to their structural SHAPE before comparison:
+operator tree (with codegen markers), join strategy + join type +
+build side, exchange partitioning kind, and per-scan PushedFilters /
+ReadSchema. Raw plan text is NOT stable across sessions — Catalyst's
+distinct-aggregate rewrite (and other rules that iterate attribute
+sets) orders columns by expression-id hashing, which depends on how
+many expressions the session allocated before, so full-text
+snapshots false-positive whenever test selection changes (found
+empirically building this guard). The shape above is deterministic
+AND is precisely the regression surface: a new exchange, a flipped
+join strategy, or a lost pushdown all change it."""
 
 from __future__ import annotations
 
@@ -22,28 +28,65 @@ SKIP = ("stream_stateful_user_sessions", "stream_tumbling_micro_batch")
 
 SNAPSHOT_PATH = "tests/plan_snapshots.json"
 
-_RULES = [
-    (re.compile(r"#\d+L?"), "#_"),
-    (re.compile(r"plan_id=\d+"), "plan_id=_"),
-    (re.compile(r"InMemoryFileIndex\([^)]*\)\[[^\]]*\]"), "InMemoryFileIndex[_]"),
-    (re.compile(r"Location: \S+"), "Location: _"),
-    (re.compile(r"ExistingRDD\[[^\]]*\]"), "ExistingRDD[_]"),
-    (re.compile(r"MapPartitionsRDD\[\d+\]"), "MapPartitionsRDD[_]"),
-    (re.compile(r"\[id=[^\]]*\]"), "[id=_]"),
-    # lambda/UDF reprs can embed memory addresses
-    (re.compile(r"0x[0-9a-f]{6,}"), "0x_"),
+_LINE = re.compile(r"^([-+:*()\d\s]*?)(\*?\(?\d*\)?\s*)?([A-Za-z][\w.]*)(.*)$")
+
+# detail tokens worth pinning, extracted from the line's remainder
+_JOIN_TYPES = (
+    "Inner", "FullOuter", "LeftOuter", "RightOuter", "LeftSemi",
+    "LeftAnti", "Cross", "ExistenceJoin",
+)
+_DETAIL = [
+    re.compile(r"PushedFilters: \[[^\]]*\]"),
+    re.compile(r"ReadSchema: \S+"),
+    re.compile(r"PartitionFilters: \[[^\]]*\]"),
+    re.compile(r"Batched: \w+"),
+    re.compile(
+        r"\b(hashpartitioning|rangepartitioning|SinglePartition|"
+        r"RoundRobinPartitioning|REPARTITION_BY_NUM|REPARTITION_BY_COL|"
+        r"ENSURE_REQUIREMENTS|BuildLeft|BuildRight|skew=true|"
+        + "|".join(_JOIN_TYPES)
+        + r")\b"
+    ),
 ]
 
 
+def _shape_line(line: str) -> str | None:
+    if not line.strip():
+        return None
+    m = _LINE.match(line)
+    if m is None:
+        return line.strip()
+    indent, codegen, op, rest = m.groups()
+    # tree art: keep depth only (exprIds inside the art never occur)
+    depth = len(indent or "")
+    star = "*" if (codegen or "").startswith("*") else ""
+    details: list[str] = []
+    for pat in _DETAIL:
+        details.extend(pat.findall(rest or ""))
+    suffix = (" " + " ".join(details)) if details else ""
+    return f"{' ' * depth}{star}{op}{suffix}"
+
+
 def normalize(plan: str) -> str:
-    for pat, repl in _RULES:
-        plan = pat.sub(repl, plan)
-    # drop fully blank lines and trailing spaces introduced by wrapping
-    return "\n".join(
-        line.rstrip() for line in plan.splitlines() if line.strip()
-    )
+    out = []
+    for line in plan.splitlines():
+        # continuation lines (wrapped field lists) carry no operators
+        if not line.lstrip().startswith(("+-", ":-", ":", "*(")) and out:
+            # detail continuation of the previous operator: keep only
+            # pinned detail tokens it may carry (e.g. PushedFilters on
+            # its own wrapped line)
+            details = []
+            for pat in _DETAIL[:4]:
+                details.extend(pat.findall(line))
+            if details:
+                out.append("  " + " ".join(details))
+            continue
+        shaped = _shape_line(line)
+        if shaped is not None:
+            out.append(shaped)
+    return "\n".join(out)
 
 
 def compiled_plan(df) -> str:
-    """Initial physical plan (pre-AQE-execution), normalized."""
+    """Initial physical plan (pre-AQE-execution), shape-normalized."""
     return normalize(df._jdf.queryExecution().executedPlan().toString())
