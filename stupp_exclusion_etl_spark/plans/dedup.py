@@ -223,7 +223,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     in for an LSH/cluster bucket): the bucketed equi-join keeps the
     pair count linear in bucket size — never an all-pairs cartesian.
     At 100 TB the buckets come from lsh_assign_buckets and the table
-    is written bucketed on them."""
+    is written bucketed on them.
+
+    Known super-linear AT FIXED BUCKET COUNT (measured 93x at 10x
+    data, BENCH_SCALE_r06): within-bucket exact pairwise is quadratic
+    in bucket size by the oracle's own semantics. The scale path keeps
+    bucket SIZE bounded — bucket count grows with n (LSH), making pair
+    work linear; dedup_semantic_groups takes that path."""
     from stupp_exclusion_etl_spark.operators.dedup import embedding_neardup_pairs
 
     e = table(spark, sf_dir, "embeddings")

@@ -180,7 +180,13 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch k-NN join (operators.similarity.knn_join): every vector in
     the query batch (vec_id % 97 == 0) gets its 5 nearest neighbors.
     Queries broadcast → map-side scoring; salted two-stage top-k so no
-    per-query single-reducer skew at scale."""
+    per-query single-reducer skew at scale.
+
+    Known super-linear (measured 54x at 10x data, BENCH_SCALE_r06):
+    EXACT brute-force kNN with query count proportional to n is
+    n_q x n_corpus work by definition. The bounded-work scale path is
+    the ANN family (sim_ann_lsh_topk / sim_ivf_pq_topk), which scores
+    only candidate cells per query."""
     from stupp_exclusion_etl_spark.operators.similarity import knn_join
 
     e = table(spark, sf_dir, "embeddings")

@@ -197,12 +197,15 @@ class AtomicParquetTable:
         v = self.current_version()
         return None if v is None else self._manifest(v)
 
-    def read(self) -> DataFrame | None:
-        """DataFrame over exactly the live files of the latest snapshot
-        (None before the first commit). basePath keeps partition-column
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """DataFrame over exactly the live files of a snapshot — the
+        latest by default, or a retained older `version` (time travel:
+        any manifest gc() hasn't expired is readable, since data files
+        are immutable and GC only deletes unreferenced ones). None
+        before the first commit. basePath keeps partition-column
         parsing/pruning; the explicit file list keeps orphans and
         in-flight writers invisible."""
-        man = self.snapshot()
+        man = self.snapshot() if version is None else self._manifest(version)
         if man is None:
             return None
         files = [
@@ -354,7 +357,129 @@ class AtomicParquetTable:
         # _commit's replaced_parts handling.
         return self._commit(parent, by_part, touched_dirs, _ddl(merged))
 
+    def delete_keys(self, doomed_keys: DataFrame) -> int:
+        """Atomic keyed delete (MERGE's WHEN MATCHED DELETE half / the
+        right-to-be-forgotten primitive): rewrite ONLY partitions that
+        contain a doomed key (broadcast semi-join finds them, anti-join
+        rewrites), publish one manifest. Fully-emptied partitions drop
+        out of the manifest; untouched partitions carry forward without
+        a read or rewrite. Returns the committed version."""
+        existing = self.read()
+        if existing is None:
+            raise ValueError(f"no table at {self.path}")
+        parent = self.current_version()
+        txn = uuid.uuid4().hex[:16]
+        doomed = F.broadcast(doomed_keys.select(*self.keys).distinct())
+
+        if not self.partition_by:
+            kept = existing.join(doomed, self.keys, "left_anti")
+            kept = kept.localCheckpoint(eager=True)
+            by_part = self._stage_and_move(kept, txn)
+            return self._commit(parent, by_part, {""}, _ddl(kept))
+
+        pb = self.partition_by
+        touched_rows = (
+            existing.select(*self.keys, *pb)
+            .join(doomed, self.keys, "left_semi")
+            .select(*pb)
+            .distinct()
+            .collect()
+        )
+        if not touched_rows:
+            return parent  # nothing to delete; current version stands
+        touched_dirs = {self._part_dir(r) for r in touched_rows}
+        touched_df = self.spark.createDataFrame(
+            touched_rows, existing.select(*pb).schema
+        )
+        relevant = existing.join(F.broadcast(touched_df), pb, "left_semi")
+        kept = relevant.join(doomed, self.keys, "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        by_part = self._stage_and_move(kept, txn)
+        return self._commit(parent, by_part, touched_dirs, _ddl(kept))
+
     # -- maintenance --------------------------------------------------
+
+    def compact(self, target_bytes_per_file: int = 128 * 1024 * 1024) -> int:
+        """Atomic small-file compaction (OPTIMIZE): rewrite every
+        partition whose live-file count exceeds what its bytes justify
+        into ceil(bytes/target) files, and publish as ONE new version —
+        readers never see a half-compacted table, and time travel to
+        the pre-compaction snapshot still works until gc(). Partitions
+        already at their target file count are carried forward
+        untouched. Returns the committed version (parent if nothing
+        needed compaction)."""
+        import math
+
+        man = self.snapshot()
+        if man is None:
+            raise ValueError(f"no table at {self.path}")
+        fs, _p, jvm = _fs(self.spark, self.path)
+        needs: dict[str, list[str]] = {}
+        wants: dict[str, int] = {}
+        for part, files in man["partitions"].items():
+            if len(files) <= 1:
+                continue
+            total = sum(
+                fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(f"{self.path}/{DATA_DIR}/{f}")
+                ).getLen()
+                for f in files
+            )
+            want = max(1, math.ceil(total / target_bytes_per_file))
+            if want < len(files):
+                needs[part] = files
+                wants[part] = want
+        if not needs:
+            return man["version"]
+        txn = uuid.uuid4().hex[:16]
+        files = [
+            f"{self.path}/{DATA_DIR}/{f}" for fl in needs.values() for f in fl
+        ]
+        df = (
+            self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
+            .parquet(*files)
+        )
+        # One write task per (partition, output-file slot): repartition
+        # on the partition columns plus a deterministic hash salt bounded
+        # by each partition's size-derived file target — a bare coalesce
+        # would scatter a partition's rows over many tasks and emit one
+        # file per (task, partition), compacting nothing.
+        pb = self.partition_by
+        if pb:
+            wants_df = F.broadcast(
+                self.spark.createDataFrame(
+                    list(wants.items()), "__pdir string, __want int"
+                )
+            )
+            # join on the reconstructed partition-dir string — avoids
+            # re-parsing typed partition values out of 'k=v' segments
+            pdir = F.concat_ws(
+                "/",
+                *[
+                    F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+                    for c in pb
+                ],
+            )
+            data_cols = [c for c in df.columns if c not in pb]
+            salted = df.withColumn("__pdir", pdir).join(
+                wants_df, "__pdir", "left"
+            ).withColumn(
+                "__salt",
+                F.pmod(F.hash(*data_cols), F.coalesce("__want", F.lit(1))),
+            )
+            out = (
+                salted.repartition(
+                    sum(wants.values()), *pb, F.col("__salt")
+                )
+                .drop("__pdir", "__want", "__salt")
+            )
+        else:
+            out = df.repartition(wants[""])
+        out = out.localCheckpoint(eager=True)
+        by_part = self._stage_and_move(out, txn)
+        return self._commit(
+            man["version"], by_part, set(needs), man["schema_ddl"]
+        )
 
     def gc(self, keep_versions: int = 1) -> dict:
         """Remove data files referenced by NO retained manifest (crash

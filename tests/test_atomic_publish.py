@@ -197,3 +197,80 @@ def test_gc_retains_requested_history(spark, table):
 def test_read_none_before_first_commit(spark, tmp_path):
     t = AtomicParquetTable(spark, str(tmp_path / "nothing"), keys=["k"])
     assert t.read() is None and t.current_version() is None
+
+
+def test_time_travel_reads_retained_versions(spark, table):
+    table.upsert(_df(spark, [(2, "A", "a2-new", 1)]), [F.col("ts").desc()])
+    v0 = sorted((r.k, r.v) for r in table.read(version=0).collect())
+    v1 = sorted((r.k, r.v) for r in table.read(version=1).collect())
+    assert (2, "a2") in v0 and (2, "a2-new") in v1
+    assert [x for x in v0 if x[0] != 2] == [x for x in v1 if x[0] != 2]
+
+
+def test_delete_keys_atomic_partition_scoped(spark, table):
+    m_before = table.snapshot()
+    doomed = spark.createDataFrame([(2,), (3,)], "k int")
+    v = table.delete_keys(doomed)
+    assert v == 1
+    assert _rows(table) == sorted([(1, "A", "a1", 0), (4, "C", "c1", 0)])
+    m_after = table.snapshot()
+    # key 3 was partition B's only row: B dropped from the manifest
+    assert "part=B" not in m_after["partitions"]
+    # untouched partition C carried forward verbatim
+    assert m_before["partitions"]["part=C"] == m_after["partitions"]["part=C"]
+    # deleting absent keys is a no-op that keeps the current version
+    assert table.delete_keys(spark.createDataFrame([(99,)], "k int")) == 1
+
+
+def test_compact_merges_small_files_atomically(spark, tmp_path):
+    t = _base(spark, str(tmp_path / "frag"))
+    # a multi-task merge stages one file per (task, partition) — with
+    # AQE partition coalescing off, the keep-latest shuffle keeps 8
+    # tasks and each partition lands several files (the fragmentation a
+    # long-running big-partition table accumulates)
+    batch = _df(
+        spark,
+        [(i, "A", f"v{i}", i) for i in range(64)]
+        + [(100 + i, "B", f"w{i}", i) for i in range(64)],
+    )
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.upsert(batch, [F.col("ts").desc()])
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    before = t.snapshot()
+    assert len(before["partitions"]["part=A"]) >= 4
+    rows_before = _rows(t)
+    v = t.compact()
+    assert v == before["version"] + 1
+    after = t.snapshot()
+    assert len(after["partitions"]["part=A"]) == 1
+    assert len(after["partitions"]["part=B"]) == 1
+    assert _rows(t) == rows_before
+    # pre-compaction snapshot still time-travels until gc
+    assert sorted((r.k, r.v) for r in t.read(version=before["version"]).collect()) == \
+        sorted((r.k, r.v) for r in t.read().collect())
+    # already-compacted table: no-op, same version
+    assert t.compact() == v
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    t = AtomicParquetTable(spark, str(tmp_path / "flatc"), keys=["k"])
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        t.upsert(
+            spark.createDataFrame(
+                [(i, i) for i in range(64)], "k int, v int"
+            ),
+            [F.col("v").desc()],
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+    assert len(t.snapshot()["partitions"][""]) >= 3
+    t.compact()
+    assert len(t.snapshot()["partitions"][""]) == 1
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (i, i) for i in range(64)
+    ]
