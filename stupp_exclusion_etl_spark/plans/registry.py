@@ -93,7 +93,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "nested_variant_dynamic",
     # scalar function surface — B10
     "func_string_date",
-    "func_math",
+    # r6: replaced func_math (B10 already covered by func_string_date +
+    # filter_like_regex) with the atomic manifest-commit sink drive —
+    # the only driver-verifiable A16/C16 evidence
+    "atomic_upsert_read",
     # guarded coercion + reject audit — A13, A18, B15
     "coercion_typify",
     "ingest_reject_audit",

@@ -253,3 +253,68 @@ def win_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 4).alias("v"),
         F.round(F.last("v", ignorenulls=True).over(w), 4).alias("filled"),
     )
+
+
+@register(
+    "atomic_upsert_read",
+    oracle="""
+    WITH batch1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 1 AS batch
+      FROM orders WHERE o_orderkey % 10 < 5),
+    batch2 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice,
+             o_orderpriority, 2 AS batch
+      FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY batch DESC) AS rn
+      FROM (SELECT * FROM batch1 UNION ALL SELECT * FROM batch2))
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM latest WHERE rn = 1
+    GROUP BY o_orderpriority
+    """,
+    tags=("A15", "A16", "C16"),
+)
+def atomic_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the atomic manifest-commit table
+    (sinks.atomic.AtomicParquetTable, C16): two overlapping order
+    batches are upserted into a throwaway partitioned table — batch 2
+    re-prices the keys it shares with batch 1 and must win — and the
+    committed snapshot is read back through the manifest and
+    aggregated. The oracle computes the same last-write-wins merge in
+    SQL, so the driver verifies the sink's MERGE semantics, the
+    manifest read path, and the partition carry-forward all at once.
+    Money totals rounded to 2 (double SUM over ~9k rows in engine-
+    specific order: 4dp is below double ulp noise at 1e8 magnitudes)."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    b1 = o.filter(k % 10 < 5).withColumn("batch", F.lit(1))
+    b2 = (
+        o.filter((k % 10 >= 3) & (k % 10 <= 7))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+        .withColumn("batch", F.lit(2))
+    )
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_q_"),
+        keys=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    t.upsert(b1, [F.col("batch").desc()])
+    t.upsert(b2, [F.col("batch").desc()])
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
