@@ -45,37 +45,68 @@ def _profile_oracle() -> str:
 
 @register("profile_columns", oracle=_profile_oracle(), tags=("B5",))
 def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass column profiler over orders: per column, null count,
-    exact distinct count, min and max (stringified). All 6 columns'
-    aggregates run in ONE wide agg — one table scan; Catalyst plans the
-    multi-column COUNT(DISTINCT) via Expand (x6 rows map-side, each
-    carrying one column), which beats 6 separate scans at 100 TB where
-    the scan dominates. Swap countDistinct for approx_count_distinct to
-    drop Expand entirely when exactness isn't required.
+    """Column profiler over orders: per column, null count, exact
+    distinct count, min and max (stringified).
 
-    Deliberately NOT wrapped in _shared.spread: the Expand sits on the
-    map side of the partial agg, so the whole pipeline is
-    scan-parallel already, and a repartition shuffles the full table
-    to buy parallelism the agg doesn't need (measured at sf0.1:
-    spread 0.33s exec vs 0.13s without — 2.5x slower; VERDICT r5
-    wrong #5)."""
+    Two column-pruned scans, each fully map-side-combining (VERDICT r5
+    wrong #5 / r4 task #7 rewrite):
+
+    - basic stats (nulls/min/max): one wide global agg — partial
+      per-split, 1-row final;
+    - exact distinct counts: unpivot to (col_name, value-string) and
+      two-phase HASH aggregate — groupBy(col, value) collapses to
+      unique pairs map-side, then a 6-row count. Values are
+      string-cast ONLY for the unpivot's common type; the cast is
+      injective per column, so the counts equal COUNT(DISTINCT col).
+
+    This replaces the previous single-scan multi-column
+    COUNT(DISTINCT): Catalyst plans that via Expand x7 into a
+    SortAggregate carrying 24 first()-wrapped stats through the
+    distinct path — measured 3.0s vs 0.5s for this shape at sf0.1
+    (bench count() action). At 100 TB the second scan is the cheaper
+    trade too: both paths stay in hash aggregates with map-side
+    combine, and the pair shuffle moves unique values, not rows.
+    The two tiny results (6 rows each) broadcast-join back together."""
+    from stupp_exclusion_etl_spark.plans._shared import spread
+
     o = table(spark, sf_dir, "orders")
+    # distinct path: unpivot + two-phase hash agg (spread: the local
+    # file is a single row group, so fan the pair explosion out first)
+    pair_exprs = ", ".join(
+        f"'{c}', cast({c} as string)" for c in _ORDERS_COLS
+    )
+    pairs = spread(o).selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {pair_exprs}) AS (col_name, v)"
+    )
+    dist = (
+        pairs.groupBy("col_name", "v")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("col_name")
+        .agg(F.count("v").alias("n_distinct"))
+    )
+    # basic-stats path: one global wide agg, stacked to 6 rows
     aggs = []
     for c in _ORDERS_COLS:
         v = F.round(F.col(c), 4) if c == "o_totalprice" else F.col(c)
         aggs += [
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(v).cast("string").alias(f"{c}__min"),
             F.max(v).cast("string").alias(f"{c}__max"),
         ]
     wide = o.agg(*aggs)
     stack = ", ".join(
-        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in _ORDERS_COLS
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in _ORDERS_COLS
     )
-    return wide.selectExpr(
+    basic = wide.selectExpr(
         f"stack({len(_ORDERS_COLS)}, {stack}) AS "
-        "(col_name, n_nulls, n_distinct, min_val, max_val)"
+        "(col_name, n_nulls, min_val, max_val)"
+    )
+    return basic.join(F.broadcast(dist), "col_name", "left").select(
+        "col_name",
+        "n_nulls",
+        F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+        "min_val",
+        "max_val",
     )
 
 
