@@ -175,6 +175,7 @@ class AtomicParquetTable:
         self.keys = keys
         self.partition_by = partition_by or []
         self.hooks = hooks or {}
+        self._batch_id: int | None = None
 
     # -- snapshot resolution ------------------------------------------
 
@@ -215,8 +216,13 @@ class AtomicParquetTable:
         ]
         if not files:
             return self.spark.createDataFrame([], man["schema_ddl"])
+        # mergeSchema: untouched partitions carry files written under
+        # older schemas; a widened batch (new columns) must read as the
+        # union with nulls for the old files — snapshot-level schema
+        # evolution, like a table format's
         return (
             self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
+            .option("mergeSchema", "true")
             .parquet(*files)
         )
 
@@ -280,12 +286,22 @@ class AtomicParquetTable:
         for part, files in new_by_part.items():
             partitions[part] = sorted(files)
         version = 0 if parent is None else parent + 1
+        # streaming idempotence marker: the max micro-batch id ever
+        # applied rides IN the manifest (carried forward by non-batch
+        # commits like compact/delete, so a replay after maintenance is
+        # still recognized)
+        prev_bid = (
+            self._manifest(parent).get("batch_id") if parent is not None else None
+        )
+        bid = self._batch_id if self._batch_id is not None else prev_bid
+        self._batch_id = None
         manifest = {
             "version": version,
             "parent": parent,
             "partition_by": self.partition_by,
             "schema_ddl": schema_ddl,
             "partitions": partitions,
+            "batch_id": bid,
         }
         self._fire("before_commit")
         _write_text_atomic(
@@ -299,7 +315,12 @@ class AtomicParquetTable:
     def _part_dir(self, row) -> str:
         return "/".join(f"{c}={row[c]}" for c in self.partition_by)
 
-    def upsert(self, new_data: DataFrame, order_by: list[Column]) -> int:
+    def upsert(
+        self,
+        new_data: DataFrame,
+        order_by: list[Column],
+        batch_id: int | None = None,
+    ) -> int:
         """Last-write-wins MERGE of one batch, atomically published.
 
         Same 100 TB shape as upsert_parquet: only touched partitions
@@ -308,9 +329,24 @@ class AtomicParquetTable:
         re-merged and rewritten; both partition lists and the key list
         are batch-sized broadcast semi-joins; untouched partitions'
         files are carried forward in the manifest without being read
-        or rewritten. Returns the committed version."""
-        txn = uuid.uuid4().hex[:16]
+        or rewritten. Returns the committed version.
+
+        ``batch_id`` makes the commit idempotent for Structured
+        Streaming's foreachBatch contract: a failed micro-batch is
+        re-invoked with the SAME id, and because the id is recorded IN
+        the atomically-published manifest, a replay after a successful
+        commit is a no-op — data files and commit marker can never
+        disagree (the gap idempotent_batch_write's separate _SUCCESS
+        marker leaves open on plain parquet). Schema may widen across
+        batches (unionByName(allowMissingColumns) + mergeSchema read).
+        """
         parent = self.current_version()
+        if batch_id is not None and parent is not None:
+            last = self._manifest(parent).get("batch_id")
+            if last is not None and batch_id <= last:
+                return parent  # replayed micro-batch: already committed
+        txn = uuid.uuid4().hex[:16]
+        self._batch_id = batch_id
         existing = self.read()
 
         if existing is None:
@@ -526,3 +562,24 @@ class AtomicParquetTable:
             "removed_manifests": removed_manifests,
             "live_files": len(live),
         }
+
+
+def streaming_upsert_sink(table: AtomicParquetTable, order_by: list[Column]):
+    """foreachBatch handler: exactly-once streaming MERGE into an
+    atomic table. Structured Streaming re-invokes a failed micro-batch
+    with the SAME batch_id; because the applied id is part of the
+    atomically-published manifest, the replay is recognized and
+    skipped — checkpointed offsets + manifest id give end-to-end
+    exactly-once without a separate marker file that could disagree
+    with the data. Usage::
+
+        (stream.writeStream
+           .foreachBatch(streaming_upsert_sink(t, [F.col("ts").desc()]))
+           .option("checkpointLocation", ...)
+           .start())
+    """
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        table.upsert(batch_df, order_by, batch_id=batch_id)
+
+    return handle

@@ -274,3 +274,39 @@ def test_compact_unpartitioned(spark, tmp_path):
     assert sorted((r.k, r.v) for r in t.read().collect()) == [
         (i, i) for i in range(64)
     ]
+
+
+def test_schema_evolution_across_snapshots(spark, table):
+    """A widened batch (new column) upserts cleanly; untouched
+    partitions' old-schema files read back with nulls (mergeSchema)."""
+    widened = spark.createDataFrame(
+        [(2, "A", "a2-new", 1, "eu")],
+        "k int, part string, v string, ts int, region string",
+    )
+    table.upsert(widened, [F.col("ts").desc()])
+    out = {r.k: (r.v, r.region) for r in table.read().collect()}
+    assert out[2] == ("a2-new", "eu")
+    assert out[4] == ("c1", None)  # untouched partition C, old schema
+
+
+def test_batch_id_makes_upsert_exactly_once(spark, tmp_path):
+    from stupp_exclusion_etl_spark.sinks.atomic import streaming_upsert_sink
+
+    t = _base(spark, str(tmp_path / "stream"))
+    sink = streaming_upsert_sink(t, [F.col("ts").desc()])
+    sink(_df(spark, BASE), 0)
+    sink(_df(spark, [(2, "A", "a2-new", 1)]), 1)
+    v_after = t.current_version()
+    rows_after = _rows(t)
+    # replayed micro-batch (same id): no-op, same version, same rows
+    sink(_df(spark, [(2, "A", "a2-new", 1)]), 1)
+    assert t.current_version() == v_after and _rows(t) == rows_after
+    # maintenance commits carry the marker forward: replay after
+    # compaction is STILL recognized
+    t.compact()
+    sink(_df(spark, [(2, "A", "a2-REPLAY", 1)]), 1)
+    assert (2, "A", "a2-new", 1) in _rows(t)
+    assert all(r[2] != "a2-REPLAY" for r in _rows(t))
+    # the next real batch applies
+    sink(_df(spark, [(7, "B", "b7", 2)]), 2)
+    assert (7, "B", "b7", 2) in _rows(t)
