@@ -46,6 +46,8 @@ BLURBS = {
     "corpus_chunks_udtf": "Python table function in a LATERAL join: ArrowEvalPythonUDTF over JVM-computed token arrays — the sanctioned Python fan-out shape.",
     "pipeline_near_dedup": "The full near-dedup composite: LSH bands -> verify joins -> star-contraction rounds -> survivor anti-join; every join an equi-join, the contraction localCheckpointed per round.",
     "source_session_double_json": "Authenticated-session connector scan: one-partition-per-page BatchScan; login/cookie/double-JSON decode all inside the source.",
+    "profile_columns": "Two column-pruned map-side-combining paths (r6 rewrite): global wide agg for nulls/min/max + unpivot->two-phase HASH distinct; 6-row broadcast join reassembles — no SortAggregate, no stats dragged through the distinct path.",
+    "atomic_upsert_read": "Manifest-routed read of the atomic table: explicit live-file scan under basePath (partition parsing intact), keep-latest already folded at commit time — the read plan is a plain pruned scan + hash agg.",
 }
 
 
