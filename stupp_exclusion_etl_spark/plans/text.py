@@ -685,3 +685,84 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(table(spark, sf_dir, "documents"))
     toks = d.select(F.explode(tokens(F.col("text"))).alias("token"))
     return heavy_hitters_exact(toks, "token", k=HH_K, top=20)
+
+
+def _logreg_oracle(iters: int = 3, lr: float = 2.0) -> str:
+    """Unrolled-CTE twin of operators.ml.logreg_train_gd: each GD step
+    is one avg-aggregate CTE (g{i}) feeding a 1-row weight CTE (w{i})
+    via CROSS JOIN — same zero init, same iteration count, same float
+    expressions, so the weights agree to ~1e-13 (inside the 6-dp
+    rounding)."""
+    z = "(a0 * x0 + a1 * x1 + a2 * x2)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    ctes = [
+        """d AS (
+          SELECT lang,
+                 CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 1.0 AS x0,
+                 n_chars / 500.0 AS x1,
+                 CASE WHEN source >= 'src2' THEN 1.0 ELSE 0.0 END AS x2
+          FROM documents)""",
+        "w0 AS (SELECT 0.0 AS a0, 0.0 AS a1, 0.0 AS a2)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""g{i} AS (
+              SELECT avg(({sig} - y) * x0) AS g0,
+                     avg(({sig} - y) * x1) AS g1,
+                     avg(({sig} - y) * x2) AS g2
+              FROM d CROSS JOIN w{i - 1})"""
+        )
+        ctes.append(
+            f"""w{i} AS (
+              SELECT a0 - {lr} * g0 AS a0,
+                     a1 - {lr} * g1 AS a1,
+                     a2 - {lr} * g2 AS a2
+              FROM w{i - 1} CROSS JOIN g{i})"""
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           ROUND(avg({sig}), 6) AS avg_p_en
+    FROM d CROSS JOIN w{iters}
+    GROUP BY lang
+    """
+
+
+@register("ml_logreg_lang_filter", oracle=_logreg_oracle(), tags=("B12",))
+def ml_logreg_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed iterative training as a first-class operator
+    (operators.ml.logreg_train_gd): full-batch gradient-descent
+    logistic regression predicting lang='en' from document features
+    (scaled length + a source flag), then the trained model applied
+    back over the corpus — per-language mean predicted probability.
+    The LLM-pipeline shape this stands in for is training a
+    fasttext-style quality/language filter ON the corpus itself: each
+    GD step is ONE column-pruned, map-side-combined aggregate over the
+    full frame; driver state is just the 3-float weight vector. The
+    oracle replays the identical unrolled iterations as chained CTEs,
+    so the driver value-checks the whole training trajectory, not just
+    the apply."""
+    from stupp_exclusion_etl_spark.operators.ml import (
+        logreg_predict,
+        logreg_train_gd,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.col("n_chars") / 500.0).alias("x1"),
+        F.when(F.col("source") >= "src2", 1.0).otherwise(0.0).alias("x2"),
+    )
+    feats = ["x0", "x1", "x2"]
+    w = logreg_train_gd(d, feats, "y", lr=2.0, iters=3)
+    return (
+        d.withColumn("p", logreg_predict(feats, w))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("p"), 6).alias("avg_p_en"),
+        )
+    )

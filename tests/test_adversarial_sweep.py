@@ -174,7 +174,7 @@ def adv_sf_dir(tmp_path_factory):
 
 
 _FAMILIES = ("dedup_", "text_", "corpus_", "pipeline_", "events_", "cdc_",
-             "mm_", "sim_", "scd2_", "stream_")
+             "mm_", "sim_", "scd2_", "stream_", "ml_")
 
 #: Oracled family queries deliberately not swept, with the reason.
 EXCLUDED: dict[str, str] = {}
