@@ -11,17 +11,20 @@ geometry in pure Catalyst (substring + hex arithmetic — no UDF), and
 ``image_meta_scan`` walks JPEG SOF markers in an Arrow-batched
 ``mapInPandas`` stage — both tested against handcrafted real files.
 
-PIXEL/SAMPLE decode is REAL for the container-formats that need no
-codec library: ``decode_media`` fully decodes 24-bit uncompressed BMP
-(header walk, bottom-up rows, 4-byte stride padding) and RIFF/WAVE PCM
-(chunk walk, 8/16-bit samples) with struct+numpy inside an Arrow
-``mapInPandas`` stage, and ``resize_images`` is a real nearest-neighbor
-resample that re-encodes valid BMP bytes. Only ENTROPY-CODED formats
-(JPEG/PNG pixel data, H.264 frames) raise ``NotImplementedError`` with
-the production recipe — those genuinely require codec libraries this
-container does not ship. ``bmp_payload`` / ``wav_payload`` synthesize
-deterministic real files in pure Catalyst so the decode paths are
-value-checkable end-to-end against a closed-form oracle.
+PIXEL/SAMPLE decode is REAL for every format expressible without an
+external codec library: ``decode_media`` fully decodes 24-bit
+uncompressed BMP (header walk, bottom-up rows, 4-byte stride padding),
+RIFF/WAVE PCM (chunk walk, 8/16-bit samples), 8-bit RGB PNG (stdlib
+zlib inflate + all five scanline unfilters — DEFLATE ships in the
+standard library, r6) and baseline JPEG (pure-numpy Huffman/IDCT),
+all inside Arrow ``mapInPandas`` stages; ``resize_images`` is a real
+nearest-neighbor resample that re-encodes valid BMP bytes. Only
+codec-library formats (H.264/AV1 frames) and the guarded JPEG/PNG
+variants raise ``NotImplementedError`` with the production recipe.
+``bmp_payload`` / ``wav_payload`` synthesize deterministic real files
+in pure Catalyst, ``png_synthesize`` via zlib in Python, so every
+decode path is value-checkable end-to-end against a closed-form
+oracle.
 
 Scale notes:
 - metadata filters (``media_type = 'video'``) prune before any byte of
@@ -946,11 +949,16 @@ def decode_media(
     - 24-bit uncompressed BMP → (h, w, 3) pixels, top-down BGR,
       flattened into ``data`` with shape=[h, w, 3];
     - RIFF/WAVE integer PCM → centered samples, shape=[n, channels],
-      ``rate`` from the fmt chunk.
+      ``rate`` from the fmt chunk;
+    - 8-bit RGB PNG → (h, w, 3) top-down RGB via stdlib zlib inflate +
+      full scanline unfilter (_decode_png_pixels) — PNG's entropy
+      coding is DEFLATE, so no external codec lib is needed;
+    - baseline JPEG → (h, w, 3) via the pure-numpy Huffman/IDCT codec.
 
-    Entropy-coded formats stay honestly unimplemented: JPEG/PNG pixel
-    data and H.264 frames raise ``NotImplementedError`` (production:
-    the identical mapInPandas stage calling ``PIL.Image.open`` /
+    Codec-library formats stay honestly unimplemented: H.264/AV1
+    frames and the guarded JPEG/PNG variants raise
+    ``NotImplementedError`` (production: the identical mapInPandas
+    stage calling ``PIL.Image.open`` /
     ``soundfile.read`` / ``av.open``; tune
     spark.sql.execution.arrow.maxRecordsPerBatch down so one batch of
     payloads fits executor memory). Repartitioned by id so CPU-bound
@@ -974,12 +982,15 @@ def decode_media(
                 elif b[:2] == b"\xff\xd8":
                     shape, flat = _decode_jpeg_pixels(b)
                     kind, rate = "jpeg", None
+                elif b[:8] == _PNG_SIG:
+                    shape, flat = _decode_png_pixels(b)
+                    kind, rate = "png", None
                 else:
                     raise NotImplementedError(
-                        "payload is not BMP, WAV, or baseline JPEG; other "
-                        "entropy-coded formats (PNG/H.264) need codec "
-                        "libraries this container does not ship — see "
-                        "decode_media docstring"
+                        "payload is not BMP, WAV, PNG, or baseline JPEG; "
+                        "codec-library formats (H.264/AV1) are out of "
+                        "scope in this container — see decode_media "
+                        "docstring"
                     )
                 ids.append(int(i))
                 kinds.append(kind)
@@ -1110,3 +1121,203 @@ def fetch_payloads(
     raise NotImplementedError(
         "no object store in this container; production recipe in docstring"
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG — REAL decode, no codec library needed: PNG's entropy coding is
+# DEFLATE, and zlib ships in the Python standard library. (The module's
+# "entropy-coded formats need codec libs" line predates this; it now
+# applies to H.264/AV1-class formats only.)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png_rgb8(pixels, filter_for_row=None) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a spec-valid 8-bit RGB PNG
+    (color type 2, non-interlaced). ``filter_for_row(y)`` picks each
+    scanline's filter type (default cycles 0..4 so every filter in the
+    spec — None/Sub/Up/Average/Paeth — appears in the stream; a real
+    encoder picks per-row by heuristic, same mechanics)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bpp = 3
+    pick = filter_for_row or (lambda y: y % 5)
+    out = []
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        cur = px[y].reshape(-1).astype(np.int64)
+        f = pick(y)
+        if f == 0:
+            filt = cur.copy()
+        elif f == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            filt = (cur - left) % 256
+        elif f == 2:  # Up
+            filt = (cur - prior) % 256
+        elif f == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+            filt = (cur - (left + prior) // 2) % 256
+        elif f == 4:  # Paeth
+            filt = np.empty_like(cur)
+            for x in range(len(cur)):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                filt[x] = (cur[x] - _paeth(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"invalid PNG filter {f}")
+        out.append(bytes([f]) + bytes(filt.astype(np.uint8)))
+        prior = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(b"".join(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
+    """Decode an 8-bit RGB non-interlaced PNG: chunk walk with CRC
+    verification, multi-IDAT zlib inflate, and per-scanline unfilter
+    (all five spec filters, exact Paeth predictor). Returns
+    ((h, w, 3), flat float64, top-down RGB). Honest guards for the
+    variants out of scope here: 16-bit depth, palette/gray/alpha color
+    types, and Adam7 interlace raise NotImplementedError (production:
+    PIL in the same Arrow stage)."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos = 8
+    ihdr = None
+    idat = []
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if _z.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit supported)")
+    if ctype != 2:
+        raise NotImplementedError(
+            f"PNG color type {ctype} (only truecolor RGB supported)"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("invalid PNG compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    raw = _z.decompress(b"".join(idat))
+    bpp = 3
+    rowlen = 1 + w * bpp
+    if len(raw) != h * rowlen:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((h, w * bpp), dtype=np.int64)
+    prior = np.zeros(w * bpp, dtype=np.int64)
+    for y in range(h):
+        row = raw[y * rowlen : (y + 1) * rowlen]
+        f = row[0]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up (vectorized)
+            rec = (cur + prior) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.empty_like(cur)
+            for x in range(len(cur)):
+                a = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prior[x]) // 2
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    pred = _paeth(int(a), int(prior[x]), int(c))
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        out[y] = rec
+        prior = out[y]
+    return (h, w, 3), out.reshape(-1).astype(np.float64)
+
+
+def png_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Arrow-batched PNG writer over (id, w, h, seed) rows: pixel
+    (x, y, c) = (seed + (y*w + x)*3 + c) % 256 — the same closed-form
+    generator contract as bmp_payload, so oracles recompute pixels
+    without touching bytes — encoded through encode_png_rgb8 with the
+    filter type cycling 0..4 by row (every spec filter is exercised in
+    every image taller than 4 rows). DEFLATE runs here (zlib), so
+    unlike bmp_payload this synthesis is a Python stage, not Catalyst
+    expressions."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                w, h, seed = int(w), int(h), int(seed)
+                flat = (seed + np.arange(h * w * 3, dtype=np.int64)) % 256
+                px = flat.reshape(h, w, 3).astype(np.uint8)
+                ids.append(int(i))
+                payloads.append(encode_png_rgb8(px))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")

@@ -450,3 +450,53 @@ def mm_jpeg_decode_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("col").alias("hi"),
         F.count(F.lit(1)).alias("n_px"),
     )
+
+
+@register(
+    "mm_png_decode_channel_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 5 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+             doc_id % 251 AS seed
+      FROM documents WHERE doc_id < 200),
+    v AS (
+      SELECT g.doc_id, CAST(c.c AS INT) AS ch,
+             CAST((g.seed + (y.y * g.w + x.x) * 3 + c.c) % 256 AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.h)) AS y(y), UNNEST(range(0, g.w)) AS x(x),
+           UNNEST(range(0, 3)) AS c(c))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_png_decode_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END PNG round trip with a REAL DEFLATE stream (stdlib
+    zlib — no codec lib): synthesize an 8-bit RGB PNG per document
+    whose scanline filters cycle through all five spec types
+    (operators.multimodal.png_synthesize), decode it back — chunk walk
+    with CRC checks, inflate, full unfilter (_decode_png_pixels) —
+    and reduce pixels to per-channel means JVM-side. Heights ≥ 6 so
+    every image exercises None/Sub/Up/Average/Paeth. The oracle
+    recomputes each pixel from the generator's closed form; a filter
+    or predictor slip in encoder OR decoder shifts pixels and fails
+    the hash (asymmetric-golden tests in tests/test_multimodal.py pin
+    the two against the spec independently)."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        png_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    geom = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 4).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 3).alias("h"),
+        (F.col("doc_id") % 251).alias("seed"),
+    )
+    payloads = png_synthesize(geom, "doc_id", "w", "h", "seed")
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(F.round(F.avg("col"), 4).alias("mean_val"))
+    )

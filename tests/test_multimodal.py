@@ -533,3 +533,112 @@ def test_jpeg_codec_property_roundtrip():
         assert np.array_equal(flat_c.reshape(h, w), const.astype(float))
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# PNG codec (r6): decoder pinned to the SPEC via hand-filtered golden
+# bytes (independent of the encoder, so a symmetric encoder+decoder
+# mistake cannot cancel out), then the encoder proven as its inverse.
+# ---------------------------------------------------------------------------
+
+
+def _hand_png(w, h, filtered_rows, depth=8, ctype=2, interlace=0):
+    """Build PNG bytes directly (struct+zlib, NOT encode_png_rgb8) from
+    already-filtered scanlines [(filter_type, bytes), ...]."""
+    import struct
+    import zlib
+
+    from stupp_exclusion_etl_spark.operators.multimodal import _png_chunk
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    raw = b"".join(bytes([f]) + bytes(row) for f, row in filtered_rows)
+    return (
+        sig
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_png_decoder_matches_spec_golden_all_filters():
+    """Every scanline filter reconstructed against hand-computed spec
+    arithmetic (w=2, h=5, one row per filter type)."""
+    from stupp_exclusion_etl_spark.operators.multimodal import _decode_png_pixels
+
+    filtered = [
+        (0, [1, 2, 3, 4, 5, 6]),           # None
+        (1, [10, 10, 10, 2, 3, 4]),        # Sub
+        (2, [1, 2, 3, 10, 10, 10]),        # Up
+        (3, [16, 16, 17, 13, 13, 13]),     # Average
+        (4, [10, 10, 10, 10, 10, 10]),     # Paeth
+    ]
+    expect = [
+        [1, 2, 3, 4, 5, 6],
+        [10, 10, 10, 12, 13, 14],
+        [11, 12, 13, 22, 23, 24],
+        [21, 22, 23, 34, 35, 36],
+        [31, 32, 33, 44, 45, 46],
+    ]
+    shape, flat = _decode_png_pixels(_hand_png(2, 5, filtered))
+    assert shape == (5, 2, 3)
+    got = flat.reshape(5, 6).astype(int).tolist()
+    assert got == expect
+
+
+def test_png_paeth_predictor_truth_table():
+    from stupp_exclusion_etl_spark.operators.multimodal import _paeth
+
+    assert _paeth(0, 0, 0) == 0
+    assert _paeth(10, 20, 5) == 20   # p=25: pb=5 smallest -> up
+    assert _paeth(20, 10, 5) == 20   # p=25: pa=5 smallest -> left
+    assert _paeth(10, 20, 30) == 10  # p=0: pa=10=pb tie -> left wins
+    assert _paeth(100, 100, 1) == 100
+    assert _paeth(5, 6, 10) == 5     # p=1: pa=4 < pb=5 -> left
+
+
+def test_png_roundtrip_every_filter_and_random_pixels():
+    """encode_png_rgb8 is the exact inverse of the spec-pinned decoder,
+    for each fixed filter type and for the cycling default."""
+    import numpy as np
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_rgb8,
+    )
+
+    h, w = 7, 5
+    px = ((np.arange(h * w * 3, dtype=np.int64) * 97 + 13) % 256).reshape(
+        h, w, 3
+    ).astype(np.uint8)
+    for f in range(5):
+        shape, flat = _decode_png_pixels(encode_png_rgb8(px, lambda y, f=f: f))
+        assert shape == (h, w, 3)
+        assert (flat.reshape(h, w, 3) == px).all(), f"filter {f}"
+    shape, flat = _decode_png_pixels(encode_png_rgb8(px))  # cycle 0..4
+    assert (flat.reshape(h, w, 3) == px).all()
+
+
+def test_png_guards_and_corruption():
+    import pytest
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_rgb8,
+    )
+
+    row = [(0, [0, 0, 0])]
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        _decode_png_pixels(_hand_png(1, 1, row, depth=16))
+    with pytest.raises(NotImplementedError, match="color type"):
+        _decode_png_pixels(_hand_png(1, 1, row, ctype=6))
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_png_pixels(_hand_png(1, 1, row, interlace=1))
+    import numpy as np
+
+    good = bytearray(encode_png_rgb8(np.zeros((1, 1, 3), dtype=np.uint8)))
+    good[20] ^= 0xFF  # flip a byte inside IHDR data -> CRC must catch it
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png_pixels(bytes(good))
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png_pixels(b"BM123456")
