@@ -123,6 +123,10 @@ HEADLINE = [
     "source_paged_filter_pushdown",
     "corpus_chunks_udtf",
     "pipeline_near_dedup",
+    # r6 additions
+    "atomic_upsert_read",
+    "ml_logreg_lang_filter",
+    "mm_png_decode_channel_stats",
 ]
 
 
