@@ -985,11 +985,14 @@ def decode_media(
                 elif b[:8] == _PNG_SIG:
                     shape, flat = _decode_png_pixels(b)
                     kind, rate = "png", None
+                elif b[:3] == b"GIF":
+                    shape, flat = _decode_gif_pixels(b)
+                    kind, rate = "gif", None
                 else:
                     raise NotImplementedError(
-                        "payload is not BMP, WAV, PNG, or baseline JPEG; "
-                        "codec-library formats (H.264/AV1) are out of "
-                        "scope in this container — see decode_media "
+                        "payload is not BMP, WAV, PNG, GIF, or baseline "
+                        "JPEG; codec-library formats (H.264/AV1) are out "
+                        "of scope in this container — see decode_media "
                         "docstring"
                     )
                 ids.append(int(i))
@@ -1312,6 +1315,237 @@ def png_synthesize(
                 px = flat.reshape(h, w, 3).astype(np.uint8)
                 ids.append(int(i))
                 payloads.append(encode_png_rgb8(px))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")
+
+
+# ---------------------------------------------------------------------------
+# GIF — REAL decode: GIF's entropy coding is LZW, which is ~40 lines of
+# plain Python (patent-expired, spec-public). With this, every classic
+# still-image format (BMP, GIF, PNG, JPEG) decodes for real in this
+# container; only motion codecs (H.264/AV1) remain honestly guarded.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/END control codes,
+    code width grows after the dictionary fills a width, capped at 12
+    bits until the encoder sends CLEAR."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {i: [i] for i in range(clear)}
+
+    table = fresh()
+    width = min_code_size + 1
+    next_code = end + 1
+    out: list[int] = []
+    prev: list[int] | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table = fresh()
+                width = min_code_size + 1
+                next_code = end + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + [prev[0]]
+            else:
+                raise ValueError(f"corrupt LZW stream: code {code}")
+            out.append(-1)  # placeholder replaced below
+            out[-1:] = entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + [entry[0]]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real dictionary-building GIF LZW encoder (not the uncompressed-
+    GIF trick): greedy longest-match, emits CLEAR when the table hits
+    4096, grows code width exactly when the next code would not fit."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    buf: tuple[int, ...] = ()
+    for px in indices:
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            # width grows when the NEXT emitted code could be next_code
+            if next_code == (1 << width):
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = (px,)
+    if buf:
+        emit(table[buf], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_palette(n: int) -> list[tuple[int, int, int]]:
+    """Deterministic palette the oracle reproduces in closed form."""
+    return [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(n)]
+
+
+def encode_gif_indexed(w: int, h: int, indices: list[int], n_colors: int = 16) -> bytes:
+    """Spec-valid GIF87a: logical screen + global color table
+    (_gif_palette) + one full-frame image with real LZW-compressed
+    index data in 255-byte sub-blocks."""
+    import struct
+
+    assert n_colors in (2, 4, 8, 16, 32, 64, 128, 256)
+    depth = max(1, n_colors.bit_length() - 1)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    for r, g, b in _gif_palette(n_colors):
+        out += bytes((r, g, b))
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = max(2, depth)
+    out.append(min_code)
+    data = _lzw_encode(indices, min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
+    """Decode a GIF87a/89a first frame to (h, w, 3) RGB float64:
+    screen/color-table walk, extension skip, sub-block reassembly, LZW
+    inflate, palette mapping. Interlaced frames and frames smaller than
+    the logical screen raise NotImplementedError (production: PIL in
+    the same Arrow stage)."""
+    import struct
+
+    import numpy as np
+
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:
+            left, top, iw, ih, ipacked = struct.unpack("<HHHHB", b[pos + 1 : pos + 10])
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise NotImplementedError("interlaced GIF frame")
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("partial-frame GIF")
+            if pal is None:
+                raise ValueError("GIF frame with no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data underrun")
+            arr = np.array(
+                [pal[i] for i in idx[: w * h]], dtype=np.float64
+            ).reshape(h, w, 3)
+            return (h, w, 3), arr.reshape(-1)
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def gif_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+    n_colors: int = 16,
+) -> DataFrame:
+    """Arrow-batched GIF writer over (id, w, h, seed) rows: palette
+    index at (x, y) = (seed + y*w + x) % n_colors, palette entry i =
+    (7i, 11i, 13i) % 256 — closed form for the oracle — LZW-compressed
+    for real by _lzw_encode."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                w, h, seed = int(w), int(h), int(seed)
+                idx = [(seed + p) % n_colors for p in range(w * h)]
+                ids.append(int(i))
+                payloads.append(encode_gif_indexed(w, h, idx, n_colors))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     src = df.select(

@@ -500,3 +500,56 @@ def mm_png_decode_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
         .agg(F.round(F.avg("col"), 4).alias("mean_val"))
     )
+
+
+@register(
+    "mm_gif_decode_palette_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h,
+             doc_id % 97 AS seed
+      FROM documents WHERE doc_id < 200),
+    v AS (
+      SELECT g.doc_id, CAST(c.c AS INT) AS ch,
+             CAST((((g.seed + p.p) % 16)
+                   * CASE c.c WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+                  % 256 AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.w * g.h)) AS p(p),
+           UNNEST(range(0, 3)) AS c(c))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_gif_decode_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END GIF round trip with REAL LZW compression (pure
+    Python — LZW is ~40 lines, no codec lib): synthesize a GIF87a per
+    document (operators.multimodal.gif_synthesize: deterministic
+    16-color global palette, closed-form index plane, dictionary-
+    building LZW encoder), decode it back — screen/palette walk,
+    sub-block reassembly, LZW inflate with width growth / CLEAR /
+    KwKwK handling, palette mapping (_decode_gif_pixels) — and reduce
+    to per-channel means JVM-side. The oracle recomputes every channel
+    value from (index, palette) closed forms; the LZW decoder is
+    additionally pinned to hand-derived spec bitstreams in
+    tests/test_multimodal.py so encoder and decoder cannot be
+    symmetrically wrong."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        gif_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    geom = d.select(
+        "doc_id",
+        (F.lit(6) + F.col("doc_id") % 5).alias("w"),
+        (F.lit(4) + F.col("doc_id") % 3).alias("h"),
+        (F.col("doc_id") % 97).alias("seed"),
+    )
+    payloads = gif_synthesize(geom, "doc_id", "w", "h", "seed")
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(F.round(F.avg("col"), 4).alias("mean_val"))
+    )

@@ -76,7 +76,7 @@ def test_decode_unsupported_format_raises(spark):
     payloads are raw UTF-8 bytes (no container), so decoding them must
     raise the NotImplementedError from inside the Arrow stage."""
     d = _docs(spark)
-    with pytest.raises(Exception, match="BMP, WAV, or baseline JPEG"):
+    with pytest.raises(Exception, match="BMP, WAV, PNG, GIF, or baseline"):
         decode_media(d, "doc_id").collect()
     with pytest.raises(Exception, match="not a BMP"):
         resize_images(d, "doc_id", 32, 32).collect()
@@ -642,3 +642,78 @@ def test_png_guards_and_corruption():
         _decode_png_pixels(bytes(good))
     with pytest.raises(ValueError, match="not a PNG"):
         _decode_png_pixels(b"BM123456")
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (r6): LZW decoder pinned to HAND-DERIVED spec bitstreams
+# (codes packed LSB-first by hand, independent of _lzw_encode), KwKwK
+# corner, width growth + dictionary reset under stress, full-file
+# round trip, and honest guards.
+# ---------------------------------------------------------------------------
+
+
+def test_gif_lzw_decoder_matches_hand_derived_spec_stream():
+    """pixels [1,1,0,2] @ min_code=2: codes (CLEAR=4)(1)(1)(0) at 3
+    bits, then — after table entry 8 is assigned — (2)(END=5) at 4
+    bits; LSB-first packing gives bytes 4C 20 05 (derived by hand from
+    the GIF LZW spec, not from the encoder)."""
+    from stupp_exclusion_etl_spark.operators.multimodal import _lzw_decode
+
+    assert _lzw_decode(bytes.fromhex("4c2005"), 2) == [1, 1, 0, 2]
+
+
+def test_gif_lzw_decoder_kwkwk_case():
+    """pixels [0,0,0]: the middle code (6) names a table entry that is
+    being defined BY this very code — the KwKwK case. Hand-packed:
+    codes (4)(0)(6)(5) at 3 bits -> bytes 84 0B."""
+    from stupp_exclusion_etl_spark.operators.multimodal import _lzw_decode
+
+    assert _lzw_decode(bytes.fromhex("840b"), 2) == [0, 0, 0]
+
+
+def test_gif_lzw_roundtrip_width_growth_and_reset():
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    idx = [(i * 7919 + (i >> 3) * 31) % 16 for i in range(300_000)]
+    enc = _lzw_encode(idx, 4)
+    assert len(enc) < len(idx) // 10  # real compression, many resets
+    assert _lzw_decode(enc, 4) == idx
+
+
+def test_gif_file_roundtrip_and_palette():
+    import numpy as np
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        _gif_palette,
+        encode_gif_indexed,
+    )
+
+    w, h, seed, n = 23, 17, 5, 16
+    idx = [(seed + p) % n for p in range(w * h)]
+    shape, flat = _decode_gif_pixels(encode_gif_indexed(w, h, idx, n))
+    assert shape == (h, w, 3)
+    pal = _gif_palette(n)
+    expect = np.array([pal[i] for i in idx], dtype=float).reshape(-1)
+    assert (flat == expect).all()
+
+
+def test_gif_guards():
+    import pytest
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        encode_gif_indexed,
+    )
+
+    good = bytearray(encode_gif_indexed(2, 2, [0, 1, 2, 3], 4))
+    # flip the interlace bit in the image descriptor's packed byte
+    pos = good.index(0x2C)
+    good[pos + 9] |= 0x40
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        _decode_gif_pixels(bytes(good))
+    with pytest.raises(ValueError, match="not a GIF"):
+        _decode_gif_pixels(b"PNG???")
