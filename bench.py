@@ -127,6 +127,7 @@ HEADLINE = [
     "atomic_upsert_read",
     "ml_logreg_lang_filter",
     "mm_png_decode_channel_stats",
+    "mm_gif_decode_palette_stats",
 ]
 
 
