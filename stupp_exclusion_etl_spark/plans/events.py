@@ -881,3 +881,49 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # series — ANSI mode would kill the query on plain '/' while the
     # DuckDB oracle yields NULL for 0/0 (repo-wide try_divide policy).
     return s.selectExpr("event_id", f"round(try_divide(({num}), ({den})), 6) AS ewma")
+
+
+@register(
+    "stream_atomic_upsert",
+    # Full oracle: the stream is drained (availableNow, offset-tracked
+    # replay source slicing it into many micro-batches) and the ATOMIC
+    # TABLE'S committed end state is the output — on bounded input it
+    # must equal keep-latest-per-user in plain SQL, independent of how
+    # the batches were cut, proving the streaming MERGE + manifest
+    # commit + cross-batch partition moves end to end.
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS sum_last_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+    tags=("B14", "A14", "A15"),
+)
+def stream_atomic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once MERGE into the atomic manifest table
+    (streaming.windows.run_atomic_upsert_stream): the events replay
+    stream is drained micro-batch by micro-batch through foreachBatch,
+    each batch an atomically-published last-write-wins upsert keyed by
+    user_id and partitioned by event_type (so users move partitions as
+    their latest event changes). The end state — per-event-type user
+    counts and summed latest values read back THROUGH the manifest —
+    is value-checked against the batch keep-latest SQL."""
+    from stupp_exclusion_etl_spark.streaming.windows import (
+        run_atomic_upsert_stream,
+    )
+
+    t = run_atomic_upsert_stream(spark, sf_dir)
+    return (
+        t.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            r4(F.sum("value")).alias("sum_last_value"),
+        )
+    )

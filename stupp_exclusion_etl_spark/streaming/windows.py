@@ -109,3 +109,70 @@ def run_tumbling_stream(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def run_atomic_upsert_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    rows_per_batch: int = 20000,
+    timeout_sec: int = 180,
+):
+    """Drain the offset-tracked events replay stream through
+    foreachBatch into an atomic manifest-commit table: each micro-batch
+    is a last-write-wins MERGE on user_id, published with ONE atomic
+    manifest rename carrying the applied batch_id (exactly-once —
+    sinks.atomic.streaming_upsert_sink), with the table partitioned by
+    event_type so users whose latest event changes type MOVE partitions
+    across batches (the cross-batch emptied-partition path). Returns
+    the drained AtomicParquetTable; on the bounded input its end state
+    is keep-latest-per-user over ALL events regardless of how the
+    stream was sliced into batches — the batch-SQL-checkable contract.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        AtomicParquetTable,
+        streaming_upsert_sink,
+    )
+    from stupp_exclusion_etl_spark.sources.replay_stream import (
+        register_replay_stream,
+    )
+
+    register_replay_stream(spark)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .option("rows_per_batch", rows_per_batch)
+        .load()
+        .select("user_id", "event_type", "value", "ts", "event_id")
+    )
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_stream_") + "/t",
+        keys=["user_id"],
+        partition_by=["event_type"],
+    )
+    handler = streaming_upsert_sink(
+        t, [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    # Default micro-batch trigger + processAllAvailable, NOT
+    # availableNow: the SimpleDataSourceStreamReader wrapper prefetches
+    # exactly one batch per start, so availableNow would drain ONE
+    # rows_per_batch slice and stop "caught up" — silently committing a
+    # prefix (found empirically; the replay-source tests use the same
+    # drain pattern). processAllAvailable blocks until every slice has
+    # been processed, then the query is stopped.
+    q = (
+        stream.writeStream.foreachBatch(handler)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="atomic_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if q.exception() is not None:
+        raise RuntimeError(f"streaming upsert failed: {q.exception()}")
+    return t

@@ -24,7 +24,11 @@ import re
 
 #: streaming queries execute a real job in fn(); compile-only guard
 #: skips them (same exclusion as test_plan_invariants).
-SKIP = ("stream_stateful_user_sessions", "stream_tumbling_micro_batch")
+SKIP = (
+    "stream_stateful_user_sessions",
+    "stream_tumbling_micro_batch",
+    "stream_atomic_upsert",
+)
 
 SNAPSHOT_PATH = "tests/plan_snapshots.json"
 

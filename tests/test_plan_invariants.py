@@ -20,7 +20,11 @@ from tests.conftest import SF_SMALL
 
 # fn() of streaming queries executes a real streaming job; compile-only
 # sweep skips them (their semantics are covered by dedicated tests).
-_SKIP = ("stream_stateful_user_sessions", "stream_tumbling_micro_batch")
+_SKIP = (
+    "stream_stateful_user_sessions",
+    "stream_tumbling_micro_batch",
+    "stream_atomic_upsert",
+)
 
 ALL = [n for n in sorted(REGISTRY) if n not in _SKIP]
 

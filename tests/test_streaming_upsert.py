@@ -368,3 +368,32 @@ def test_incremental_join_view_equals_batch(spark, tmp_path):
     got = sorted(map(tuple, view.select(*cols).collect()))
     want = sorted(map(tuple, direct.select(*cols).collect()))
     assert len(got) == len(want) and got == want
+
+
+def test_stream_atomic_upsert_commits_every_micro_batch(spark):
+    """The replay-source drain must process EVERY slice, publishing one
+    atomic version per micro-batch (regression guard for the
+    availableNow one-prefetched-batch prefix bug, r6), and the end
+    state must equal batch keep-latest regardless of slicing."""
+    from pyspark.sql import functions as F
+
+    from stupp_exclusion_etl_spark.catalog import table as cat_table
+    from stupp_exclusion_etl_spark.operators.dedup import keep_latest
+    from stupp_exclusion_etl_spark.streaming.windows import (
+        run_atomic_upsert_stream,
+    )
+    from tests.conftest import SF_SMALL
+
+    t = run_atomic_upsert_stream(spark, SF_SMALL, rows_per_batch=3000)
+    n_events = cat_table(spark, SF_SMALL, "events").count()
+    assert t.current_version() + 1 >= (n_events + 2999) // 3000
+    want = sorted(
+        (r.user_id, r.event_id)
+        for r in keep_latest(
+            cat_table(spark, SF_SMALL, "events"),
+            ["user_id"],
+            [F.col("ts").desc(), F.col("event_id").desc()],
+        ).collect()
+    )
+    got = sorted((r.user_id, r.event_id) for r in t.read().collect())
+    assert got == want
