@@ -81,11 +81,18 @@ def test_quarantine_split_two_sinks_one_scan(spark, tmp_path):
         .when(F.col("qty") < 0, F.lit("negative_qty"))
         .otherwise(F.lit("ok"))
     )
+    # Snapshot pre-existing pinned RDDs: earlier tests' localCheckpoint
+    # blocks linger until the async ContextCleaner collects them, so an
+    # absolute "storage is empty" assertion is order/GC-flaky. The
+    # contract under test is only that the split releases ITS cache.
+    sc = df.sparkSession.sparkContext._jsc.sc()
+    before = {info.id() for info in sc.getRDDStorageInfo()}
     with quarantine_split(df, reason) as (clean, rejects):
         clean.write.mode("overwrite").parquet(str(tmp_path / "clean"))
         rejects.write.mode("overwrite").parquet(str(tmp_path / "rejects"))
-    # context exit released the tagged cache — nothing left pinned
-    assert not df.sparkSession.sparkContext._jsc.sc().getRDDStorageInfo()
+    # context exit released the tagged cache — no NEW block left pinned
+    after = {info.id() for info in sc.getRDDStorageInfo()}
+    assert after <= before
 
     c = spark.read.parquet(str(tmp_path / "clean"))
     r = spark.read.parquet(str(tmp_path / "rejects"))
