@@ -128,6 +128,8 @@ HEADLINE = [
     "ml_logreg_lang_filter",
     "mm_png_decode_channel_stats",
     "mm_gif_decode_palette_stats",
+    "graph_pagerank",
+    "graph_triangle_count",
 ]
 
 

@@ -29,6 +29,7 @@ from stupp_exclusion_etl_spark.plans import multimodal  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import subqueries  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import corpus  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import analytics  # noqa: E402,F401
+from stupp_exclusion_etl_spark.plans import graph  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import profile  # noqa: E402,F401
 
 __all__ = ["DRIVER_WINDOW", "REGISTRY", "Query", "ordered_registry", "register"]
