@@ -61,7 +61,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_paged_filter_pushdown",  # A1/A2 as a REAL pushdown connector
     "filter_eq",
     "filter_in",
-    "filter_like_regex",
+    # r6: replaced filter_like_regex (B3 covered by filter_eq/in/null,
+    # B10 by func_string_date) with the distributed GD-training query —
+    # the full training trajectory becomes driver-verified
+    "ml_logreg_lang_filter",
     "filter_null_and_empty",
     "project_rename_literal",
     "topk_orders",
@@ -77,10 +80,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_grouping_sets",
     "agg_pivot",
     "agg_percentiles",
-    "agg_median_mode",
+    # r6: replaced agg_median_mode (B5 keeps 4 reps + the PNG stats
+    # query below) with PageRank — the iterative graph family's
+    # unrolled-trajectory oracle gets a driver slot
+    "graph_pagerank",
     # windows — B6 (+ A15 keyed upsert semantics)
     "win_topk_per_group",
-    "win_lag_lead",
+    # r6: replaced win_lag_lead (B6 keeps topk-per-group + gap-fill,
+    # which itself exercises lead()) with the real-codec PNG decode —
+    # DEFLATE + scanline reconstruction becomes driver-verified
+    "mm_png_decode_channel_stats",
     "win_gap_fill",
     "upsert_keep_latest",
     # set ops — B8 (+ B2 schema evolution)
