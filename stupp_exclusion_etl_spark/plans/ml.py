@@ -1,0 +1,233 @@
+"""Distributed-training plans (north-star LLM-pipeline extension —
+the reference, a 515-line scraper, has no analog; the shapes here are
+the train-on-the-corpus steps of a data pipeline: a clusterer and a
+tokenizer learner, joining ml_logreg_lang_filter's classifier).
+
+Both follow the operators/ml.py execution contract: per iteration ONE
+(or two) hash-aggregate jobs over the distributed frame, driver state
+bounded by metadata (k×d centroid floats / one best-pair row), and a
+DuckDB oracle that replays the identical unrolled iterations as
+chained CTEs so the driver value-checks the whole training
+trajectory, not just the final apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.catalog import table
+from stupp_exclusion_etl_spark.plans.registry import register
+
+# --------------------------------------------------------------------------
+# k-means over document features
+# --------------------------------------------------------------------------
+
+#: Fixed deterministic init spread over the observed feature range
+#: (x = n_chars/500 ∈ [0.1, 1.1], y = spaces/100 ∈ [0.1, 1.0]).
+_KM_INIT: list[list[float]] = [[0.2, 0.2], [0.6, 0.5], [1.0, 0.8]]
+_KM_ITERS = 3
+
+
+def _km_oracle() -> str:
+    """Unrolled-CTE twin of operators.ml.kmeans_train: per iteration
+    an assignment CTE (argmin with first-lowest-index tie-break — the
+    chained ``d0 <= d1 AND d0 <= d2 / d1 <= d2`` CASE is exactly the
+    strict-less chain in kmeans_assign) and a 1-row centroid CTE with
+    ROUND(...,6) + COALESCE-to-previous for empty clusters. Identical
+    IEEE expressions on identically filtered rows, so assignments
+    match bit-for-bit."""
+    init = ", ".join(
+        f"{_KM_INIT[i][0]!r} AS m{i}x, {_KM_INIT[i][1]!r} AS m{i}y" for i in range(3)
+    )
+    dists = ", ".join(
+        f"(x - m{i}x) * (x - m{i}x) + (y - m{i}y) * (y - m{i}y) AS d{i}"
+        for i in range(3)
+    )
+    assign = "CASE WHEN d0 <= d1 AND d0 <= d2 THEN 0 WHEN d1 <= d2 THEN 1 ELSE 2 END"
+    ctes = [
+        """d AS (
+          SELECT n_chars / 500.0 AS x,
+                 (length(text) - length(replace(text, ' ', ''))) / 100.0 AS y
+          FROM documents
+          WHERE text IS NOT NULL AND n_chars IS NOT NULL)""",
+        f"c0 AS (SELECT {init})",
+    ]
+    for it in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{it} AS (
+              SELECT x, y, {assign} AS cl
+              FROM (SELECT x, y, {dists} FROM d CROSS JOIN c{it - 1}))"""
+        )
+        upd = ", ".join(
+            f"ROUND(COALESCE(avg(CASE WHEN cl = {i} THEN {ax} END), "
+            f"any_value(m{i}{ax})), 6) AS m{i}{ax}"
+            for i in range(3)
+            for ax in ("x", "y")
+        )
+        ctes.append(f"c{it} AS (SELECT {upd} FROM a{it} CROSS JOIN c{it - 1})")
+    final_cx = "CASE cl WHEN 0 THEN any_value(m0x) WHEN 1 THEN any_value(m1x) ELSE any_value(m2x) END"
+    final_cy = "CASE cl WHEN 0 THEN any_value(m0y) WHEN 1 THEN any_value(m1y) ELSE any_value(m2y) END"
+    final_d = "CASE cl WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END"
+    return f"""
+    WITH {", ".join(ctes)}
+    SELECT CAST(cl AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {final_cx} AS cx,
+           {final_cy} AS cy,
+           ROUND(avg({final_d}), 6) AS avg_sqdist
+    FROM (SELECT x, y, {assign} AS cl, {dists.replace(" AS d0", " AS d0")}
+          FROM (SELECT x, y, {dists} FROM d CROSS JOIN c{_KM_ITERS}))
+    GROUP BY cl
+    ORDER BY cluster
+    """
+
+
+def _km_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    spaces = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+    return d.select(
+        (F.col("n_chars") / F.lit(500.0)).alias("x"),
+        (spaces / F.lit(100.0)).alias("y"),
+    )
+
+
+@register("ml_kmeans_doc_features", oracle=_km_oracle(), tags=("B13", "B12"))
+def ml_kmeans_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (operators.ml.kmeans_train, k=3, 3 iterations)
+    over two document features — the semantic-bucketing /
+    coarse-quantizer-training step of a pipeline, distilled to an
+    oracle-checkable trajectory. Each iteration is one codegen'd
+    groupBy over the full frame collecting exactly k rows; centroids
+    round to 6 dp every step so float summation-order noise can't
+    reach the discrete argmin. Output: per-cluster size, final
+    centroid, mean squared distance."""
+    from stupp_exclusion_etl_spark.operators.ml import kmeans_assign, kmeans_train
+
+    feats = _km_features(spark, sf_dir)
+    cents = kmeans_train(feats, ["x", "y"], _KM_INIT, iters=_KM_ITERS)
+
+    dists: list[Column] = []
+    for c in cents:
+        dx = F.col("x") - F.lit(float(c[0]))
+        dy = F.col("y") - F.lit(float(c[1]))
+        dists.append(F.lit(0.0) + dx * dx + dy * dy)
+    cl = kmeans_assign(["x", "y"], cents)
+    assigned = feats.select(
+        F.col("x"),
+        F.col("y"),
+        cl.alias("cl"),
+        F.when(cl == 0, dists[0]).when(cl == 1, dists[1]).otherwise(dists[2]).alias("sqd"),
+    )
+    cx = F.when(F.col("cl") == 0, F.lit(cents[0][0])).when(
+        F.col("cl") == 1, F.lit(cents[1][0])
+    ).otherwise(F.lit(cents[2][0]))
+    cy = F.when(F.col("cl") == 0, F.lit(cents[0][1])).when(
+        F.col("cl") == 1, F.lit(cents[1][1])
+    ).otherwise(F.lit(cents[2][1]))
+    return (
+        assigned.groupBy(F.col("cl").cast("long").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.any_value(cx).alias("cx"),
+            F.any_value(cy).alias("cy"),
+            F.round(F.avg("sqd"), 6).alias("avg_sqdist"),
+        )
+        .orderBy("cluster")
+    )
+
+
+# --------------------------------------------------------------------------
+# BPE merge learning over the corpus vocabulary
+# --------------------------------------------------------------------------
+
+_BPE_MERGES = 6
+#: DuckDB twin of functions.text.tokens (same class, same filter).
+_DUCK_TOKENS = (
+    "UNNEST(list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), "
+    "x -> length(x) > 0)) AS u(t)"
+)
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE twin of operators.ml.bpe_learn_merges: v0 is the
+    symbolized word vocabulary; each step is a pair-count CTE (p), a
+    1-row best-pair CTE (b: count DESC, pair ASC — integer-exact) and
+    a merged-vocab CTE (v) applying the same DOUBLE non-rescanning
+    replace. All counts are integers: no float tolerance anywhere."""
+    ctes = [
+        f"w AS (SELECT u.t AS word FROM documents, {_DUCK_TOKENS})",
+        r"""v0 AS (
+          SELECT trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS s,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM w WHERE regexp_matches(word, '^[a-z]+$')
+          GROUP BY 1)""",
+    ]
+    merge = (
+        "trim(replace(replace(' ' || s || ' ', ' ' || pr || ' ', "
+        "' ' || replace(pr, ' ', '') || ' '), ' ' || pr || ' ', "
+        "' ' || replace(pr, ' ', '') || ' '))"
+    )
+    finals = []
+    for i in range(1, _BPE_MERGES + 1):
+        ctes.append(
+            f"""p{i} AS (
+              SELECT syms[i] || ' ' || syms[i + 1] AS pr,
+                     CAST(SUM(cnt) AS BIGINT) AS total
+              FROM (SELECT cnt, string_split(s, ' ') AS syms FROM v{i - 1}),
+                   UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+              GROUP BY 1)"""
+        )
+        ctes.append(
+            f"b{i} AS (SELECT pr, total FROM p{i} ORDER BY total DESC, pr LIMIT 1)"
+        )
+        ctes.append(
+            f"v{i} AS (SELECT {merge} AS s, cnt FROM v{i - 1} CROSS JOIN b{i})"
+        )
+        ctes.append(
+            f"""t{i} AS (
+              SELECT CAST(SUM(cnt * len(string_split(s, ' '))) AS BIGINT) AS n
+              FROM v{i})"""
+        )
+        finals.append(
+            f"SELECT CAST({i} AS BIGINT) AS step, pr AS merged_pair, "
+            f"total AS pair_count, (SELECT n FROM t{i}) AS corpus_syms_after "
+            f"FROM b{i}"
+        )
+    return f"""
+    WITH {", ".join(ctes)}
+    {" UNION ALL ".join(finals)}
+    ORDER BY step
+    """
+
+
+@register("ml_bpe_train_merges", oracle=_bpe_oracle(), tags=("B12", "B15"))
+def ml_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-merge learning (operators.ml.bpe_learn_merges, 6
+    merges) — the train-a-tokenizer-on-the-corpus step of an LLM
+    pipeline. ONE corpus pass builds the word-count vocabulary; every
+    merge step after that touches only the vocab frame (bounded by
+    distinct words, independent of corpus size — the classic BPE scale
+    trick), as two hash-aggregates plus a 1-row collect. The output IS
+    the training trajectory — (step, merged pair, pair count, corpus
+    symbol count after applying the merge) — integer-exact against the
+    unrolled oracle, so the driver value-checks pair counting, the
+    deterministic tie-break AND the merge application itself."""
+    from stupp_exclusion_etl_spark.functions.text import tokens
+    from stupp_exclusion_etl_spark.operators.ml import bpe_learn_merges
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).filter(
+        F.col("word").rlike("^[a-z]+$")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"),
+        F.col("cnt"),
+    )
+    merges = bpe_learn_merges(vocab, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        merges,
+        schema="step long, merged_pair string, pair_count long, corpus_syms_after long",
+    ).orderBy("step")
