@@ -43,10 +43,14 @@ LogStore does — the protocol is unchanged. All file I/O goes through
 the Hadoop FileSystem API so the same code runs on file:/, hdfs:/ and
 s3a:/ (the remote-FS discipline of sinks/upsert.py).
 
-Concurrency: optimistic. Two writers racing to the same next version
-conflict on the create-if-absent probe and the loser raises
-``ConcurrentWriteError`` — retry re-reads the new snapshot and
-re-merges (snapshot-isolation semantics, like Delta's commit retry).
+Concurrency: optimistic with automatic rebase. Two writers racing to
+the same next version conflict on the create-if-absent commit
+primitive (hard-link CAS on file:, no-overwrite rename on HDFS); the
+loser REBASES rather than failing — fast-forward when the winner's
+commit touched disjoint partitions and keys, full re-merge against
+the new snapshot otherwise — so no batch is ever lost
+(snapshot-isolation + commit retry, like Delta). Pass
+``max_commit_retries=0`` to surface ``ConcurrentWriteError`` raw.
 """
 
 from __future__ import annotations
@@ -88,9 +92,24 @@ def _fs(spark, path: str):
 
 
 def _write_text_atomic(spark, dest: str, text: str) -> None:
-    """Publish a small text file atomically: write fully under a temp
-    name, then rename into place. Conflict-probe first so a racing
-    writer surfaces as ConcurrentWriteError, not silent overwrite."""
+    """Publish a small text file atomically AND exclusively: write
+    fully under a temp name, then claim the final name with a
+    create-if-absent primitive. The loser of a race gets
+    ConcurrentWriteError — never a silent overwrite.
+
+    The claim primitive is scheme-aware because plain ``rename()`` is
+    NOT a sufficient CAS on every filesystem: Hadoop's LocalFileSystem
+    rename is POSIX renameTo, which silently overwrites an existing
+    destination, so two writers racing through an exists()-probe
+    window could both "win". On ``file:`` we therefore commit with
+    ``java.nio.Files.createLink`` (hard-link of the fully-written temp
+    file onto the final name) — atomic and create-if-absent on POSIX,
+    and the linked file is already complete so readers never see a
+    torn manifest. On HDFS, rename-without-overwrite is itself atomic
+    and fails when the destination exists, so rename stays the
+    primitive. On S3-class stores neither works — production backs
+    this call with a conditional PUT / lock table exactly as Delta's
+    LogStore does (module docstring)."""
     fs, dp, jvm = _fs(spark, dest)
     if fs.exists(dp):
         raise ConcurrentWriteError(f"manifest already committed: {dest}")
@@ -102,7 +121,23 @@ def _write_text_atomic(spark, dest: str, text: str) -> None:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if not fs.rename(tmp, dp):
+    if fs.getUri().getScheme() == "file":
+        files = jvm.java.nio.file.Files
+        src = jvm.java.io.File(fs.makeQualified(tmp).toUri().getPath()).toPath()
+        dst = jvm.java.io.File(fs.makeQualified(dp).toUri().getPath()).toPath()
+        try:
+            files.createLink(dst, src)
+        except Exception as e:  # py4j wraps FileAlreadyExistsException
+            fs.delete(tmp, False)
+            jexc = getattr(e, "java_exception", None)
+            name = jexc.getClass().getName() if jexc is not None else ""
+            if name.endswith("FileAlreadyExistsException"):
+                raise ConcurrentWriteError(
+                    f"lost manifest commit race: {dest}"
+                ) from None
+            raise
+        fs.delete(tmp, False)
+    elif not fs.rename(tmp, dp):
         fs.delete(tmp, False)
         raise ConcurrentWriteError(f"lost manifest rename race: {dest}")
 
@@ -175,7 +210,6 @@ class AtomicParquetTable:
         self.keys = keys
         self.partition_by = partition_by or []
         self.hooks = hooks or {}
-        self._batch_id: int | None = None
 
     # -- snapshot resolution ------------------------------------------
 
@@ -273,11 +307,12 @@ class AtomicParquetTable:
         new_by_part: dict[str, list[str]],
         replaced_parts: set[str],
         schema_ddl: str,
+        batch_id: int | None = None,
     ) -> int:
         """Build manifest v{parent+1}: carry untouched partitions'
         entries forward verbatim, swap in the new files for replaced
         partitions (absent from new_by_part ⇒ partition emptied ⇒
-        dropped). One atomic rename publishes it."""
+        dropped). One atomic create-if-absent publishes it."""
         partitions: dict[str, list[str]] = {}
         if parent is not None:
             for part, files in self._manifest(parent)["partitions"].items():
@@ -289,12 +324,16 @@ class AtomicParquetTable:
         # streaming idempotence marker: the max micro-batch id ever
         # applied rides IN the manifest (carried forward by non-batch
         # commits like compact/delete, so a replay after maintenance is
-        # still recognized)
+        # still recognized). max() so a rebase onto a head that already
+        # advanced the marker can never regress it.
         prev_bid = (
             self._manifest(parent).get("batch_id") if parent is not None else None
         )
-        bid = self._batch_id if self._batch_id is not None else prev_bid
-        self._batch_id = None
+        bid = (
+            prev_bid
+            if batch_id is None
+            else (batch_id if prev_bid is None else max(batch_id, prev_bid))
+        )
         manifest = {
             "version": version,
             "parent": parent,
@@ -312,14 +351,139 @@ class AtomicParquetTable:
         self._fire("committed")
         return version
 
-    def _part_dir(self, row) -> str:
-        return "/".join(f"{c}={row[c]}" for c in self.partition_by)
+    # -- partition-dir naming (must byte-match Spark's writer) --------
+
+    def _collect_touched(self, parts_df: DataFrame) -> tuple[list, set[str]]:
+        """Collect a bounded partition-value frame as (typed rows,
+        Hive-escaped dir strings). The dir strings are derived the way
+        Spark's own file writer derives them — value cast to string BY
+        SPARK (the write path's Cast-to-string, so booleans are
+        'true', timestamps use the session formatting), then
+        Catalyst's ExternalCatalogUtils escaping (NULL/'' →
+        __HIVE_DEFAULT_PARTITION__, ':' '=' '%' … percent-escaped) —
+        so a manifest key always matches the staged dir name and a
+        replaced partition can never be carried forward stale."""
+        pb = self.partition_by
+        rows = parts_df.select(
+            *pb, *[F.col(c).cast("string").alias(f"__s_{c}") for c in pb]
+        ).collect()
+        esc = (
+            self.spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils
+        )
+        dirs = {
+            "/".join(
+                esc.getPartitionPathString(c, r[f"__s_{c}"]) for c in pb
+            )
+            for r in rows
+        }
+        typed = [tuple(r[c] for c in pb) for r in rows]
+        return typed, dirs
+
+    def _touched_semi_join(self, existing: DataFrame, typed_rows: list,
+                           schema) -> DataFrame:
+        """existing ⋉ touched partition values, null-SAFE on the
+        partition columns (a NULL partition value reads back as NULL
+        and must still select its partition's rows for the re-merge —
+        a plain equi-join would silently drop it)."""
+        pb = self.partition_by
+        touched_df = self.spark.createDataFrame(typed_rows, schema)
+        ex = existing.alias("__ex")
+        td = F.broadcast(touched_df.alias("__td"))
+        cond = None
+        for c in pb:
+            clause = F.col(f"__ex.{c}").eqNullSafe(F.col(f"__td.{c}"))
+            cond = clause if cond is None else (cond & clause)
+        return ex.join(td, cond, "left_semi")
+
+    # -- optimistic-concurrency rebase --------------------------------
+
+    def _changed_parts(self, parent: int | None, cur: int) -> set[str]:
+        """Partition dirs whose live-file entries differ between two
+        snapshots — i.e. everything intervening commits replaced,
+        added or dropped. Metadata-scale (manifest diff)."""
+        pa = {} if parent is None else self._manifest(parent)["partitions"]
+        pc = self._manifest(cur)["partitions"]
+        return {p for p in set(pa) | set(pc) if pa.get(p) != pc.get(p)}
+
+    def _keys_in_parts(self, cur: int, parts: set[str],
+                       batch_keys: DataFrame) -> bool:
+        """True if any of `parts` (at snapshot `cur`) holds one of the
+        batch's keys — the case fast-forward must NOT skip past: the
+        other writer may have inserted/moved a key this batch also
+        carries, and committing our stale merge beside it would leave
+        a duplicate (or resurrect a deleted) key."""
+        man = self._manifest(cur)
+        files = [
+            f"{self.path}/{DATA_DIR}/{f}"
+            for p in parts
+            for f in man["partitions"].get(p, ())
+        ]
+        if not files:
+            return False
+        other = (
+            self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
+            .option("mergeSchema", "true")
+            .parquet(*files)
+            .select(*self.keys)
+        )
+        return (
+            other.join(F.broadcast(batch_keys), self.keys, "left_semi")
+            .limit(1)
+            .count()
+            > 0
+        )
+
+    def _commit_or_rebase(
+        self,
+        parent: int | None,
+        by_part: dict[str, list[str]],
+        touched_dirs: set[str],
+        schema_ddl: str,
+        batch_keys: DataFrame,
+        remerge: Callable[[int], int],
+        retries: int,
+        batch_id: int | None = None,
+    ) -> int:
+        """Commit, and on a lost version race REBASE instead of
+        failing — no batch is ever lost (reference __main__.py:8-24:
+        every batch_write_item lands). Two rebase shapes, like Delta's
+        commit retry:
+
+        - **fast-forward**: the intervening commits replaced disjoint
+          partitions AND none of their rewritten partitions contains
+          one of this batch's keys → the already-staged files are
+          still a correct merge; re-point the manifest at the new head
+          (zero data rewrite, one manifest write).
+        - **re-merge**: real overlap → recompute the whole merge
+          against the current snapshot via `remerge` (the staged files
+          from the failed attempt become unreferenced orphans; gc's
+          age threshold reaps them later).
+        """
+        while True:
+            try:
+                return self._commit(
+                    parent, by_part, touched_dirs, schema_ddl, batch_id
+                )
+            except ConcurrentWriteError:
+                if retries <= 0:
+                    raise
+                retries -= 1
+                cur = self.current_version()
+                changed = self._changed_parts(parent, cur)
+                if not (changed & touched_dirs) and not self._keys_in_parts(
+                    cur, changed, batch_keys
+                ):
+                    parent = cur  # fast-forward onto the new head
+                    continue
+                return remerge(retries)
 
     def upsert(
         self,
         new_data: DataFrame,
         order_by: list[Column],
         batch_id: int | None = None,
+        max_commit_retries: int = 3,
     ) -> int:
         """Last-write-wins MERGE of one batch, atomically published.
 
@@ -330,6 +494,12 @@ class AtomicParquetTable:
         are batch-sized broadcast semi-joins; untouched partitions'
         files are carried forward in the manifest without being read
         or rewritten. Returns the committed version.
+
+        A lost commit race is rebased, not raised (fast-forward when
+        the competing commit is disjoint by partition AND key, full
+        re-merge otherwise — `_commit_or_rebase`), up to
+        ``max_commit_retries`` times; pass 0 to surface
+        ConcurrentWriteError on the first conflict instead.
 
         ``batch_id`` makes the commit idempotent for Structured
         Streaming's foreachBatch contract: a failed micro-batch is
@@ -346,14 +516,22 @@ class AtomicParquetTable:
             if last is not None and batch_id <= last:
                 return parent  # replayed micro-batch: already committed
         txn = uuid.uuid4().hex[:16]
-        self._batch_id = batch_id
         existing = self.read()
+        batch_keys = new_data.select(*self.keys).distinct()
+
+        def remerge(retries: int) -> int:
+            return self.upsert(
+                new_data, order_by, batch_id, max_commit_retries=retries
+            )
 
         if existing is None:
             merged = keep_latest(new_data, self.keys, order_by)
             merged = merged.localCheckpoint(eager=True)
             by_part = self._stage_and_move(merged, txn)
-            return self._commit(parent, by_part, set(), _ddl(merged))
+            return self._commit_or_rebase(
+                parent, by_part, set(), _ddl(merged), batch_keys, remerge,
+                max_commit_retries, batch_id,
+            )
 
         if not self.partition_by:
             merged = keep_latest(
@@ -362,26 +540,24 @@ class AtomicParquetTable:
                 order_by,
             ).localCheckpoint(eager=True)
             by_part = self._stage_and_move(merged, txn)
-            return self._commit(parent, by_part, {""}, _ddl(merged))
+            return self._commit_or_rebase(
+                parent, by_part, {""}, _ddl(merged), batch_keys, remerge,
+                max_commit_retries, batch_id,
+            )
 
         pb = self.partition_by
         new_parts = new_data.select(*pb).distinct()
         old_parts_of_keys = (
             existing.select(*self.keys, *pb)
-            .join(
-                F.broadcast(new_data.select(*self.keys).distinct()),
-                self.keys,
-                "left_semi",
-            )
+            .join(F.broadcast(batch_keys), self.keys, "left_semi")
             .select(*pb)
             .distinct()
         )
-        touched_rows = new_parts.unionByName(old_parts_of_keys).distinct().collect()
-        touched_dirs = {self._part_dir(r) for r in touched_rows}
-        touched_df = self.spark.createDataFrame(
-            touched_rows, new_parts.schema
+        parts_df = new_parts.unionByName(old_parts_of_keys).distinct()
+        typed_rows, touched_dirs = self._collect_touched(parts_df)
+        relevant = self._touched_semi_join(
+            existing, typed_rows, new_parts.schema
         )
-        relevant = existing.join(F.broadcast(touched_df), pb, "left_semi")
         merged = keep_latest(
             relevant.unionByName(new_data, allowMissingColumns=True),
             self.keys,
@@ -391,59 +567,78 @@ class AtomicParquetTable:
         # staged output only contains partitions with surviving rows;
         # touched partitions absent from it were emptied → dropped by
         # _commit's replaced_parts handling.
-        return self._commit(parent, by_part, touched_dirs, _ddl(merged))
+        return self._commit_or_rebase(
+            parent, by_part, touched_dirs, _ddl(merged), batch_keys, remerge,
+            max_commit_retries, batch_id,
+        )
 
-    def delete_keys(self, doomed_keys: DataFrame) -> int:
+    def delete_keys(
+        self, doomed_keys: DataFrame, max_commit_retries: int = 3
+    ) -> int:
         """Atomic keyed delete (MERGE's WHEN MATCHED DELETE half / the
         right-to-be-forgotten primitive): rewrite ONLY partitions that
         contain a doomed key (broadcast semi-join finds them, anti-join
         rewrites), publish one manifest. Fully-emptied partitions drop
         out of the manifest; untouched partitions carry forward without
-        a read or rewrite. Returns the committed version."""
+        a read or rewrite. Lost commit races rebase like upsert's.
+        Returns the committed version."""
         existing = self.read()
         if existing is None:
             raise ValueError(f"no table at {self.path}")
         parent = self.current_version()
         txn = uuid.uuid4().hex[:16]
-        doomed = F.broadcast(doomed_keys.select(*self.keys).distinct())
+        batch_keys = doomed_keys.select(*self.keys).distinct()
+        doomed = F.broadcast(batch_keys)
+
+        def remerge(retries: int) -> int:
+            return self.delete_keys(doomed_keys, max_commit_retries=retries)
 
         if not self.partition_by:
             kept = existing.join(doomed, self.keys, "left_anti")
             kept = kept.localCheckpoint(eager=True)
             by_part = self._stage_and_move(kept, txn)
-            return self._commit(parent, by_part, {""}, _ddl(kept))
+            return self._commit_or_rebase(
+                parent, by_part, {""}, _ddl(kept), batch_keys, remerge,
+                max_commit_retries,
+            )
 
         pb = self.partition_by
-        touched_rows = (
+        parts_df = (
             existing.select(*self.keys, *pb)
             .join(doomed, self.keys, "left_semi")
             .select(*pb)
             .distinct()
-            .collect()
         )
-        if not touched_rows:
+        typed_rows, touched_dirs = self._collect_touched(parts_df)
+        if not typed_rows:
             return parent  # nothing to delete; current version stands
-        touched_dirs = {self._part_dir(r) for r in touched_rows}
-        touched_df = self.spark.createDataFrame(
-            touched_rows, existing.select(*pb).schema
+        relevant = self._touched_semi_join(
+            existing, typed_rows, existing.select(*pb).schema
         )
-        relevant = existing.join(F.broadcast(touched_df), pb, "left_semi")
         kept = relevant.join(doomed, self.keys, "left_anti")
         kept = kept.localCheckpoint(eager=True)
         by_part = self._stage_and_move(kept, txn)
-        return self._commit(parent, by_part, touched_dirs, _ddl(kept))
+        return self._commit_or_rebase(
+            parent, by_part, touched_dirs, _ddl(kept), batch_keys, remerge,
+            max_commit_retries,
+        )
 
     # -- maintenance --------------------------------------------------
 
     def compact(self, target_bytes_per_file: int = 128 * 1024 * 1024) -> int:
         """Atomic small-file compaction (OPTIMIZE): rewrite every
         partition whose live-file count exceeds what its bytes justify
-        into ceil(bytes/target) files, and publish as ONE new version —
+        into ~ceil(bytes/target) files, and publish as ONE new version —
         readers never see a half-compacted table, and time travel to
         the pre-compaction snapshot still works until gc(). Partitions
         already at their target file count are carried forward
-        untouched. Returns the committed version (parent if nothing
-        needed compaction)."""
+        untouched. The per-partition output file count is best-effort:
+        repartition hash-distributes (partition, salt) tuples, so salt
+        slots of different partitions can co-locate in one task and a
+        partition may come out a file or two off its computed target —
+        always ≤ its input count, which is the property that matters.
+        Returns the committed version (parent if nothing needed
+        compaction)."""
         import math
 
         man = self.snapshot()
@@ -496,12 +691,16 @@ class AtomicParquetTable:
                     for c in pb
                 ],
             )
+            # degenerate no-data-column frame (unreachable through
+            # __init__'s key-coverage check, but F.hash() with zero
+            # args raises — fall back to a constant salt = 1 file/part)
             data_cols = [c for c in df.columns if c not in pb]
+            salt_src = F.hash(*data_cols) if data_cols else F.lit(0)
             salted = df.withColumn("__pdir", pdir).join(
                 wants_df, "__pdir", "left"
             ).withColumn(
                 "__salt",
-                F.pmod(F.hash(*data_cols), F.coalesce("__want", F.lit(1))),
+                F.pmod(salt_src, F.coalesce("__want", F.lit(1))),
             )
             out = (
                 salted.repartition(
@@ -517,12 +716,25 @@ class AtomicParquetTable:
             man["version"], by_part, set(needs), man["schema_ddl"]
         )
 
-    def gc(self, keep_versions: int = 1) -> dict:
+    def gc(
+        self, keep_versions: int = 1, min_age_seconds: float = 600.0
+    ) -> dict:
         """Remove data files referenced by NO retained manifest (crash
         orphans, files only older snapshots used) plus expired
         manifests and dead staging dirs. Listing and deletion are
-        metadata-scale (live-file count). Safe any time: readers only
-        ever see manifest-listed files."""
+        metadata-scale (live-file count).
+
+        Unreferenced files and staging dirs are only deleted once
+        older than ``min_age_seconds`` (Delta VACUUM's retention
+        idea): a LIVE concurrent writer between _stage_and_move and
+        _commit has files on disk that no manifest references yet, and
+        the age threshold keeps gc from destroying its in-flight
+        batch. With the default 10-minute threshold gc is safe to run
+        any time alongside writers whose stage→commit window is
+        shorter than that; ``min_age_seconds=0`` is only safe with no
+        writer in flight."""
+        import time as _time
+
         versions = sorted(
             int(n[1:-5])
             for n in _list_names(self.spark, f"{self.path}/{MANIFEST_DIR}")
@@ -534,15 +746,18 @@ class AtomicParquetTable:
             for files in self._manifest(v)["partitions"].values():
                 live.update(files)
         fs, _p, jvm = _fs(self.spark, self.path)
+        cutoff_ms = (_time.time() - min_age_seconds) * 1000.0
         removed_files = 0
+        skipped_young = 0
         for rel in _list_files_recursive(self.spark, f"{self.path}/{DATA_DIR}"):
             if rel not in live:
-                fs.delete(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{self.path}/{DATA_DIR}/{rel}"
-                    ),
-                    False,
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{DATA_DIR}/{rel}"
                 )
+                if fs.getFileStatus(p).getModificationTime() > cutoff_ms:
+                    skipped_young += 1
+                    continue
+                fs.delete(p, False)
                 removed_files += 1
         removed_manifests = 0
         for v in versions:
@@ -554,12 +769,18 @@ class AtomicParquetTable:
                     False,
                 )
                 removed_manifests += 1
-        stage_root = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{STAGE_DIR}")
-        if fs.exists(stage_root):
-            fs.delete(stage_root, True)
+        for name in _list_names(self.spark, f"{self.path}/{STAGE_DIR}"):
+            sub = jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/{STAGE_DIR}/{name}"
+            )
+            if fs.getFileStatus(sub).getModificationTime() > cutoff_ms:
+                skipped_young += 1
+                continue
+            fs.delete(sub, True)
         return {
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
+            "skipped_young": skipped_young,
             "live_files": len(live),
         }
 

@@ -117,8 +117,9 @@ def test_kill_mid_publish_readers_see_old_never_mixed(spark, tmp_path, stage):
     )
 
     # crash orphans are invisible; gc removes them and changes nothing
+    # (min_age 0: no writer in flight here)
     live_before_gc = _rows(t)
-    stats = t.gc()
+    stats = t.gc(min_age_seconds=0)
     assert _rows(t) == live_before_gc
     # every remaining data file is manifest-listed
     remaining = {
@@ -134,8 +135,9 @@ def test_kill_mid_publish_readers_see_old_never_mixed(spark, tmp_path, stage):
 
 
 def test_concurrent_commit_conflict_detected(spark, table):
-    """A writer losing the version race raises ConcurrentWriteError and
-    the winner's snapshot is what readers see."""
+    """With retries disabled, a writer losing the version race raises
+    ConcurrentWriteError and the winner's snapshot is what readers
+    see (the raw optimistic-concurrency contract under the rebase)."""
     winner = _base(spark, table.path)
     loser = _base(
         spark,
@@ -150,7 +152,11 @@ def test_concurrent_commit_conflict_detected(spark, table):
         },
     )
     with pytest.raises(ConcurrentWriteError):
-        loser.upsert(_df(spark, [(8, "A", "loser", 1)]), [F.col("ts").desc()])
+        loser.upsert(
+            _df(spark, [(8, "A", "loser", 1)]),
+            [F.col("ts").desc()],
+            max_commit_retries=0,
+        )
     assert table.current_version() == 1
     assert (9, "A", "winner", 1) in _rows(table)
     assert all(r[2] != "loser" for r in _rows(table))
@@ -181,7 +187,7 @@ def test_unpartitioned_roundtrip_and_last_write_wins(spark, tmp_path):
 def test_gc_retains_requested_history(spark, table):
     table.upsert(_df(spark, [(1, "A", "a1-v1", 1)]), [F.col("ts").desc()])
     table.upsert(_df(spark, [(1, "A", "a1-v2", 2)]), [F.col("ts").desc()])
-    stats = table.gc(keep_versions=2)
+    stats = table.gc(keep_versions=2, min_age_seconds=0)
     assert stats["removed_manifests"] == 1  # v0 expired, v1+v2 kept
     assert table._manifest(1) and table._manifest(2)
     # time travel to the retained parent still reads cleanly: its files
@@ -287,6 +293,229 @@ def test_schema_evolution_across_snapshots(spark, table):
     out = {r.k: (r.v, r.region) for r in table.read().collect()}
     assert out[2] == ("a2-new", "eu")
     assert out[4] == ("c1", None)  # untouched partition C, old schema
+
+
+def test_conflict_disjoint_partitions_fast_forwards(spark, table):
+    """Rebase-and-retry, fast-forward shape: the competing commit
+    touched a DISJOINT partition and none of this batch's keys, so the
+    loser re-points its already-staged files at the new head — both
+    batches land (no batch lost), with NO second stage/merge job."""
+    winner = _base(spark, table.path)
+    stages = []
+    loser = _base(
+        spark,
+        table.path,
+        hooks={
+            "staged": lambda: stages.append(1),
+            "before_commit": lambda: winner.upsert(
+                _df(spark, [(9, "D", "winner", 1)]), [F.col("ts").desc()]
+            )
+            if winner.current_version() == 0
+            else None,
+        },
+    )
+    v = loser.upsert(_df(spark, [(8, "A", "loser", 1)]), [F.col("ts").desc()])
+    assert v == 2  # base=0, winner=1, loser rebased onto 2
+    assert len(stages) == 1, "fast-forward must not re-stage"
+    rows = _rows(table)
+    assert (9, "D", "winner", 1) in rows and (8, "A", "loser", 1) in rows
+    assert len(rows) == len(BASE) + 2
+
+
+def test_conflict_overlapping_partition_remerges(spark, table):
+    """Rebase-and-retry, re-merge shape: the competing commit rewrote
+    the SAME partition, so the loser's staged merge is stale — it must
+    recompute against the new snapshot. Both batches land."""
+    winner = _base(spark, table.path)
+    stages = []
+    loser = _base(
+        spark,
+        table.path,
+        hooks={
+            "staged": lambda: stages.append(1),
+            "before_commit": lambda: winner.upsert(
+                _df(spark, [(9, "A", "winner", 1)]), [F.col("ts").desc()]
+            )
+            if winner.current_version() == 0
+            else None,
+        },
+    )
+    v = loser.upsert(_df(spark, [(8, "A", "loser", 1)]), [F.col("ts").desc()])
+    assert v == 2
+    assert len(stages) == 2, "overlap must trigger a full re-merge"
+    rows = _rows(table)
+    assert (9, "A", "winner", 1) in rows and (8, "A", "loser", 1) in rows
+    assert len(rows) == len(BASE) + 2
+
+
+def test_conflict_same_key_disjoint_partitions_remerges(spark, table):
+    """The case fast-forward must NOT skip past: the competing commit
+    inserted the SAME key into a different partition. Partition sets
+    are disjoint, but committing the stale merge would leave the key
+    twice — the key-overlap probe forces a re-merge and last-write-wins
+    holds across the rebase (exactly one surviving row, newest ts, and
+    the loser's stale copy's partition is gone)."""
+    winner = _base(spark, table.path)
+    loser = _base(
+        spark,
+        table.path,
+        hooks={
+            "before_commit": lambda: winner.upsert(
+                _df(spark, [(42, "Z", "winner", 1)]), [F.col("ts").desc()]
+            )
+            if winner.current_version() == 0
+            else None
+        },
+    )
+    loser.upsert(_df(spark, [(42, "A", "loser", 2)]), [F.col("ts").desc()])
+    rows = _rows(table)
+    k42 = [r for r in rows if r[0] == 42]
+    assert k42 == [(42, "A", "loser", 2)], k42
+    assert "part=Z" not in table.snapshot()["partitions"]
+    assert len(rows) == len(BASE) + 1
+
+
+def test_hive_escaped_partition_values_replace_not_duplicate(spark, tmp_path):
+    """Partition values needing Hive escaping (':' '=' '%') and NULL:
+    the manifest's touched-dir keys must byte-match Spark's escaped
+    staged dir names, or the second upsert would carry the stale
+    partition forward ALONGSIDE the merged one and read back
+    duplicates (ADVICE r6, medium)."""
+    t = _base(spark, str(tmp_path / "esc"))
+    rows0 = [
+        (1, "a:b", "v1", 0),
+        (2, "x=y", "v2", 0),
+        (3, "p%20q", "v3", 0),
+        (4, None, "v4", 0),
+        (5, "plain", "v5", 0),
+    ]
+    t.upsert(_df(spark, rows0), [F.col("ts").desc()])
+    man0 = t.snapshot()["partitions"]
+    assert "part=a%3Ab" in man0 and "part=x%3Dy" in man0
+    assert "part=p%2520q" in man0
+    assert "part=__HIVE_DEFAULT_PARTITION__" in man0
+    # update every escaped partition's key: each must REPLACE its
+    # partition (same row count, new values), never duplicate
+    t.upsert(
+        _df(
+            spark,
+            [(1, "a:b", "v1b", 1), (2, "x=y", "v2b", 1), (4, None, "v4b", 1)],
+        ),
+        [F.col("ts").desc()],
+    )
+    got = sorted((r.k, r.part, r.v) for r in t.read().collect())
+    assert got == [
+        (1, "a:b", "v1b"),
+        (2, "x=y", "v2b"),
+        (3, "p%20q", "v3"),
+        (4, None, "v4b"),
+        (5, "plain", "v5"),
+    ], got
+    # keyed delete out of an escaped and the NULL partition
+    t.delete_keys(spark.createDataFrame([(1,), (4,)], "k int"))
+    man = t.snapshot()["partitions"]
+    assert "part=a%3Ab" not in man
+    assert "part=__HIVE_DEFAULT_PARTITION__" not in man
+    assert sorted(r.k for r in t.read().collect()) == [2, 3, 5]
+
+
+def test_gc_age_threshold_protects_fresh_orphans(spark, tmp_path):
+    """gc's retention check (Delta VACUUM idea): a freshly-staged or
+    freshly-moved file of a LIVE concurrent writer is unreferenced by
+    any manifest, and default gc must leave it alone; only
+    min_age_seconds=0 (caller asserts no writer in flight) reaps it."""
+    path = str(tmp_path / "tbl")
+    t = _base(spark, path)
+    t.upsert(_df(spark, BASE), [F.col("ts").desc()])
+
+    class Boom(RuntimeError):
+        pass
+
+    def die():
+        raise Boom()
+
+    crashing = _base(spark, path, hooks={"before_commit": die})
+    with pytest.raises(Boom):
+        crashing.upsert(_df(spark, [(6, "D", "d1", 1)]), [F.col("ts").desc()])
+
+    stats = t.gc()  # default age threshold: fresh orphans survive
+    assert stats["removed_files"] == 0 and stats["skipped_young"] > 0
+    assert _rows(t) == sorted(BASE)
+    stats0 = t.gc(min_age_seconds=0)
+    assert stats0["removed_files"] > 0 and stats0["skipped_young"] == 0
+    assert _rows(t) == sorted(BASE)
+
+
+def test_streaming_crash_mid_batch_into_atomic_table(spark, tmp_path):
+    """Combined crash-recovery contract (VERDICT r6 task #6): kill the
+    streaming query MID-micro-batch while it is publishing into the
+    atomic table (after staging, before the manifest commit), restart
+    from the same checkpoint, and require the value-level end state to
+    be identical to an uninterrupted run — offsets + manifest batch_id
+    give end-to-end exactly-once through a crash."""
+    from stupp_exclusion_etl_spark.sinks.atomic import streaming_upsert_sink
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def add(rows):
+        _df(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    def run(table, trip_after_stage=False):
+        blew = []
+        if trip_after_stage:
+            def boom():
+                if not blew:
+                    blew.append(1)
+                    raise RuntimeError("injected crash before commit")
+            table.hooks = {"before_commit": boom}
+        else:
+            table.hooks = {}
+        sink = streaming_upsert_sink(table, [F.col("ts").desc()])
+        q = (
+            spark.readStream.schema("k int, part string, v string, ts int")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        exc = None
+        try:
+            q.awaitTermination(120)
+        except Exception as e:  # failed query may raise here instead
+            exc = e
+        exc = exc or q.exception()
+        if q.isActive:
+            q.stop()
+        return exc
+
+    add(BASE)
+    t = _base(spark, str(tmp_path / "tbl"))
+    assert run(t) is None
+    v_after_b0 = t.current_version()
+
+    # batch 1 arrives; the writer dies after staging, before the commit
+    add([(2, "A", "a2-new", 1), (6, "D", "d1", 1)])
+    exc = run(t, trip_after_stage=True)
+    assert exc is not None, "injected crash must fail the query"
+    # nothing published: readers still see the pre-crash snapshot
+    assert t.current_version() == v_after_b0
+    assert _rows(t) == sorted(BASE)
+
+    # restart from the same checkpoint: the SAME micro-batch replays
+    # and commits exactly once
+    assert run(t) is None
+    assert _rows(t) == sorted(
+        [(1, "A", "a1", 0), (2, "A", "a2-new", 1), (3, "B", "b1", 0),
+         (4, "C", "c1", 0), (6, "D", "d1", 1)]
+    )
+    v_done = t.current_version()
+    rows_done = _rows(t)
+
+    # one more restart with nothing new: no-op (offsets committed)
+    assert run(t) is None
+    assert t.current_version() == v_done and _rows(t) == rows_done
 
 
 def test_batch_id_makes_upsert_exactly_once(spark, tmp_path):
