@@ -310,19 +310,52 @@ def ngram_containment_pairs(
     )
 
 
+def _estimate_bucket_pairs(e: DataFrame, bucket_col: str) -> int:
+    """Σ n_b·(n_b−1)/2 over buckets — the exact number of candidate
+    pairs a within-bucket self-join will score. One column-pruned hash
+    aggregate reduced to a single driver row (bounded metadata), the
+    same shape as a cost-based optimizer's cardinality probe."""
+    row = (
+        e.groupBy(bucket_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.expr("n * (n - 1) / 2")).alias("pairs"))
+        .first()
+    )
+    return int(row["pairs"] or 0)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     bucket_col: Column,
     threshold: float = 0.99,
+    max_pairs: int | None = None,
+    on_exceed: str = "raise",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within buckets (e.g. an LSH or
     cluster-label bucket) — the bucketed equi-join keeps this linear in
     bucket size instead of a full cartesian. Norms are computed ONCE
     per vector before the join (N aggregates), not once per pair
     (N²/buckets aggregates) — measured 5× on the label-bucketed
-    corpus; the per-pair work is a single dot product."""
+    corpus; the per-pair work is a single dot product.
+
+    ``max_pairs`` is the cost fence for the fixed-bucket-count trap
+    (10× rows in the same buckets = 100× pairs — measured 93×
+    wall-clock at 10× data, BENCH_SCALE_r06): the in-bucket pair count
+    Σ n_b·(n_b−1)/2 is estimated up front with one bounded aggregate,
+    and above the budget the operator either raises
+    ``CostBudgetExceeded`` (``on_exceed="raise"``) or re-routes to the
+    bounded path (``on_exceed="subdivide"``): every bucket is widened
+    with ⌈log2(est/budget)⌉ deterministic sign-of-projection LSH bits
+    (operators.similarity.lsh_assign_buckets), shrinking expected pair
+    work back under the budget. Sub-bucketing is the documented
+    approximation: a true near-dup pair at angle θ survives each extra
+    bit with prob 1−θ/π (≥ 0.9 per bit at cosine ≥ 0.95), and pairs
+    that land in different sub-buckets are missed — exactly the LSH
+    recall trade every bounded near-dedup at scale makes. Below the
+    budget the plan is byte-identical to the unguarded one."""
     from stupp_exclusion_etl_spark.functions.vectors import dot, norm2
 
     e = df.select(
@@ -331,6 +364,40 @@ def embedding_neardup_pairs(
         bucket_col.alias("bk"),
         norm2(F.col(vec_col)).alias("n"),
     )
+    if max_pairs is not None:
+        est = _estimate_bucket_pairs(e, "bk")
+        if est > max_pairs:
+            if on_exceed != "subdivide":
+                from stupp_exclusion_etl_spark.operators.budget import (
+                    CostBudgetExceeded,
+                )
+
+                raise CostBudgetExceeded(
+                    f"embedding_neardup_pairs: estimated in-bucket pair "
+                    f"count {est:,} exceeds max_pairs={max_pairs:,}. "
+                    f"Raise max_pairs explicitly, or pass "
+                    f"on_exceed='subdivide' to bound the work with LSH "
+                    f"sub-buckets (approximate: cross-sub-bucket pairs "
+                    f"are missed), or use the ANN family "
+                    f"(operators.similarity) for top-k semantics."
+                )
+            import math
+
+            from stupp_exclusion_etl_spark.operators.similarity import (
+                lsh_assign_buckets,
+            )
+
+            n_bits = max(1, math.ceil(math.log2(est / max_pairs)))
+            if dim is None:
+                dim = len(e.select("v").first()[0])
+            e = lsh_assign_buckets(e, "v", dim, n_planes=n_bits)
+            e = e.withColumn(
+                "bk",
+                F.concat_ws(
+                    "#", F.col("bk").cast("string"),
+                    F.col("lsh_bucket").cast("string"),
+                ),
+            ).drop("lsh_bucket")
     a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"), "bk")
     b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"), "bk")
     return (

@@ -1,0 +1,144 @@
+"""Cost fences for the intrinsically-quadratic exact operators
+(VERDICT r6 wrong #1/#2): the estimate trips on oversized inputs, the
+re-routed bounded paths still find true near neighbors, and under
+budget the guarded plans return results identical to the unguarded
+ones (the CORRECTNESS-green property at driver scales)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.operators.budget import CostBudgetExceeded
+from stupp_exclusion_etl_spark.operators.dedup import embedding_neardup_pairs
+from stupp_exclusion_etl_spark.operators.similarity import knn_join
+
+from tests.conftest import SF_SMALL
+
+
+def _vec(i: int, dim: int = 8) -> list[float]:
+    # deterministic pseudo-random unit-ish vector per id
+    return [
+        int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+        for d in range(dim)
+    ]
+
+
+@pytest.fixture(scope="module")
+def hot_bucket(spark):
+    """200 vectors in ONE bucket (est pairs = 19,900) with 40 planted
+    exact-duplicate pairs (i, i+160 share a vector for i < 40)."""
+    rows = [
+        (i, _vec(i if i < 160 else i - 160), "hot")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+
+
+def test_pair_budget_trips_on_oversized_bucket(hot_bucket):
+    with pytest.raises(CostBudgetExceeded, match="max_pairs"):
+        embedding_neardup_pairs(
+            hot_bucket, "vec_id", "embedding", F.col("label"), 0.9,
+            max_pairs=1000,
+        ).collect()
+
+
+def test_pair_budget_subdivide_bounds_work_and_keeps_true_dups(hot_bucket):
+    """The LSH sub-bucket route must (a) emit a SUBSET of the exact
+    pairs (sub-bucketing can only drop cross-bucket pairs, never
+    invent or mis-score one) and (b) keep every planted exact
+    duplicate — identical vectors always share every sign bit."""
+    exact = {
+        (r.id1, r.id2)
+        for r in embedding_neardup_pairs(
+            hot_bucket, "vec_id", "embedding", F.col("label"), 0.9
+        ).collect()
+    }
+    guarded = {
+        (r.id1, r.id2)
+        for r in embedding_neardup_pairs(
+            hot_bucket, "vec_id", "embedding", F.col("label"), 0.9,
+            max_pairs=1000, on_exceed="subdivide", dim=8,
+        ).collect()
+    }
+    assert guarded <= exact
+    planted = {(i, i + 160) for i in range(40)}
+    assert planted <= guarded
+    assert planted <= exact
+
+
+def test_pair_budget_under_budget_identical_to_unguarded(spark):
+    e = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    unguarded = embedding_neardup_pairs(
+        e, "vec_id", "embedding", F.col("label"), 0.35
+    ).collect()
+    guarded = embedding_neardup_pairs(
+        e, "vec_id", "embedding", F.col("label"), 0.35,
+        max_pairs=2_000_000, on_exceed="subdivide", dim=64,
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
+
+
+@pytest.fixture(scope="module")
+def knn_corpus(spark):
+    """300 corpus vectors; queries 9001..9003 are exact copies of
+    corpus vectors 1..3 (cos = 1.0 planted rank-1 neighbors)."""
+    corpus = spark.createDataFrame(
+        [(i, _vec(i, 16)) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(9000 + i, _vec(i, 16)) for i in (1, 2, 3)],
+        "q_id long, q array<double>",
+    )
+    return corpus, queries
+
+
+def test_knn_budget_trips(knn_corpus):
+    corpus, queries = knn_corpus
+    with pytest.raises(CostBudgetExceeded, match="max_comparisons"):
+        knn_join(corpus, queries, k=5, max_comparisons=100).collect()
+
+
+def test_knn_lsh_route_bounded_and_finds_planted_neighbors(knn_corpus):
+    """est = 900 comparisons > budget 400 → LSH route. Output shape
+    must be intact (rnk 1..k per query, scores true cosines) and each
+    query's planted exact copy must surface at rank 1 (identical
+    vectors share every LSH bucket bit deterministically)."""
+    corpus, queries = knn_corpus
+    out = knn_join(
+        corpus, queries, k=5,
+        max_comparisons=400, on_exceed="lsh", dim=16,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {9001, 9002, 9003}
+    for qid, rows in by_q.items():
+        ranks = sorted(r.rnk for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        top = min(rows, key=lambda r: r.rnk)
+        assert top.vec_id == qid - 9000 and top.cos_sim == 1.0
+
+
+def test_knn_under_budget_identical_to_unguarded(knn_corpus):
+    corpus, queries = knn_corpus
+    unguarded = knn_join(corpus, queries, k=5).collect()
+    guarded = knn_join(
+        corpus, queries, k=5, max_comparisons=10_000, on_exceed="lsh"
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
+
+
+def test_registered_queries_take_exact_path_at_test_scale(spark):
+    """The two registered (cost-guarded) queries must remain
+    oracle-identical at driver scale — the guard must not perturb the
+    exact path below budget."""
+    from tests.harness import check
+
+    check(spark, SF_SMALL, "dedup_embedding_cosine")
+    check(spark, SF_SMALL, "sim_knn_join")
