@@ -197,6 +197,53 @@ def main() -> None:
         q: round(skewed[q] / max(uniform[q], 0.05), 2) for q in QUERIES
     }
 
+    # 2b. LSH bucket-cap audit (VERDICT r6 wrong #3): the hot-cluster
+    # fixture must actually push band buckets past the cap, and the
+    # operator's emitted candidate pairs must stay within the bound
+    # Σ C(n_b, 2) over CAPPED buckets only — if the max_bucket guard
+    # ever regresses, the giant cluster's ~C(hot, 2) pairs blow
+    # straight through this assertion rather than showing up as
+    # deniable wall-time drift.
+    from stupp_exclusion_etl_spark.operators.dedup import (  # noqa: E402
+        lsh_bands,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+    from stupp_exclusion_etl_spark.plans.dedup import (  # noqa: E402
+        _BAND_SIZE,
+        _N_HASHES,
+    )
+
+    cap = 1000  # minhash_lsh_pairs' default max_bucket
+    docs = table(spark, skew_dir, "documents")
+    sizes = (
+        lsh_bands(
+            minhash_signatures(docs, "doc_id", "text", _N_HASHES, 3),
+            "doc_id", _N_HASHES, _BAND_SIZE,
+        )
+        .groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bstats = sizes.agg(
+        F.max("n").alias("max_n"),
+        F.sum(F.when(F.col("n") > cap, 1).otherwise(0)).alias("n_over"),
+        F.sum(
+            F.when(F.col("n").between(2, cap), F.expr("n * (n - 1) / 2"))
+            .otherwise(0)
+        ).alias("capped_pair_bound"),
+    ).first()
+    n_candidates = minhash_lsh_pairs(
+        docs, "doc_id", "text",
+        n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3,
+    ).count()
+    bucket_audit = {
+        "cap": cap,
+        "max_bucket_size": int(bstats.max_n),
+        "buckets_over_cap": int(bstats.n_over),
+        "candidate_pairs": int(n_candidates),
+        "capped_pair_bound": int(bstats.capped_pair_bound),
+    }
+
     # 3. straggler audit over every completed stage of this app
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
@@ -213,6 +260,7 @@ def main() -> None:
         "skew_over_uniform_ratio": ratios,
         "worst_task_over_median": worst,
         "straggler_stages_checked": len(stages),
+        "lsh_bucket_cap": bucket_audit,
         "stages": sorted(stages, key=lambda s: -s["ratio"])[:10],
     }
     with open(os.path.join(REPO, f"BENCH_SKEW_r{rnd}.json"), "w") as fh:
@@ -222,6 +270,14 @@ def main() -> None:
         "worst_task_over_median")}))
     assert aqe_engaged, "AQE skew-join did not engage on the hot-key join"
     assert worst <= 10, f"straggler: max task {worst}x median"
+    assert bucket_audit["buckets_over_cap"] > 0, (
+        "skew fixture no longer stresses the LSH bucket cap"
+    )
+    assert n_candidates <= bucket_audit["capped_pair_bound"], (
+        f"LSH bucket cap regressed: {n_candidates:,} candidate pairs "
+        f"exceed the capped-bucket bound "
+        f"{bucket_audit['capped_pair_bound']:,}"
+    )
 
 
 if __name__ == "__main__":
