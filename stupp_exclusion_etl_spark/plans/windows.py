@@ -318,3 +318,81 @@ def atomic_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+@register(
+    "atomic_merge_read",
+    oracle="""
+    WITH init AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 6),
+    src1 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.2, 4) AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 BETWEEN 4 AND 8),
+    merged AS (
+      SELECT COALESCE(s.o_orderkey, i.o_orderkey) AS o_orderkey,
+             COALESCE(s.o_totalprice, i.o_totalprice) AS o_totalprice,
+             COALESCE(s.o_orderpriority, i.o_orderpriority) AS o_orderpriority
+      FROM init i FULL JOIN src1 s ON s.o_orderkey = i.o_orderkey),
+    after_delete AS (SELECT * FROM merged WHERE o_orderkey % 3 <> 0)
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM after_delete
+    GROUP BY o_orderpriority
+    """,
+    tags=("A15", "A16", "C16"),
+)
+def atomic_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end drive of the MERGE INTO statement facade
+    (sinks.atomic.merge_into, VERDICT r6 task #8): an initial insert,
+    then one MERGE whose source both UPDATES its matched keys
+    (re-priced) and INSERTS its unmatched ones, then a
+    WHEN MATCHED DELETE merge removing every key ≡ 0 (mod 3) — each a
+    single atomic partition-scoped commit — and the surviving snapshot
+    read back through the manifest. The oracle restates the same
+    clause algebra as a FULL JOIN + filter, so the driver verifies
+    update-wins, insert, delete, and partition carry-forward in one
+    hash. Money totals rounded to 2 (engine-order double sums)."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        AtomicParquetTable,
+        merge_into,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_m_"),
+        keys=["o_orderkey"],
+        partition_by=["o_orderpriority"],
+    )
+    merge_into(t, o.filter(k % 10 < 6), on=["o_orderkey"])
+    merge_into(
+        t,
+        o.filter((k % 10 >= 4) & (k % 10 <= 8)).withColumn(
+            "o_totalprice", F.round(F.col("o_totalprice") * 1.2, 4)
+        ),
+        on=["o_orderkey"],
+        when_matched="update",
+        when_not_matched="insert",
+    )
+    merge_into(
+        t,
+        o.filter(k % 3 == 0).select("o_orderkey"),
+        when_matched="delete",
+        when_not_matched="skip",
+    )
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -623,6 +623,134 @@ class AtomicParquetTable:
             max_commit_retries,
         )
 
+    def merge_into(
+        self,
+        source: DataFrame,
+        when_matched: str = "update",
+        when_not_matched: str = "insert",
+        order_by: list[Column] | None = None,
+        max_commit_retries: int = 3,
+    ) -> int:
+        """SQL ``MERGE INTO`` over the atomic commit protocol — the
+        Delta/Iceberg statement idiom (``WHEN MATCHED THEN UPDATE /
+        DELETE, WHEN NOT MATCHED THEN INSERT``) as ONE atomic commit,
+        generalizing upsert (update+insert) and delete_keys
+        (delete+skip):
+
+        - ``when_matched``: ``"update"`` (source row replaces the
+          target row), ``"delete"``, or ``"skip"``.
+        - ``when_not_matched``: ``"insert"`` or ``"skip"``.
+        - ``order_by``: optional recency order used to reduce a source
+          carrying several rows per key to one (keep_latest); without
+          it the source must be key-unique, as SQL MERGE requires.
+
+        Same 100 TB shape as upsert: the matched-key probe is one
+        broadcast semi-join against the table (batch-sized output:
+        matched keys + their current partitions), every per-batch
+        frame stays broadcast-sized, and only partitions holding a
+        written or removed row are re-merged — untouched partitions'
+        files carry forward by manifest entry. Lost commit races
+        rebase exactly like upsert's. Returns the committed version
+        (current version unchanged when the merge is a no-op)."""
+        if when_matched not in ("update", "delete", "skip"):
+            raise ValueError(f"when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", "skip"):
+            raise ValueError(f"when_not_matched: {when_not_matched!r}")
+        src = (
+            keep_latest(source, self.keys, order_by)
+            if order_by is not None
+            else source
+        )
+        parent = self.current_version()
+        existing = self.read()
+        txn = uuid.uuid4().hex[:16]
+        batch_keys = src.select(*self.keys).distinct()
+
+        def remerge(retries: int) -> int:
+            return self.merge_into(
+                source, when_matched, when_not_matched, order_by, retries
+            )
+
+        if existing is None:
+            if when_not_matched != "insert":
+                raise ValueError(f"no table at {self.path}")
+            merged = src.localCheckpoint(eager=True)
+            by_part = self._stage_and_move(merged, txn)
+            return self._commit_or_rebase(
+                parent, by_part, set(), _ddl(merged), batch_keys, remerge,
+                max_commit_retries,
+            )
+
+        pb = self.partition_by
+        # one broadcast semi-join pass finds matched keys AND the
+        # partitions currently holding them (both batch-sized)
+        matched_probe = existing.select(*self.keys, *pb).join(
+            F.broadcast(batch_keys), self.keys, "left_semi"
+        )
+        matched_keys = matched_probe.select(*self.keys).distinct()
+        # a "delete"/"skip" source may carry ONLY the key columns, so
+        # new_rows (full-schema writes) is built strictly from the
+        # clauses that write
+        new_rows = None
+        if when_matched == "update":
+            new_rows = src.join(F.broadcast(matched_keys), self.keys, "left_semi")
+        if when_not_matched == "insert":
+            ins = src.join(F.broadcast(matched_keys), self.keys, "left_anti")
+            new_rows = (
+                ins
+                if new_rows is None
+                else new_rows.unionByName(ins, allowMissingColumns=True)
+            )
+        remove_matched = when_matched in ("update", "delete")
+
+        def _merge(kept: DataFrame) -> DataFrame:
+            out = (
+                kept
+                if new_rows is None
+                else kept.unionByName(new_rows, allowMissingColumns=True)
+            )
+            return out.localCheckpoint(eager=True)
+
+        if not pb:
+            kept = (
+                existing.join(F.broadcast(matched_keys), self.keys, "left_anti")
+                if remove_matched
+                else existing
+            )
+            merged = _merge(kept)
+            by_part = self._stage_and_move(merged, txn)
+            return self._commit_or_rebase(
+                parent, by_part, {""}, _ddl(merged), batch_keys, remerge,
+                max_commit_retries,
+            )
+
+        parts_df = (
+            new_rows.select(*pb).distinct()
+            if new_rows is not None
+            else existing.select(*pb).limit(0)
+        )
+        if remove_matched:
+            parts_df = parts_df.unionByName(
+                matched_probe.select(*pb).distinct()
+            ).distinct()
+        typed_rows, touched_dirs = self._collect_touched(parts_df)
+        if not typed_rows:
+            return parent  # no row written or removed anywhere: no-op
+        relevant = self._touched_semi_join(
+            existing, typed_rows, existing.select(*pb).schema
+        )
+        kept = (
+            relevant.join(F.broadcast(matched_keys), self.keys, "left_anti")
+            if remove_matched
+            else relevant
+        )
+        merged = _merge(kept)
+        by_part = self._stage_and_move(merged, txn)
+        return self._commit_or_rebase(
+            parent, by_part, touched_dirs, _ddl(merged), batch_keys, remerge,
+            max_commit_retries,
+        )
+
     # -- maintenance --------------------------------------------------
 
     def compact(self, target_bytes_per_file: int = 128 * 1024 * 1024) -> int:
@@ -783,6 +911,31 @@ class AtomicParquetTable:
             "skipped_young": skipped_young,
             "live_files": len(live),
         }
+
+
+def merge_into(
+    target: AtomicParquetTable,
+    source: DataFrame,
+    on: list[str] | None = None,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    order_by: list[Column] | None = None,
+) -> int:
+    """Statement-shaped MERGE facade, the call signature users of
+    Delta's ``MERGE INTO target USING source ON ... WHEN MATCHED THEN
+    UPDATE|DELETE WHEN NOT MATCHED THEN INSERT`` expect::
+
+        merge_into(t, batch, on=["k"], when_matched="update")
+
+    ``on`` must equal the table's key (the table IS keyed; merging on
+    a different condition would break its last-write-wins invariant).
+    Delegates to AtomicParquetTable.merge_into — one atomic commit,
+    partition-scoped rewrite, rebase on lost commit races."""
+    if on is not None and list(on) != list(target.keys):
+        raise ValueError(
+            f"merge_into: on={on} must equal the table key {target.keys}"
+        )
+    return target.merge_into(source, when_matched, when_not_matched, order_by)
 
 
 def streaming_upsert_sink(table: AtomicParquetTable, order_by: list[Column]):
