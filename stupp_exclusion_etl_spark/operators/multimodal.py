@@ -1158,26 +1158,27 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
-def encode_png_rgb8(pixels, filter_for_row=None) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a spec-valid 8-bit RGB PNG
-    (color type 2, non-interlaced). ``filter_for_row(y)`` picks each
-    scanline's filter type (default cycles 0..4 so every filter in the
-    spec — None/Sub/Up/Average/Paeth — appears in the stream; a real
-    encoder picks per-row by heuristic, same mechanics)."""
-    import struct
-    import zlib as _z
+#: Adam7 pass grid: (row start, col start, row step, col step). The
+#: seven passes partition the pixel grid; each pass is filtered as an
+#: independent sub-image (prior row resets per pass — PNG spec 8.2).
+_ADAM7 = [
+    (0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+    (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1),
+]
 
+
+def _filter_scanlines(rows, bpp: int, pick, y_base: int = 0) -> bytes:
+    """Apply PNG scanline filters to a (n_rows, rowbytes) block —
+    one sub-image: the whole image when non-interlaced, one Adam7 pass
+    when interlaced (prior starts at zero per call, per spec)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
-    bpp = 3
-    pick = filter_for_row or (lambda y: y % 5)
+    n_rows, rowbytes = rows.shape
     out = []
-    prior = np.zeros(w * bpp, dtype=np.int64)
-    for y in range(h):
-        cur = px[y].reshape(-1).astype(np.int64)
-        f = pick(y)
+    prior = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(n_rows):
+        cur = rows[y].astype(np.int64)
+        f = pick(y_base + y)
         if f == 0:
             filt = cur.copy()
         elif f == 1:  # Sub
@@ -1199,23 +1200,97 @@ def encode_png_rgb8(pixels, filter_for_row=None) -> bytes:
             raise ValueError(f"invalid PNG filter {f}")
         out.append(bytes([f]) + bytes(filt.astype(np.uint8)))
         prior = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return b"".join(out)
+
+
+def _unfilter_scanlines(raw: bytes, n_rows: int, rowbytes: int, bpp: int):
+    """Reverse PNG scanline filters over one sub-image block (the
+    exact inverse of _filter_scanlines): (n_rows, rowbytes) int64."""
+    import numpy as np
+
+    rowlen = 1 + rowbytes
+    out = np.empty((n_rows, rowbytes), dtype=np.int64)
+    prior = np.zeros(rowbytes, dtype=np.int64)
+    for y in range(n_rows):
+        row = raw[y * rowlen : (y + 1) * rowlen]
+        f = row[0]
+        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up (vectorized)
+            rec = (cur + prior) % 256
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            rec = np.empty_like(cur)
+            for x in range(len(cur)):
+                a = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + prior[x]) // 2
+                else:
+                    c = prior[x - bpp] if x >= bpp else 0
+                    pred = _paeth(int(a), int(prior[x]), int(c))
+                rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG scanline filter {f}")
+        out[y] = rec
+        prior = out[y]
+    return out
+
+
+def encode_png_rgb8(pixels, filter_for_row=None, interlace: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a spec-valid 8-bit RGB PNG
+    (color type 2). ``filter_for_row(y)`` picks each scanline's filter
+    type (default cycles 0..4 so every filter in the spec —
+    None/Sub/Up/Average/Paeth — appears in the stream; a real encoder
+    picks per-row by heuristic, same mechanics). ``interlace=True``
+    writes Adam7: the seven passes' sub-images are filtered
+    independently (prior resets per pass) and concatenated into one
+    IDAT stream; the filter picker keeps cycling across passes so
+    every filter still appears."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    bpp = 3
+    pick = filter_for_row or (lambda y: y % 5)
+    if interlace:
+        parts = []
+        y_base = 0
+        for y0, x0, dy, dx in _ADAM7:
+            sub = px[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes no bytes (spec)
+            rows = sub.reshape(sub.shape[0], -1).astype(np.int64)
+            parts.append(_filter_scanlines(rows, bpp, pick, y_base))
+            y_base += sub.shape[0]
+        body = b"".join(parts)
+    else:
+        body = _filter_scanlines(
+            px.reshape(h, w * bpp).astype(np.int64), bpp, pick
+        )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", _z.compress(b"".join(out), 6))
+        + _png_chunk(b"IDAT", _z.compress(body, 6))
         + _png_chunk(b"IEND", b"")
     )
 
 
 def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
-    """Decode an 8-bit RGB non-interlaced PNG: chunk walk with CRC
-    verification, multi-IDAT zlib inflate, and per-scanline unfilter
-    (all five spec filters, exact Paeth predictor). Returns
-    ((h, w, 3), flat float64, top-down RGB). Honest guards for the
-    variants out of scope here: 16-bit depth, palette/gray/alpha color
-    types, and Adam7 interlace raise NotImplementedError (production:
-    PIL in the same Arrow stage)."""
+    """Decode an 8-bit RGB PNG, non-interlaced OR Adam7-interlaced:
+    chunk walk with CRC verification, multi-IDAT zlib inflate,
+    per-scanline unfilter (all five spec filters, exact Paeth
+    predictor), and for interlace=1 the seven-pass de-interleave
+    (each pass unfiltered independently, then scattered onto the
+    _ADAM7 grid). Returns ((h, w, 3), flat float64, top-down RGB).
+    Honest guards for the variants out of scope here: 16-bit depth
+    and palette/gray/alpha color types raise NotImplementedError
+    (production: PIL in the same Arrow stage)."""
     import struct
     import zlib as _z
 
@@ -1251,39 +1326,31 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
         )
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     raw = _z.decompress(b"".join(idat))
     bpp = 3
-    rowlen = 1 + w * bpp
-    if len(raw) != h * rowlen:
+    if interlace == 0:
+        rowlen = 1 + w * bpp
+        if len(raw) != h * rowlen:
+            raise ValueError("PNG pixel data length mismatch")
+        out = _unfilter_scanlines(raw, h, w * bpp, bpp)
+        return (h, w, 3), out.reshape(-1).astype(np.float64)
+    # Adam7: consume each pass's block, unfilter it as its own
+    # sub-image, scatter onto the stride grid
+    out = np.empty((h, w, bpp), dtype=np.int64)
+    pos = 0
+    for y0, x0, dy, dx in _ADAM7:
+        ph = len(range(y0, h, dy))
+        pw = len(range(x0, w, dx))
+        if ph == 0 or pw == 0:
+            continue
+        block = raw[pos : pos + ph * (1 + pw * bpp)]
+        pos += ph * (1 + pw * bpp)
+        sub = _unfilter_scanlines(block, ph, pw * bpp, bpp)
+        out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
         raise ValueError("PNG pixel data length mismatch")
-    out = np.empty((h, w * bpp), dtype=np.int64)
-    prior = np.zeros(w * bpp, dtype=np.int64)
-    for y in range(h):
-        row = raw[y * rowlen : (y + 1) * rowlen]
-        f = row[0]
-        cur = np.frombuffer(row[1:], dtype=np.uint8).astype(np.int64)
-        if f == 0:
-            rec = cur
-        elif f == 2:  # Up (vectorized)
-            rec = (cur + prior) % 256
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            rec = np.empty_like(cur)
-            for x in range(len(cur)):
-                a = rec[x - bpp] if x >= bpp else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
-                    pred = (a + prior[x]) // 2
-                else:
-                    c = prior[x - bpp] if x >= bpp else 0
-                    pred = _paeth(int(a), int(prior[x]), int(c))
-                rec[x] = (cur[x] + pred) % 256
-        else:
-            raise ValueError(f"invalid PNG scanline filter {f}")
-        out[y] = rec
-        prior = out[y]
     return (h, w, 3), out.reshape(-1).astype(np.float64)
 
 
@@ -1293,15 +1360,16 @@ def png_synthesize(
     width_col: str = "w",
     height_col: str = "h",
     seed_col: str = "seed",
+    interlace: bool = False,
 ) -> DataFrame:
     """Arrow-batched PNG writer over (id, w, h, seed) rows: pixel
     (x, y, c) = (seed + (y*w + x)*3 + c) % 256 — the same closed-form
     generator contract as bmp_payload, so oracles recompute pixels
     without touching bytes — encoded through encode_png_rgb8 with the
     filter type cycling 0..4 by row (every spec filter is exercised in
-    every image taller than 4 rows). DEFLATE runs here (zlib), so
-    unlike bmp_payload this synthesis is a Python stage, not Catalyst
-    expressions."""
+    every image taller than 4 rows); ``interlace`` emits Adam7 streams
+    instead. DEFLATE runs here (zlib), so unlike bmp_payload this
+    synthesis is a Python stage, not Catalyst expressions."""
     import pandas as pd
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1314,7 +1382,7 @@ def png_synthesize(
                 flat = (seed + np.arange(h * w * 3, dtype=np.int64)) % 256
                 px = flat.reshape(h, w, 3).astype(np.uint8)
                 ids.append(int(i))
-                payloads.append(encode_png_rgb8(px))
+                payloads.append(encode_png_rgb8(px, interlace=interlace))
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     src = df.select(
@@ -1438,10 +1506,25 @@ def _gif_palette(n: int) -> list[tuple[int, int, int]]:
     return [((i * 7) % 256, (i * 11) % 256, (i * 13) % 256) for i in range(n)]
 
 
-def encode_gif_indexed(w: int, h: int, indices: list[int], n_colors: int = 16) -> bytes:
+def _gif_interlace_order(h: int) -> list[int]:
+    """GIF interlace row STORAGE order (spec appendix E): pass 1 every
+    8th row from 0, pass 2 every 8th from 4, pass 3 every 4th from 2,
+    pass 4 every 2nd from 1."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
+def encode_gif_indexed(
+    w: int, h: int, indices: list[int], n_colors: int = 16,
+    interlace: bool = False,
+) -> bytes:
     """Spec-valid GIF87a: logical screen + global color table
     (_gif_palette) + one full-frame image with real LZW-compressed
-    index data in 255-byte sub-blocks."""
+    index data in 255-byte sub-blocks. ``interlace=True`` sets the
+    image-descriptor interlace flag and stores rows in the four-pass
+    order of the spec."""
     import struct
 
     assert n_colors in (2, 4, 8, 16, 32, 64, 128, 256)
@@ -1450,9 +1533,17 @@ def encode_gif_indexed(w: int, h: int, indices: list[int], n_colors: int = 16) -
     out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
     for r, g, b in _gif_palette(n_colors):
         out += bytes((r, g, b))
-    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
     min_code = max(2, depth)
     out.append(min_code)
+    if interlace:
+        indices = [
+            indices[y * w + x]
+            for y in _gif_interlace_order(h)
+            for x in range(w)
+        ]
     data = _lzw_encode(indices, min_code)
     for i in range(0, len(data), 255):
         chunk = data[i : i + 255]
@@ -1465,9 +1556,9 @@ def encode_gif_indexed(w: int, h: int, indices: list[int], n_colors: int = 16) -
 def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     """Decode a GIF87a/89a first frame to (h, w, 3) RGB float64:
     screen/color-table walk, extension skip, sub-block reassembly, LZW
-    inflate, palette mapping. Interlaced frames and frames smaller than
-    the logical screen raise NotImplementedError (production: PIL in
-    the same Arrow stage)."""
+    inflate, four-pass de-interlace when the descriptor flags it, and
+    palette mapping. Frames smaller than the logical screen raise
+    NotImplementedError (production: PIL in the same Arrow stage)."""
     import struct
 
     import numpy as np
@@ -1496,8 +1587,7 @@ def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 n = 2 << (ipacked & 7)
                 pal = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise NotImplementedError("interlaced GIF frame")
+            interlaced = bool(ipacked & 0x40)
             if (left, top, iw, ih) != (0, 0, w, h):
                 raise NotImplementedError("partial-frame GIF")
             if pal is None:
@@ -1513,8 +1603,14 @@ def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             idx = _lzw_decode(bytes(data), min_code)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data underrun")
+            idx = idx[: w * h]
+            if interlaced:
+                rows = [None] * h
+                for stored, actual in enumerate(_gif_interlace_order(h)):
+                    rows[actual] = idx[stored * w : (stored + 1) * w]
+                idx = [i for row in rows for i in row]
             arr = np.array(
-                [pal[i] for i in idx[: w * h]], dtype=np.float64
+                [pal[i] for i in idx], dtype=np.float64
             ).reshape(h, w, 3)
             return (h, w, 3), arr.reshape(-1)
         elif blk == 0x3B:
@@ -1531,11 +1627,13 @@ def gif_synthesize(
     height_col: str = "h",
     seed_col: str = "seed",
     n_colors: int = 16,
+    interlace: bool = False,
 ) -> DataFrame:
     """Arrow-batched GIF writer over (id, w, h, seed) rows: palette
     index at (x, y) = (seed + y*w + x) % n_colors, palette entry i =
     (7i, 11i, 13i) % 256 — closed form for the oracle — LZW-compressed
-    for real by _lzw_encode."""
+    for real by _lzw_encode. ``interlace`` stores rows in the spec's
+    four-pass order (and flags the image descriptor)."""
     import pandas as pd
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -1545,7 +1643,9 @@ def gif_synthesize(
                 w, h, seed = int(w), int(h), int(seed)
                 idx = [(seed + p) % n_colors for p in range(w * h)]
                 ids.append(int(i))
-                payloads.append(encode_gif_indexed(w, h, idx, n_colors))
+                payloads.append(
+                    encode_gif_indexed(w, h, idx, n_colors, interlace)
+                )
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     src = df.select(

@@ -553,3 +553,107 @@ def mm_gif_decode_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
         .agg(F.round(F.avg("col"), 4).alias("mean_val"))
     )
+
+
+@register(
+    "mm_png_adam7_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 9 + doc_id % 7 AS w, 10 + doc_id % 6 AS h,
+             doc_id % 251 AS seed
+      FROM documents WHERE doc_id < 150),
+    v AS (
+      SELECT g.doc_id, CAST(p.p % 3 AS INT) AS ch, p.p AS pos,
+             CAST((g.seed + p.p) % 256 AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.w * g.h * 3)) AS p(p))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * pos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_png_adam7_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-interlaced PNG round trip (retires the r6 guard): the
+    synthesizer writes interlace=1 streams — seven passes, each
+    filtered as an independent sub-image with the filter picker still
+    cycling all five types — and the decoder walks the pass grid,
+    unfilters per pass, and scatters rows/columns back into place.
+    The reduction is POSITION-weighted (sum of val x flat position)
+    on top of the channel mean, because a de-interlace bug permutes
+    pixels, which channel means cannot see — the weighted checksum
+    breaks on any single misplaced row, column, or pass boundary.
+    Geometry (w >= 9, h >= 10) keeps all seven passes non-empty."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        png_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    geom = d.select(
+        "doc_id",
+        (F.lit(9) + F.col("doc_id") % 7).alias("w"),
+        (F.lit(10) + F.col("doc_id") % 6).alias("h"),
+        (F.col("doc_id") % 251).alias("seed"),
+    )
+    payloads = png_synthesize(geom, "doc_id", "w", "h", "seed", interlace=True)
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(
+            F.round(F.avg("col"), 4).alias("mean_val"),
+            F.sum(F.col("col") * F.col("pos")).cast("long").alias("pos_weighted"),
+        )
+    )
+
+
+@register(
+    "mm_gif_interlaced_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 6 + doc_id % 5 AS w, 8 + doc_id % 5 AS h,
+             doc_id % 97 AS seed
+      FROM documents WHERE doc_id < 150),
+    v AS (
+      SELECT g.doc_id, CAST(p.p % 3 AS INT) AS ch, p.p AS pos,
+             CAST((((g.seed + p.p // 3) % 16)
+                   * CASE p.p % 3 WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+                  % 256 AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.w * g.h * 3)) AS p(p))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * pos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interlaced-GIF round trip (retires the r6 guard): rows are
+    LZW-stored in the spec's four-pass order (descriptor flag 0x40)
+    and the decoder re-interleaves them. Position-weighted checksum
+    for the same reason as mm_png_adam7_decode_stats — a row put back
+    in the wrong place leaves every channel MEAN identical and must
+    still break the hash. h >= 8 exercises all four passes."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        gif_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    geom = d.select(
+        "doc_id",
+        (F.lit(6) + F.col("doc_id") % 5).alias("w"),
+        (F.lit(8) + F.col("doc_id") % 5).alias("h"),
+        (F.col("doc_id") % 97).alias("seed"),
+    )
+    payloads = gif_synthesize(
+        geom, "doc_id", "w", "h", "seed", interlace=True
+    )
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(
+            F.round(F.avg("col"), 4).alias("mean_val"),
+            F.sum(F.col("col") * F.col("pos")).cast("long").alias("pos_weighted"),
+        )
+    )
