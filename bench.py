@@ -130,6 +130,10 @@ HEADLINE = [
     "mm_gif_decode_palette_stats",
     "graph_pagerank",
     "graph_triangle_count",
+    # r7 additions
+    "atomic_merge_read",
+    "mm_png_adam7_decode_stats",
+    "mm_gif_interlaced_stats",
 ]
 
 

@@ -90,7 +90,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # which itself exercises lead()) with the real-codec PNG decode —
     # DEFLATE + scanline reconstruction becomes driver-verified
     "mm_png_decode_channel_stats",
-    "win_gap_fill",
+    # r7: replaced win_gap_fill (B6 kept by win_topk_per_group, B14 by
+    # the events_* windows below) with the MERGE INTO statement facade
+    # drive — update+insert+delete clause algebra over the atomic table
+    # becomes driver-verified
+    "atomic_merge_read",
     "upsert_keep_latest",
     # set ops — B8 (+ B2 schema evolution)
     "setop_union_pipelines",
@@ -127,8 +131,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # corpus / training-mix — the composite LLM pipeline
     "corpus_mix_weights",
     "pipeline_training_mix",
-    # multimodal — B15 real BMP pixel decode
-    "mm_bmp_decode_channel_stats",
+    # multimodal — B15; r7: replaced the BMP decode (uncompressed
+    # pixels, the family's weakest evidence; B15/B5 kept by the PNG
+    # stats query above) with the Adam7-interlaced PNG round trip and
+    # its position-weighted checksum
+    "mm_png_adam7_decode_stats",
     # subqueries + analytics representative
     "subquery_exists",
     "analytics_shipping_priority",

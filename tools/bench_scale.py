@@ -39,23 +39,27 @@ from stupp_exclusion_etl_spark.plans import REGISTRY  # noqa: E402
 from stupp_exclusion_etl_spark.session import get_spark  # noqa: E402
 
 
-# Queries whose SEMANTICS are super-linear — their oracles define
-# output/work that grows faster than the data, so a >ratio flag is the
-# expected shape, not a plan bug. Each names its bounded-work scale
-# path. (Both confirmed by the r6 run: 93x and 54x at 10x data.)
+# Queries whose sf0.1→sf1 ratio crosses a COST-GUARD boundary rather
+# than measuring one path's scaling: since r7 both carry work budgets
+# (operators/budget.py) — under budget (sf0.1: 200k pairs / 42k
+# comparisons) they run the exact plan, over it (sf1: 20M / 4.2M) they
+# auto-route to the bounded LSH path. The small/big ratio therefore
+# compares DIFFERENT plans and may exceed the linear-slack flag without
+# being a scaling defect; the like-for-like linearity evidence is
+# BENCH_SCALE10's sf1→sf10 column, where both sides take the bounded
+# path. (Unguarded r6 baselines for contrast: 93x and 54x.)
 KNOWN_SUPERLINEAR = {
     "dedup_embedding_cosine": (
-        "exact pairwise cosine within FIXED label buckets: 10x rows in "
-        "the same buckets = 100x pairs by definition. Scale path: "
-        "lsh_assign_buckets keeps bucket SIZE bounded (bucket count "
-        "grows with n), making pair work linear — dedup_semantic_groups "
-        "takes that path."
+        "guarded since r7: >2M estimated in-bucket pairs re-route to "
+        "LSH sub-buckets; the sf0.1 side is exact, the sf1 side "
+        "bounded, so this ratio spans two plans. Like-for-like "
+        "bounded-path scaling: BENCH_SCALE10 ratio_1_to_10."
     ),
     "sim_knn_join": (
-        "exact brute-force batch kNN with query count proportional to n "
-        "(vec_id % 97): work = n_queries * n_corpus is quadratic by the "
-        "oracle's CROSS JOIN semantics. Scale path: sim_ann_lsh_topk / "
-        "sim_ivf_pq_topk score only candidate cells per query."
+        "guarded since r7: >1M estimated comparisons re-route to LSH "
+        "candidate buckets with multi-probe; same two-plan caveat as "
+        "dedup_embedding_cosine. Like-for-like bounded-path scaling: "
+        "BENCH_SCALE10 ratio_1_to_10."
     ),
 }
 
