@@ -57,6 +57,7 @@ def gate(
     new_snaps: dict,
     ratio: float,
     floor: float,
+    allow: list[str] | None = None,
 ) -> dict:
     old_warm = old_detail.get("queries_warm", {})
     new_warm = new_detail.get("queries_warm", {})
@@ -67,7 +68,9 @@ def gate(
         # since then must be justified by the numbers, not skipped)
         old_snaps = new_snaps
         plan_baseline = "candidate-only"
+    allow = set(allow or ())
     unchanged, changed_plans, regressions, improvements = [], [], [], []
+    allowed_hits = []
     for name in sorted(set(old_warm) & set(new_warm)):
         if old_snaps.get(name) != new_snaps.get(name):
             changed_plans.append(name)
@@ -75,10 +78,9 @@ def gate(
         unchanged.append(name)
         ow, nw = old_warm[name], new_warm[name]
         if nw > ow * ratio and nw - ow > floor:
-            regressions.append(
-                {"query": name, "old_warm": ow, "new_warm": nw,
-                 "ratio": round(nw / max(ow, 1e-9), 2)}
-            )
+            hit = {"query": name, "old_warm": ow, "new_warm": nw,
+                   "ratio": round(nw / max(ow, 1e-9), 2)}
+            (allowed_hits if name in allow else regressions).append(hit)
         elif ow > nw * ratio and ow - nw > floor:
             improvements.append(
                 {"query": name, "old_warm": ow, "new_warm": nw,
@@ -96,6 +98,7 @@ def gate(
         "compared": len(unchanged),
         "plan_changed_skipped": changed_plans,
         "regressions": regressions,
+        "allowed_regressions": allowed_hits,
         "improvements": improvements,
         "old_warm_total": round(sum(old_warm[q] for q in unchanged), 2),
         "new_warm_total": round(sum(new_warm[q] for q in unchanged), 2),
@@ -110,6 +113,12 @@ def main() -> None:
                     help="git ref for the candidate (default: working tree)")
     ap.add_argument("--ratio", type=float, default=1.25)
     ap.add_argument("--floor", type=float, default=0.30)
+    ap.add_argument(
+        "--allow", nargs="*", default=[],
+        help="reviewed exceptions: queries whose slowdown is a known, "
+             "deliberate trade (e.g. a new guard's estimate job that "
+             "runs before the unchanged plan) — reported, not fatal",
+    )
     a = ap.parse_args()
 
     report = gate(
@@ -119,6 +128,7 @@ def main() -> None:
         _load(a.new_ref, "tests/plan_snapshots.json"),
         a.ratio,
         a.floor,
+        a.allow,
     )
     print(json.dumps(report))
     if report["regressions"] and report["enforced"]:
