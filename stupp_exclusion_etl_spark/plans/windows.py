@@ -321,6 +321,55 @@ def atomic_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "atomic_skipping_read",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(o_custkey) AS BIGINT) AS custkey_sum
+    FROM orders
+    WHERE o_custkey >= 300 AND o_custkey < 600
+    GROUP BY o_orderpriority
+    """,
+    tags=("A2", "A16", "C16"),
+)
+def atomic_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest data skipping end to end (sinks.atomic stats index):
+    orders land in a throwaway table range-CLUSTERED on o_custkey
+    (repartitionByRange at write — Delta OPTIMIZE ZORDER's 1-D case),
+    the commit records per-file min/max/null stats read from parquet
+    footers, and the range lookup goes through ``read(where=...)``,
+    which drops every file whose [min,max] can't intersect the
+    predicate BEFORE Spark plans the scan — at 100 TB this turns a
+    range probe over millions of live files into a metadata decision
+    plus a few-file scan, the lakehouse analog of the reference's GSI
+    point reads. The oracle is the plain filter over the same rows, so
+    the driver proves pruning never changes the answer; the pruning
+    *ratio* itself is asserted in tests/test_data_skipping.py."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_s_"),
+        keys=["o_orderkey"],
+        cluster_by=["o_custkey"],
+        cluster_files=8,
+    )
+    t.upsert(o, [F.col("o_orderkey")])
+    pruned = t.read(
+        where=[("o_custkey", ">=", 300), ("o_custkey", "<", 600)]
+    )
+    return pruned.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_custkey").cast("long").alias("custkey_sum"),
+    )
+
+
+@register(
     "atomic_merge_read",
     oracle="""
     WITH init AS (

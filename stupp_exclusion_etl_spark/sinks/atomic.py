@@ -178,6 +178,246 @@ def _list_files_recursive(spark, directory: str) -> list[str]:
 
 
 # ----------------------------------------------------------------------
+# File-level column statistics (manifest data skipping)
+# ----------------------------------------------------------------------
+#
+# Each committed manifest carries per-file min/max/null-count stats for
+# every top-level orderable column, read from the parquet FOOTERS of
+# that commit's new files (O(new files) footer reads, no data pages
+# touched) and carried forward verbatim for untouched files — the same
+# metadata Delta collects at write time and Iceberg keeps in its
+# manifests. `read(where=...)` then prunes the snapshot's file list
+# against simple predicates BEFORE Spark ever opens a file: at 100 TB
+# the live-file list is millions of entries and a point lookup that
+# plans 4 files instead of 40,000 is the difference between a metadata
+# operation and a cluster-wide scan. (In production the stats would be
+# collected task-side during the write itself; footer reads after the
+# move are the honest single-process equivalent and see identical
+# bytes.)
+
+_STAT_MAX_STR = 64  # drop string bounds at/over this length (writer
+# truncation becomes possible at large sizes; a truncated max is not an
+# upper bound, so long bounds are dropped rather than risked)
+
+
+def _stats_type_tag(arrow_type) -> str | None:
+    """Tag for stat-supported types: i=int, f=float, s=string, b=bool,
+    d=date, t=timestamp. None ⇒ no stats kept for the column (nested,
+    decimal, binary: either unordered or writer-truncation-unsafe)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(arrow_type):
+        return "i"
+    if pa.types.is_floating(arrow_type):
+        return "f"
+    if pa.types.is_string(arrow_type) or pa.types.is_large_string(arrow_type):
+        return "s"
+    if pa.types.is_boolean(arrow_type):
+        return "b"
+    if pa.types.is_date(arrow_type):
+        return "d"
+    if pa.types.is_timestamp(arrow_type):
+        return "t"
+    return None
+
+
+def _enc_stat_value(v, tag: str):
+    """JSON-encodable, order-preserving encoding of a stat bound or a
+    predicate literal. Used on BOTH sides of every prune comparison, so
+    only internal consistency matters: dates → ordinal days, timestamps
+    → epoch-ish micros (naive, fixed epoch — no tz dependence), bools →
+    0/1. Returns None when the value can't serve as a bound (non-finite
+    floats, oversized strings)."""
+    import datetime
+    import math
+
+    if v is None:
+        return None
+    if tag == "f":
+        v = float(v)
+        return v if math.isfinite(v) else None
+    if tag == "s":
+        return v if len(v) < _STAT_MAX_STR else None
+    if tag == "b":
+        return int(bool(v))
+    if tag == "d":
+        return v.toordinal() if isinstance(v, datetime.date) else None
+    if tag == "t":
+        if not isinstance(v, datetime.datetime):
+            return None
+        base = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+        return int((v - base) / datetime.timedelta(microseconds=1))
+    return v  # "i"
+
+
+def _local_fs_path(path: str) -> str | None:
+    """Local-filesystem path for file:-scheme / bare paths, else None
+    (footer reads then fall back to a Spark-side stats job)."""
+    if path.startswith("/"):
+        return path
+    if path.startswith("file:"):
+        rest = path[len("file:") :]
+        if rest.startswith("//"):
+            rest = rest[2:]
+            host, _, p = rest.partition("/")
+            if host not in ("", "localhost"):
+                return None
+            return "/" + p
+        return rest
+    return None
+
+
+def _footer_stats(local_path: str) -> dict | None:
+    """File-level stats from one parquet footer: row count plus, per
+    supported top-level column, {t, min, max, nulls} — min/max/nulls
+    None when any row group lacks them (unknown ⇒ never pruned on)."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(local_path)
+    except Exception:
+        return None
+    md = pf.metadata
+    arrow_schema = pf.schema_arrow
+    tags = {
+        f.name: _stats_type_tag(f.type)
+        for f in arrow_schema
+        if _stats_type_tag(f.type) is not None
+    }
+    idx_of = {
+        md.row_group(0).column(i).path_in_schema: i
+        for i in range(md.row_group(0).num_columns)
+    } if md.num_row_groups else {}
+    cols: dict[str, dict] = {}
+    for name, tag in tags.items():
+        if name not in idx_of:
+            continue
+        lo = hi = None
+        nulls = 0
+        lo_ok = hi_ok = nulls_ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx_of[name]).statistics
+            if st is None:
+                lo_ok = hi_ok = nulls_ok = False
+                break
+            if st.has_null_count:
+                nulls += st.null_count
+            else:
+                nulls_ok = False
+            n_vals = md.row_group(rg).num_rows - (
+                st.null_count if st.has_null_count else 0
+            )
+            if n_vals == 0:
+                continue  # all-null row group constrains no bound
+            if not st.has_min_max:
+                lo_ok = hi_ok = False
+                continue
+            mn = _enc_stat_value(st.min, tag)
+            mx = _enc_stat_value(st.max, tag)
+            if mn is None:
+                lo_ok = False
+            elif lo is None or mn < lo:
+                lo = mn
+            if mx is None:
+                hi_ok = False
+            elif hi is None or mx > hi:
+                hi = mx
+        cols[name] = {
+            "t": tag,
+            "min": lo if lo_ok else None,
+            "max": hi if hi_ok else None,
+            "nulls": nulls if nulls_ok else None,
+        }
+    return {"rows": md.num_rows, "cols": cols}
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
+
+
+def _file_may_match(fstat: dict | None, col: str, op: str, enc_vals) -> bool:
+    """Conservative skip test for one (file, predicate): False ONLY
+    when the file's stats PROVE no row can satisfy it. Unknown bounds
+    keep the file. Float caveat (Spark orders NaN above every value but
+    parquet writers exclude NaN from min/max): >, >= never prune float
+    columns, and a NaN literal disables pruning — the ops that remain
+    (=, <, <=, in) are NaN-sound because a NaN row can't satisfy them
+    for a non-NaN literal."""
+    import math
+
+    if fstat is None:
+        return True
+    st = (fstat.get("cols") or {}).get(col)
+    if st is None:
+        return True
+    rows, nulls = fstat.get("rows"), st.get("nulls")
+    lo, hi, tag = st.get("min"), st.get("max"), st.get("t")
+    if op == "is_null":
+        return not (nulls == 0)
+    if op == "not_null":
+        return not (nulls is not None and rows is not None and nulls >= rows)
+    if nulls is not None and rows is not None and nulls >= rows:
+        return False  # all-null file: no value predicate can match
+    if tag == "f" and any(
+        isinstance(v, float) and math.isnan(v) for v in enc_vals
+    ):
+        return True
+    if None in enc_vals:
+        return True  # unencodable literal (long string, non-finite)
+    if op == "in":
+        return any(
+            _file_may_match(fstat, col, "=", [v]) for v in enc_vals
+        )
+    v = enc_vals[0]
+    if op == "=":
+        return not (
+            (lo is not None and v < lo) or (hi is not None and v > hi)
+        )
+    if op == "<":
+        return not (lo is not None and lo >= v)
+    if op == "<=":
+        return not (lo is not None and lo > v)
+    if tag == "f":
+        return True  # NaN rows sort above max: >,>= can't prune floats
+    if op == ">":
+        return not (hi is not None and hi <= v)
+    if op == ">=":
+        return not (hi is not None and hi < v)
+    raise ValueError(f"unknown op {op!r}")
+
+
+def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
+    """(col, op[, value]) → (col, op, [values]). `in` takes an
+    iterable; null ops take no value."""
+    col, op = pred[0], pred[1]
+    if op not in _PRUNE_OPS:
+        raise ValueError(f"unsupported predicate op {op!r}")
+    if op in ("is_null", "not_null"):
+        return col, op, []
+    if len(pred) < 3:
+        raise ValueError(f"predicate {pred!r} needs a value")
+    v = pred[2]
+    return col, op, (list(v) if op == "in" else [v])
+
+
+def _predicate_column(pred: tuple) -> Column:
+    """The exact-semantics Spark filter for one predicate — applied on
+    top of the pruned scan so skipping can only ever remove work,
+    never change the answer."""
+    col, op, vals = _normalize_predicate(pred)
+    c = F.col(col)
+    if op == "is_null":
+        return c.isNull()
+    if op == "not_null":
+        return c.isNotNull()
+    if op == "in":
+        return c.isin(*vals)
+    v = vals[0]
+    return {
+        "=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v
+    }[op]
+
+
+# ----------------------------------------------------------------------
 # Table
 # ----------------------------------------------------------------------
 
@@ -197,6 +437,8 @@ class AtomicParquetTable:
         path: str,
         keys: list[str],
         partition_by: list[str] | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_files: int | None = None,
         hooks: dict[str, Callable[[], None]] | None = None,
     ) -> None:
         if partition_by and set(partition_by) & set(keys):
@@ -209,6 +451,16 @@ class AtomicParquetTable:
         self.path = path.rstrip("/")
         self.keys = keys
         self.partition_by = partition_by or []
+        # range-cluster every written batch on these columns (Delta's
+        # OPTIMIZE ZORDER, 1-D case): repartitionByRange + local sort
+        # makes per-file min/max ranges ~disjoint, which is what turns
+        # the manifest stats into an effective file-pruning index
+        self.cluster_by = cluster_by or []
+        # None ⇒ AQE sizes the clustered write (the 100 TB default:
+        # range-shuffle output coalesced to ~advisory-size files);
+        # an int pins the per-write file count (tests, or operators
+        # who want N range-disjoint files regardless of batch size)
+        self.cluster_files = cluster_files
         self.hooks = hooks or {}
 
     # -- snapshot resolution ------------------------------------------
@@ -232,33 +484,94 @@ class AtomicParquetTable:
         v = self.current_version()
         return None if v is None else self._manifest(v)
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def read(
+        self,
+        version: int | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame | None:
         """DataFrame over exactly the live files of a snapshot — the
         latest by default, or a retained older `version` (time travel:
         any manifest gc() hasn't expired is readable, since data files
         are immutable and GC only deletes unreferenced ones). None
         before the first commit. basePath keeps partition-column
         parsing/pruning; the explicit file list keeps orphans and
-        in-flight writers invisible."""
+        in-flight writers invisible.
+
+        ``where`` — an AND-list of ``(col, op, value)`` with op in
+        ``=, <, <=, >, >=, in, is_null, not_null`` — prunes the file
+        list against the manifest's per-file stats BEFORE Spark plans
+        the scan (metadata-only; no footer is opened for a skipped
+        file), then applies the same predicates as a real Spark filter
+        so results are exact even where stats couldn't prune. Files
+        without stats (pre-stats manifests) are never skipped."""
         man = self.snapshot() if version is None else self._manifest(version)
         if man is None:
             return None
-        files = [
-            f"{self.path}/{DATA_DIR}/{f}"
+        rel = [
+            f
             for part_files in man["partitions"].values()
             for f in part_files
         ]
-        if not files:
-            return self.spark.createDataFrame([], man["schema_ddl"])
-        # mergeSchema: untouched partitions carry files written under
-        # older schemas; a widened batch (new columns) must read as the
-        # union with nulls for the old files — snapshot-level schema
-        # evolution, like a table format's
-        return (
-            self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
-            .option("mergeSchema", "true")
-            .parquet(*files)
-        )
+        if where:
+            rel = self._prune_files(man, rel, where)
+        if not rel:
+            df = self.spark.createDataFrame([], man["schema_ddl"])
+        else:
+            # mergeSchema: untouched partitions carry files written
+            # under older schemas; a widened batch (new columns) must
+            # read as the union with nulls for the old files —
+            # snapshot-level schema evolution, like a table format's
+            df = (
+                self.spark.read
+                .option("basePath", f"{self.path}/{DATA_DIR}")
+                .option("mergeSchema", "true")
+                .parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in rel])
+            )
+        for pred in where or ():
+            df = df.filter(_predicate_column(pred))
+        return df
+
+    def _prune_files(
+        self, man: dict, rel: list[str], where: list[tuple]
+    ) -> list[str]:
+        stats = man.get("stats", {})
+        kept = []
+        for f in rel:
+            fstat = stats.get(f)
+            ok = True
+            for pred in where:
+                col, op, vals = _normalize_predicate(pred)
+                tag = (
+                    ((fstat or {}).get("cols") or {}).get(col, {}).get("t")
+                )
+                enc = (
+                    [_enc_stat_value(v, tag) for v in vals] if tag else vals
+                )
+                if not _file_may_match(fstat, col, op, enc):
+                    ok = False
+                    break
+            if ok:
+                kept.append(f)
+        return kept
+
+    def skipping_report(
+        self, where: list[tuple], version: int | None = None
+    ) -> dict:
+        """Observability for the pruning decision: how many of the
+        snapshot's live files a ``where`` keeps — the number a 100 TB
+        operator watches, since files_kept bounds the scan."""
+        man = self.snapshot() if version is None else self._manifest(version)
+        rel = [
+            f
+            for part_files in man["partitions"].values()
+            for f in part_files
+        ]
+        kept = self._prune_files(man, rel, where)
+        return {
+            "files_total": len(rel),
+            "files_kept": len(kept),
+            "kept": sorted(kept),
+        }
 
     # -- commit protocol ----------------------------------------------
 
@@ -267,12 +580,27 @@ class AtomicParquetTable:
         if fn is not None:
             fn()
 
-    def _stage_and_move(self, df: DataFrame, txn: str) -> dict[str, list[str]]:
+    def _stage_and_move(
+        self, df: DataFrame, txn: str, num_files: int | None = None
+    ) -> dict[str, list[str]]:
         """Write `df` with a normal Spark job into a private staging
         dir, then move each file into data/ under a txn-unique name.
         Returns {partition_dir: [relative file, ...]}. Files only —
         visibility waits for the manifest."""
         stage = f"{self.path}/{STAGE_DIR}/{txn}"
+        if self.cluster_by:
+            # ranges over (partition cols, cluster cols): same-dir rows
+            # co-locate (few dirs per task ⇒ few files) AND each file
+            # covers a narrow cluster-key range for stats skipping; the
+            # local sort additionally tightens parquet row-group stats
+            # so Spark's own reader skips pages inside kept files
+            cols = [*self.partition_by, *self.cluster_by]
+            n = num_files or self.cluster_files
+            df = (
+                df.repartitionByRange(n, *cols)
+                if n
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
@@ -314,12 +642,19 @@ class AtomicParquetTable:
         partitions (absent from new_by_part ⇒ partition emptied ⇒
         dropped). One atomic create-if-absent publishes it."""
         partitions: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
         if parent is not None:
-            for part, files in self._manifest(parent)["partitions"].items():
+            pman = self._manifest(parent)
+            pstats = pman.get("stats", {})
+            for part, files in pman["partitions"].items():
                 if part not in replaced_parts:
                     partitions[part] = files
+                    for f in files:
+                        if f in pstats:
+                            stats[f] = pstats[f]
         for part, files in new_by_part.items():
             partitions[part] = sorted(files)
+        stats.update(self._new_file_stats(new_by_part))
         version = 0 if parent is None else parent + 1
         # streaming idempotence marker: the max micro-batch id ever
         # applied rides IN the manifest (carried forward by non-batch
@@ -340,6 +675,7 @@ class AtomicParquetTable:
             "partition_by": self.partition_by,
             "schema_ddl": schema_ddl,
             "partitions": partitions,
+            "stats": stats,
             "batch_id": bid,
         }
         self._fire("before_commit")
@@ -350,6 +686,77 @@ class AtomicParquetTable:
         )
         self._fire("committed")
         return version
+
+    def _new_file_stats(self, new_by_part: dict[str, list[str]]) -> dict:
+        """{rel_path: {"rows": n, "cols": {...}}} for one commit's new
+        files. Primary path: parquet footer reads (no data pages, O(new
+        files) — bounded by the batch, like Delta's per-commit stats).
+        Non-local filesystems fall back to ONE Spark aggregate grouped
+        by input_file_name over just the new files."""
+        rel_files = [f for fl in new_by_part.values() for f in fl]
+        if not rel_files:
+            return {}
+        local_root = _local_fs_path(f"{self.path}/{DATA_DIR}")
+        if local_root is not None:
+            out = {}
+            for rel in rel_files:
+                st = _footer_stats(f"{local_root}/{rel}")
+                if st is not None:
+                    out[rel] = st
+            return out
+        return self._spark_file_stats(rel_files)
+
+    def _spark_file_stats(self, rel_files: list[str]) -> dict:
+        """Remote-FS stats fallback: one job, one row per new file —
+        metadata-scale output. Partition-dir columns are parsed virtual
+        columns (not in the files), so stats cover data columns only,
+        same as the footer path."""
+        from pyspark.sql import types as T
+
+        tag_of = {
+            T.ByteType: "i", T.ShortType: "i", T.IntegerType: "i",
+            T.LongType: "i", T.FloatType: "f", T.DoubleType: "f",
+            T.StringType: "s", T.BooleanType: "b", T.DateType: "d",
+            T.TimestampType: "t", T.TimestampNTZType: "t",
+        }
+        df = self.spark.read.option(
+            "basePath", f"{self.path}/{DATA_DIR}"
+        ).parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in rel_files])
+        cols = {
+            fld.name: tag_of[type(fld.dataType)]
+            for fld in df.schema.fields
+            if type(fld.dataType) in tag_of
+            and fld.name not in self.partition_by
+        }
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.min(c).alias(f"__mn_{c}"),
+                F.max(c).alias(f"__mx_{c}"),
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__nl_{c}"),
+            ]
+        rows = (
+            df.withColumn("__f", F.input_file_name())
+            .groupBy("__f").agg(*aggs).collect()
+        )
+        by_suffix = {}
+        for r in rows:
+            for rel in rel_files:
+                if r["__f"].endswith("/" + rel.rsplit("/", 1)[-1]):
+                    if rel in r["__f"] or "/" not in rel:
+                        by_suffix[rel] = r
+        out = {}
+        for rel, r in by_suffix.items():
+            cstats = {}
+            for c, tag in cols.items():
+                cstats[c] = {
+                    "t": tag,
+                    "min": _enc_stat_value(r[f"__mn_{c}"], tag),
+                    "max": _enc_stat_value(r[f"__mx_{c}"], tag),
+                    "nulls": int(r[f"__nl_{c}"]),
+                }
+            out[rel] = {"rows": int(r["__rows"]), "cols": cstats}
+        return out
 
     # -- partition-dir naming (must byte-match Spark's writer) --------
 
@@ -798,6 +1205,18 @@ class AtomicParquetTable:
             self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
             .parquet(*files)
         )
+        if self.cluster_by:
+            # clustered tables re-cluster on compaction instead of
+            # hash-salting: repartitionByRange(sum of per-partition
+            # targets) keeps both the file-count goal and the disjoint
+            # per-file stat ranges the skipping index depends on
+            out = df.localCheckpoint(eager=True)
+            by_part = self._stage_and_move(
+                out, txn, num_files=sum(wants.values())
+            )
+            return self._commit(
+                man["version"], by_part, set(needs), man["schema_ddl"]
+            )
         # One write task per (partition, output-file slot): repartition
         # on the partition columns plus a deterministic hash salt bounded
         # by each partition's size-derived file target — a bare coalesce

@@ -1,0 +1,263 @@
+"""Manifest data skipping (sinks/atomic.py): per-file min/max/null
+stats collected from parquet footers at commit, carried forward for
+untouched files, and used by ``read(where=...)`` to prune the file
+list before Spark plans the scan — the Delta/Iceberg stats-index idea
+(reference parity: the scraper's DynamoDB GSIs make its point lookups
+metadata-scale; this is the lakehouse equivalent for the 100 TB path).
+
+Every pruning test double-checks VALUES against an unpruned filter, so
+skipping can only ever be proven to remove work, never rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.sinks.atomic import (
+    AtomicParquetTable,
+    _enc_stat_value,
+    _file_may_match,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, part string, v double, s string, ts int"
+    )
+
+
+def _vals(df):
+    return sorted(
+        (r.k, r.part, r.v, r.s, r.ts) for r in df.collect()
+    )
+
+
+@pytest.fixture()
+def clustered(spark, tmp_path):
+    """Unpartitioned table clustered on k into 4 range-disjoint files:
+    k 0..99 over files ~[0,25) [25,50) [50,75) [75,100)."""
+    t = AtomicParquetTable(
+        spark,
+        str(tmp_path / "tbl"),
+        keys=["k"],
+        cluster_by=["k"],
+        cluster_files=4,
+    )
+    rows = [(k, "A" if k % 2 else "B", float(k) / 2, f"s{k:03d}", 0)
+            for k in range(100)]
+    t.upsert(_df(spark, rows), [F.col("ts").desc()])
+    return t, rows
+
+
+def test_stats_present_and_typed(clustered):
+    t, _rows = clustered
+    man = t.snapshot()
+    files = [f for fl in man["partitions"].values() for f in fl]
+    assert len(files) == 4
+    assert set(man["stats"]) == set(files)
+    for st in man["stats"].values():
+        assert st["rows"] > 0
+        k = st["cols"]["k"]
+        assert k["t"] == "i" and k["nulls"] == 0
+        assert 0 <= k["min"] <= k["max"] <= 99
+        assert st["cols"]["v"]["t"] == "f"
+        assert st["cols"]["s"]["t"] == "s"
+
+
+def test_cluster_ranges_disjoint(clustered):
+    t, _rows = clustered
+    spans = sorted(
+        (c["k"]["min"], c["k"]["max"])
+        for c in (s["cols"] for s in t.snapshot()["stats"].values())
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "range clustering must yield disjoint files"
+
+
+@pytest.mark.parametrize(
+    "where,max_kept",
+    [
+        ([("k", "=", 10)], 1),
+        ([("k", "in", [3, 97])], 2),
+        ([("k", "<", 20)], 1),
+        ([("k", "<=", 30)], 2),
+        ([("k", ">", 80)], 1),
+        ([("k", ">=", 50)], 2),
+        ([("k", ">=", 40), ("k", "<", 60)], 2),
+        ([("k", "is_null")], 0),
+        ([("s", "=", "s042")], 4),  # no stats-order help expected
+    ],
+)
+def test_prune_counts_and_exact_values(spark, clustered, where, max_kept):
+    t, rows = clustered
+    rep = t.skipping_report(where)
+    assert rep["files_total"] == 4
+    assert rep["files_kept"] <= max_kept
+    pruned = t.read(where=where)
+    full = t.read()
+    for pred in where:
+        from stupp_exclusion_etl_spark.sinks.atomic import _predicate_column
+
+        full = full.filter(_predicate_column(pred))
+    assert _vals(pruned) == _vals(full)
+
+
+def test_second_upsert_carries_and_replaces_stats(spark, clustered):
+    t, rows = clustered
+    t.upsert(
+        _df(spark, [(7, "A", 99.0, "seven", 1)]), [F.col("ts").desc()]
+    )
+    man = t.snapshot()
+    files = [f for fl in man["partitions"].values() for f in fl]
+    assert set(man["stats"]) == set(files), (
+        "every live file keeps stats across commits"
+    )
+    # the updated row is findable and last-write-wins survived pruning
+    got = t.read(where=[("k", "=", 7)]).collect()
+    assert [(r.k, r.v, r.s) for r in got] == [(7, 99.0, "seven")]
+
+
+def test_delete_and_compact_keep_stats(spark, clustered):
+    t, rows = clustered
+    t.delete_keys(spark.createDataFrame([(k,) for k in range(50)], "k int"))
+    man = t.snapshot()
+    files = [f for fl in man["partitions"].values() for f in fl]
+    assert set(man["stats"]) == set(files)
+    t.compact(target_bytes_per_file=1 << 30)
+    man = t.snapshot()
+    files = [f for fl in man["partitions"].values() for f in fl]
+    assert set(man["stats"]) == set(files)
+    assert t.read(where=[("k", ">=", 50)]).count() == 50
+    assert t.read(where=[("k", "<", 50)]).count() == 0
+
+
+def test_pre_stats_manifest_reads_and_never_prunes(spark, tmp_path):
+    """Manifests written before the stats field existed must read and
+    filter correctly with zero pruning (stats absent ⇒ keep)."""
+    import json
+    import os
+
+    t = AtomicParquetTable(spark, str(tmp_path / "old"), keys=["k"])
+    t.upsert(
+        _df(spark, [(1, "A", 1.0, "x", 0), (2, "B", 2.0, "y", 0)]),
+        [F.col("ts").desc()],
+    )
+    mpath = os.path.join(t.path, "_manifests", "v000000000000.json")
+    man = json.load(open(mpath))
+    del man["stats"]
+    json.dump(man, open(mpath, "w"))
+    rep = t.skipping_report([("k", "=", 1)])
+    assert rep["files_kept"] == rep["files_total"]
+    assert [r.k for r in t.read(where=[("k", "=", 1)]).collect()] == [1]
+
+
+def test_null_handling(spark, tmp_path):
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "n"), keys=["k"],
+        cluster_by=["k"], cluster_files=2,
+    )
+    rows = [(k, None if k < 10 else "p", None if k < 10 else float(k),
+             "s", 0) for k in range(20)]
+    t.upsert(_df(spark, rows), [F.col("ts").desc()])
+    rep_null = t.skipping_report([("v", "is_null")])
+    rep_val = t.skipping_report([("v", ">=", 10.0)])
+    # the all-null file is skipped for value predicates, the all-value
+    # file for is_null
+    assert rep_null["files_kept"] == 1
+    assert rep_val["files_kept"] == 1
+    assert t.read(where=[("v", "is_null")]).count() == 10
+    assert t.read(where=[("v", "not_null")]).count() == 10
+
+
+def test_float_nan_never_wrongly_pruned(spark, tmp_path):
+    """Spark orders NaN above every double, but parquet stats exclude
+    NaN — so >, >= must not prune float columns, and results with NaN
+    rows must match Spark's own filter semantics exactly."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "nan"), keys=["k"],
+        cluster_by=["k"], cluster_files=2,
+    )
+    rows = [(k, "A", float("nan") if k in (3, 17) else float(k), "s", 0)
+            for k in range(20)]
+    t.upsert(_df(spark, rows), [F.col("ts").desc()])
+    def norm(df):
+        return sorted(
+            (r.k, "NaN" if math.isnan(r.v) else r.v) for r in df.collect()
+        )
+
+    got = t.read(where=[("v", ">", 15.0)])
+    want = t.read().filter(F.col("v") > 15.0)
+    assert norm(got) == norm(want)
+    assert got.filter(F.isnan("v")).count() == 2, (
+        "NaN rows satisfy > in Spark ordering and must survive pruning"
+    )
+    # NaN literal: pruning disabled, equality still exact
+    got_eq = t.read(where=[("v", "=", float("nan"))])
+    assert got_eq.count() == 2
+
+
+def test_string_bounds_dropped_when_long(spark, tmp_path):
+    t = AtomicParquetTable(spark, str(tmp_path / "s"), keys=["k"])
+    long_s = "z" * 200
+    t.upsert(
+        _df(spark, [(1, "A", 1.0, long_s, 0), (2, "A", 2.0, "aa", 0)]),
+        [F.col("ts").desc()],
+    )
+    st = next(iter(t.snapshot()["stats"].values()))["cols"]["s"]
+    assert st["max"] is None, "oversized string bound must be dropped"
+    assert st["min"] == "aa"
+    # an unbounded max keeps the file for > predicates
+    assert t.read(where=[("s", ">", "y")]).count() == 1
+
+
+def test_enc_and_prune_unit_edges():
+    assert _enc_stat_value(float("inf"), "f") is None
+    assert _enc_stat_value(datetime.date(2020, 1, 2), "d") == datetime.date(
+        2020, 1, 2
+    ).toordinal()
+    us = _enc_stat_value(datetime.datetime(1970, 1, 1, 0, 0, 1), "t")
+    assert us == 1_000_000
+    fstat = {
+        "rows": 10,
+        "cols": {"c": {"t": "i", "min": 5, "max": 9, "nulls": 0}},
+    }
+    assert not _file_may_match(fstat, "c", "=", [4])
+    assert _file_may_match(fstat, "c", "=", [5])
+    assert not _file_may_match(fstat, "c", "<", [5])
+    assert _file_may_match(fstat, "c", "<=", [5])
+    assert not _file_may_match(fstat, "c", ">", [9])
+    assert _file_may_match(fstat, "c", ">=", [9])
+    # unknown stats keep the file
+    assert _file_may_match(None, "c", "=", [4])
+    assert _file_may_match({"rows": 1, "cols": {}}, "c", "=", [4])
+    # float guard: > never prunes
+    ffloat = {
+        "rows": 10,
+        "cols": {"c": {"t": "f", "min": 0.0, "max": 1.0, "nulls": 0}},
+    }
+    assert _file_may_match(ffloat, "c", ">", [5.0])
+    assert not _file_may_match(ffloat, "c", "<", [0.0])
+    assert _file_may_match(ffloat, "c", "=", [float("nan")])
+    assert math.isnan(_enc_stat_value(float("nan"), "f") or float("nan"))
+
+
+def test_partitioned_table_stats_and_combined_pruning(spark, tmp_path):
+    """Partition pruning (dir-level) and stats pruning (file-level)
+    compose: predicate on the partition col narrows dirs via the
+    manifest partition map's files, predicate on the cluster col
+    narrows files within them."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "p"), keys=["k"], partition_by=["part"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    rows = [(k, "A" if k < 50 else "B", float(k), f"s{k}", 0)
+            for k in range(100)]
+    t.upsert(_df(spark, rows), [F.col("ts").desc()])
+    rep = t.skipping_report([("k", ">=", 90)])
+    assert rep["files_kept"] < rep["files_total"]
+    got = t.read(where=[("part", "=", "B"), ("k", ">=", 90)])
+    assert sorted(r.k for r in got.collect()) == list(range(90, 100))
