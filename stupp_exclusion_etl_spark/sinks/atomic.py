@@ -636,24 +636,34 @@ class AtomicParquetTable:
         replaced_parts: set[str],
         schema_ddl: str,
         batch_id: int | None = None,
+        replaced_files: dict[str, set[str]] | None = None,
     ) -> int:
         """Build manifest v{parent+1}: carry untouched partitions'
         entries forward verbatim, swap in the new files for replaced
         partitions (absent from new_by_part ⇒ partition emptied ⇒
-        dropped). One atomic create-if-absent publishes it."""
+        dropped). ``replaced_files`` is the FILE-scoped variant: those
+        files drop out of their partitions' entries while the rest of
+        each entry survives, and the batch's new files are appended —
+        how a file-scoped MERGE retires exactly the files it re-merged.
+        One atomic create-if-absent publishes it."""
+        rf = replaced_files or {}
         partitions: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
         if parent is not None:
             pman = self._manifest(parent)
             pstats = pman.get("stats", {})
             for part, files in pman["partitions"].items():
-                if part not in replaced_parts:
-                    partitions[part] = files
-                    for f in files:
-                        if f in pstats:
-                            stats[f] = pstats[f]
+                if part in replaced_parts:
+                    continue
+                kept = [f for f in files if f not in rf.get(part, ())]
+                if not kept:
+                    continue
+                partitions[part] = kept
+                for f in kept:
+                    if f in pstats:
+                        stats[f] = pstats[f]
         for part, files in new_by_part.items():
-            partitions[part] = sorted(files)
+            partitions[part] = sorted(partitions.get(part, []) + list(files))
         stats.update(self._new_file_stats(new_by_part))
         version = 0 if parent is None else parent + 1
         # streaming idempotence marker: the max micro-batch id ever
@@ -758,6 +768,168 @@ class AtomicParquetTable:
             out[rel] = {"rows": int(r["__rows"]), "cols": cstats}
         return out
 
+    # -- file-scoped merge (stats-pruned rewrite set) ------------------
+
+    #: distinct batch cluster-key values collected driver-side to probe
+    #: file ranges; above this the batch is "large" and the partition-
+    #: scoped merge (no per-key metadata) is the better plan anyway
+    FILE_SCOPE_KEY_CAP = 65536
+
+    def _candidate_files(
+        self, man: dict, batch_col_vals: list
+    ) -> dict[str, set[str]] | None:
+        """Files that MAY contain one of the batch's cluster-key
+        values, judged by the manifest's per-file [min,max] on the
+        first cluster column — the Delta-style file-pruned MERGE
+        rewrite set. Sound because the complement is proven: a file
+        whose range excludes every batch value cannot hold a batch key
+        (stats-missing files are always candidates). None ⇒ can't
+        prune (no usable stats/encoding); caller falls back."""
+        import bisect
+
+        k0 = self.cluster_by[0]
+        stats = man.get("stats", {})
+        tag = None
+        for st in stats.values():
+            c = (st.get("cols") or {}).get(k0)
+            if c is not None:
+                tag = c.get("t")
+                break
+        if tag is None:
+            return None
+        enc = [_enc_stat_value(v, tag) for v in batch_col_vals]
+        if any(v is None for v in enc):
+            return None  # unencodable value (e.g. oversized string)
+        enc.sort()
+        out: dict[str, set[str]] = {}
+        for part, files in man["partitions"].items():
+            for f in files:
+                st = (stats.get(f, {}).get("cols") or {}).get(k0)
+                lo = st.get("min") if st else None
+                hi = st.get("max") if st else None
+                if lo is None or hi is None:
+                    out.setdefault(part, set()).add(f)
+                    continue
+                i = bisect.bisect_left(enc, lo)
+                if i < len(enc) and enc[i] <= hi:
+                    out.setdefault(part, set()).add(f)
+        return out
+
+    def _probe_candidates(
+        self, batch: DataFrame, parent: int
+    ) -> tuple[dict[str, set[str]] | None, dict | None]:
+        """(candidate files, parent manifest) for a batch, or
+        (None, None) when file scoping doesn't apply: table not
+        clustered by a key column, batch above the driver-probe cap,
+        NULL cluster keys, or no usable stats."""
+        if not self.cluster_by or self.cluster_by[0] not in self.keys:
+            return None, None
+        k0 = self.cluster_by[0]
+        vals = [
+            r[0]
+            for r in batch.select(k0)
+            .distinct()
+            .limit(self.FILE_SCOPE_KEY_CAP + 1)
+            .collect()
+        ]
+        if len(vals) > self.FILE_SCOPE_KEY_CAP or any(
+            v is None for v in vals
+        ):
+            return None, None
+        man = self._manifest(parent)
+        cand = self._candidate_files(man, vals)
+        return (None, None) if cand is None else (cand, man)
+
+    def _file_scoped_upsert(
+        self,
+        new_data: DataFrame,
+        order_by: list[Column],
+        batch_id: int | None,
+        parent: int,
+        txn: str,
+        batch_keys: DataFrame,
+        remerge: Callable[[int], int],
+        retries: int,
+    ) -> int | None:
+        """MERGE that rewrites FILES, not partitions: when the table is
+        clustered by a key column, the stats index bounds which live
+        files can hold a batch key, and only those are read, re-merged
+        with the batch, and retired from the manifest — every other
+        file carries forward untouched. This is what makes small keyed
+        upserts into a huge (even unpartitioned) table metadata-scale:
+        the rewrite is O(files overlapping the batch's key range), not
+        O(partition) or O(table). New files are range-clustered among
+        themselves; table-wide range disjointness degrades across
+        commits until compact() re-clusters globally, exactly Delta's
+        behavior. Returns None when inapplicable (no key-aligned
+        cluster column, batch too large to probe driver-side, NULL
+        keys, no usable stats) — caller falls back to the
+        partition-scoped merge."""
+        cand, man = self._probe_candidates(new_data, parent)
+        if cand is None:
+            return None
+        cand_paths = [
+            f"{self.path}/{DATA_DIR}/{f}" for fs in cand.values() for f in fs
+        ]
+        if cand_paths:
+            overlap = (
+                self.spark.read
+                .option("basePath", f"{self.path}/{DATA_DIR}")
+                .option("mergeSchema", "true")
+                .parquet(*cand_paths)
+            )
+            merged = keep_latest(
+                overlap.unionByName(new_data, allowMissingColumns=True),
+                self.keys,
+                order_by,
+            )
+        else:
+            merged = keep_latest(new_data, self.keys, order_by)
+        merged = merged.localCheckpoint(eager=True)
+        by_part = self._stage_and_move(merged, txn)
+        touched = set(cand) | set(by_part)
+        return self._commit_or_rebase(
+            parent, by_part, touched, _ddl(merged), batch_keys, remerge,
+            retries, batch_id, replaced_files=cand,
+        )
+
+    def _file_scoped_delete(
+        self,
+        parent: int,
+        txn: str,
+        batch_keys: DataFrame,
+        remerge: Callable[[int], int],
+        retries: int,
+    ) -> int | None:
+        """Keyed delete with a file-scoped rewrite set: only files
+        whose cluster-key range can hold a doomed key are read,
+        anti-joined, and retired — on a key-clustered table a targeted
+        delete (the right-to-be-forgotten case) touches a handful of
+        files no matter how large the table. None ⇒ fall back to the
+        partition-scoped delete."""
+        cand, man = self._probe_candidates(batch_keys, parent)
+        if cand is None:
+            return None
+        if not cand:
+            return parent  # no live file can hold a doomed key: no-op
+        cand_paths = [
+            f"{self.path}/{DATA_DIR}/{f}" for fs in cand.values() for f in fs
+        ]
+        overlap = (
+            self.spark.read
+            .option("basePath", f"{self.path}/{DATA_DIR}")
+            .option("mergeSchema", "true")
+            .parquet(*cand_paths)
+        )
+        kept = overlap.join(F.broadcast(batch_keys), self.keys, "left_anti")
+        kept = kept.localCheckpoint(eager=True)
+        by_part = self._stage_and_move(kept, txn)
+        touched = set(cand) | set(by_part)
+        return self._commit_or_rebase(
+            parent, by_part, touched, man["schema_ddl"], batch_keys,
+            remerge, retries, replaced_files=cand,
+        )
+
     # -- partition-dir naming (must byte-match Spark's writer) --------
 
     def _collect_touched(self, parts_df: DataFrame) -> tuple[list, set[str]]:
@@ -851,6 +1023,7 @@ class AtomicParquetTable:
         remerge: Callable[[int], int],
         retries: int,
         batch_id: int | None = None,
+        replaced_files: dict[str, set[str]] | None = None,
     ) -> int:
         """Commit, and on a lost version race REBASE instead of
         failing — no batch is ever lost (reference __main__.py:8-24:
@@ -867,10 +1040,15 @@ class AtomicParquetTable:
           from the failed attempt become unreferenced orphans; gc's
           age threshold reaps them later).
         """
+        # file-scoped commits retire files, not partitions: touched_dirs
+        # then only drives the disjointness check below, never
+        # _commit's whole-partition replacement
+        rp = set() if replaced_files is not None else touched_dirs
         while True:
             try:
                 return self._commit(
-                    parent, by_part, touched_dirs, schema_ddl, batch_id
+                    parent, by_part, rp, schema_ddl, batch_id,
+                    replaced_files,
                 )
             except ConcurrentWriteError:
                 if retries <= 0:
@@ -940,6 +1118,16 @@ class AtomicParquetTable:
                 max_commit_retries, batch_id,
             )
 
+        # key-clustered tables take the stats-pruned FILE-scoped merge
+        # when the batch is probe-sized — rewrite scope becomes the
+        # files overlapping the batch's key range, not whole partitions
+        scoped = self._file_scoped_upsert(
+            new_data, order_by, batch_id, parent, txn, batch_keys,
+            remerge, max_commit_retries,
+        )
+        if scoped is not None:
+            return scoped
+
         if not self.partition_by:
             merged = keep_latest(
                 existing.unionByName(new_data, allowMissingColumns=True),
@@ -999,6 +1187,12 @@ class AtomicParquetTable:
 
         def remerge(retries: int) -> int:
             return self.delete_keys(doomed_keys, max_commit_retries=retries)
+
+        scoped = self._file_scoped_delete(
+            parent, txn, batch_keys, remerge, max_commit_retries
+        )
+        if scoped is not None:
+            return scoped
 
         if not self.partition_by:
             kept = existing.join(doomed, self.keys, "left_anti")

@@ -1,0 +1,212 @@
+"""File-scoped MERGE on key-clustered atomic tables (sinks/atomic.py):
+the manifest stats index bounds which live files can hold a batch key,
+and upsert/delete rewrite ONLY those files — every other file entry
+carries forward verbatim. This is the property that makes small keyed
+writes into a huge (even unpartitioned) table metadata-scale: rewrite
+cost is O(files overlapping the batch's key range), not O(partition)
+or O(table). Reference parity: the scraper's per-batch DynamoDB
+batch_write_item touches only the items it carries
+(/root/reference/__main__.py:8-24); file scoping is the parquet-table
+equivalent of that write amplification contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k int, v double, s string, ts int")
+
+
+def _files(t):
+    return sorted(
+        f for fl in t.snapshot()["partitions"].values() for f in fl
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """1000 keys range-clustered on k into 8 files of ~125-key spans."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "t"), keys=["k"],
+        cluster_by=["k"], cluster_files=8,
+    )
+    t.upsert(
+        _mk(spark, [(k, float(k), f"s{k}", 0) for k in range(1000)]),
+        [F.col("ts").desc()],
+    )
+    return t
+
+
+def test_narrow_upsert_replaces_only_overlapping_files(spark, table):
+    before = _files(table)
+    assert len(before) == 8
+    table.upsert(
+        _mk(spark, [(k, -1.0, "upd", 1) for k in range(10, 20)]),
+        [F.col("ts").desc()],
+    )
+    after = _files(table)
+    replaced = set(before) - set(after)
+    assert len(replaced) == 1, (
+        "a 10-key batch inside one file's range must retire exactly "
+        f"that file, not {len(replaced)}"
+    )
+    r = table.read()
+    assert r.count() == 1000
+    assert r.filter(F.col("s") == "upd").count() == 10
+    assert r.filter(F.col("k") == 15).first().v == -1.0
+    # stats stay complete for every live file
+    man = table.snapshot()
+    assert set(man["stats"]) == set(after)
+
+
+def test_out_of_range_insert_carries_every_file(spark, table):
+    before = _files(table)
+    v = table.upsert(
+        _mk(spark, [(5000, 5.0, "new", 1)]), [F.col("ts").desc()]
+    )
+    assert v == 1
+    after = _files(table)
+    assert set(before) <= set(after), (
+        "keys outside every file range must not retire any file"
+    )
+    assert table.read().count() == 1001
+
+
+def test_file_scoped_delete(spark, table):
+    before = _files(table)
+    v = table.delete_keys(
+        spark.createDataFrame([(k,) for k in range(10, 20)], "k int")
+    )
+    assert v == 1
+    after = _files(table)
+    assert len(set(before) - set(after)) == 1
+    assert table.read().count() == 990
+    assert table.read(where=[("k", "=", 15)]).count() == 0
+
+
+def test_delete_outside_all_ranges_is_noop(spark, table):
+    v0 = table.current_version()
+    v = table.delete_keys(spark.createDataFrame([(9999,)], "k int"))
+    assert v == v0, "no candidate file ⇒ no new version"
+    assert table.read().count() == 1000
+
+
+def test_matches_partition_scoped_semantics(spark, tmp_path):
+    """Clustered (file-scoped) and unclustered (partition-scoped)
+    tables must agree on final values for the same batch sequence."""
+    batches = [
+        [(k, float(k), "b0", 0) for k in range(200)],
+        [(k, -float(k), "b1", 1) for k in range(50, 100)],
+        [(k, 7.0, "b2", 2) for k in range(150, 260)],
+    ]
+    doomed = [(k,) for k in range(40, 60)]
+
+    def run(clustered: bool):
+        t = AtomicParquetTable(
+            spark,
+            str(tmp_path / ("c" if clustered else "p")),
+            keys=["k"],
+            cluster_by=["k"] if clustered else None,
+            cluster_files=6 if clustered else None,
+        )
+        for b in batches:
+            t.upsert(_mk(spark, b), [F.col("ts").desc()])
+        t.delete_keys(spark.createDataFrame(doomed, "k int"))
+        return sorted(
+            (r.k, r.v, r.s, r.ts) for r in t.read().collect()
+        )
+
+    assert run(True) == run(False)
+
+
+def test_null_cluster_key_falls_back_and_stays_correct(spark, tmp_path):
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "n"), keys=["k"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    t.upsert(
+        _mk(spark, [(k, float(k), "a", 0) for k in range(100)]),
+        [F.col("ts").desc()],
+    )
+    # a NULL key can't be range-probed: the partition-scoped merge runs
+    b = spark.createDataFrame(
+        [(None, 0.0, "null-key", 1), (5, 0.5, "upd", 1)],
+        "k int, v double, s string, ts int",
+    )
+    t.upsert(b, [F.col("ts").desc()])
+    r = table_rows = t.read()
+    assert r.count() == 101
+    assert r.filter(F.col("k").isNull()).count() == 1
+    assert r.filter(F.col("k") == 5).first().s == "upd"
+
+
+def test_key_moves_partition_under_file_scope(spark, tmp_path):
+    """Partitioned AND clustered: an upsert that moves a key to a new
+    partition must purge it from the old partition's file."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "m"), keys=["k"], partition_by=["part"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    rows = [(k, "A" if k < 50 else "B", float(k), 0) for k in range(100)]
+    t.upsert(
+        spark.createDataFrame(rows, "k int, part string, v double, ts int"),
+        [F.col("ts").desc()],
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(10, "B", -10.0, 1)], "k int, part string, v double, ts int"
+        ),
+        [F.col("ts").desc()],
+    )
+    got = [(r.part, r.v) for r in t.read().filter(F.col("k") == 10).collect()]
+    assert got == [("B", -10.0)], (
+        "moved key must exist once, in its new partition"
+    )
+    assert t.read().count() == 100
+
+
+def test_concurrent_file_scoped_writers_both_land(spark, tmp_path):
+    """Two writers with disjoint key ranges racing to the same version:
+    the loser rebases (fast-forward or re-merge) and NO batch is lost."""
+    path = str(tmp_path / "cc")
+
+    def mk():
+        return AtomicParquetTable(
+            spark, path, keys=["k"], cluster_by=["k"], cluster_files=4
+        )
+
+    base = mk()
+    base.upsert(
+        _mk(spark, [(k, float(k), "a", 0) for k in range(400)]),
+        [F.col("ts").desc()],
+    )
+
+    w1, w2 = mk(), mk()
+    staged: dict = {}
+
+    # interleave: w1 stages, then w2 commits fully, then w1 commits —
+    # w1 loses the version race and must rebase
+    def after_w1_moved():
+        if staged.get("raced"):
+            return
+        staged["raced"] = True
+        w2.upsert(
+            _mk(spark, [(k, -2.0, "w2", 1) for k in range(300, 310)]),
+            [F.col("ts").desc()],
+        )
+
+    w1.hooks = {"moved": after_w1_moved}
+    w1.upsert(
+        _mk(spark, [(k, -1.0, "w1", 1) for k in range(10, 20)]),
+        [F.col("ts").desc()],
+    )
+
+    r = mk().read()
+    assert r.filter(F.col("s") == "w1").count() == 10
+    assert r.filter(F.col("s") == "w2").count() == 10
+    assert r.count() == 400

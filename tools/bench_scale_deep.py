@@ -22,6 +22,12 @@ Writes BENCH_SCALE10_r{N}.json (env SPARK_GRAFT_ROUND, default 07).
 
 Usage: python tools/bench_scale_deep.py [--small /root/testdata/sf0.1]
        [--mid /tmp/scaled/sf1] [--big /tmp/scaled/sf10]
+
+Run with SPARK_DRIVER_MEMORY=48g: local mode puts driver + all 32
+executor threads in ONE heap, so the sf10 tier's shuffles + AQE
+broadcast builds need real headroom (the default 8g OOMs mid-run —
+an artifact of single-JVM local mode, not of the plans; on a cluster
+the broadcast build happens in each executor's own heap).
 """
 
 from __future__ import annotations
@@ -83,6 +89,14 @@ def measure(spark, sf_dir: str, reps: int, with_metrics: bool
     out: dict[str, float] = {}
     metrics: dict[str, dict] = {}
     for name in HEAVY:
+        # release the previous query's localCheckpoint blocks: the
+        # ContextCleaner only frees them after the Python refs are
+        # gone, and 36 accumulated checkpoint sets otherwise crowd the
+        # shared local-mode heap by the sf10 tier
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         before = _stages(ui, app_id) if with_metrics else {}
         REGISTRY[name].fn(spark, sf_dir).count()  # cold, untimed
         samples = []
