@@ -134,6 +134,7 @@ HEADLINE = [
     "atomic_merge_read",
     "mm_png_adam7_decode_stats",
     "mm_gif_interlaced_stats",
+    "atomic_skipping_read",
 ]
 
 

@@ -95,7 +95,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # drive — update+insert+delete clause algebra over the atomic table
     # becomes driver-verified
     "atomic_merge_read",
-    "upsert_keep_latest",
+    # r7: replaced upsert_keep_latest (A15 kept by atomic_upsert_read/
+    # atomic_merge_read, B9 by the dedup trio, B6 by win_topk_per_group)
+    # with the manifest data-skipping drive — stats-pruned clustered
+    # reads become driver-verified
+    "atomic_skipping_read",
     # set ops — B8 (+ B2 schema evolution)
     "setop_union_pipelines",
     "setop_union_schema_evolution",
