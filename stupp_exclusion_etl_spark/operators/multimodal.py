@@ -652,12 +652,145 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
 
 
+def _jpeg_ac_first(reader, tab, blk, ss, se, al, state) -> None:
+    """Progressive AC first scan for one block (T.81 G.2.2 /
+    libjpeg-structure): run-length coded band [ss, se] with EOBn runs;
+    decoded values enter at magnitude << al."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        sym = reader.huff(tab)
+        r, s = sym >> 4, sym & 0x0F
+        if s:
+            k += r
+            blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(s), s) << al
+            k += 1
+        elif r != 15:  # EOBn: run of (1<<r)+bits(r) blocks incl. this
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.bits(r)
+            return
+        else:  # ZRL
+            k += 16
+
+
+def _jpeg_ac_refine(reader, tab, blk, ss, se, al, state) -> None:
+    """Progressive AC refinement for one block: newly-visible ±1<<al
+    coefficients plus one correction bit per already-nonzero
+    coefficient traversed — including through EOB runs."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(z: int) -> None:
+        if reader.bits(1) and (blk[z] & p1) == 0:
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            sym = reader.huff(tab)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s:  # s is 1 by spec: a coefficient becomes visible
+                newval = p1 if reader.bits(1) else m1
+            elif r != 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                break
+            # advance over r zero-history slots, correcting nonzero ones
+            while k <= se:
+                z = _JPEG_ZIGZAG[k]
+                if blk[z] != 0:
+                    correct(z)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s:
+                blk[_JPEG_ZIGZAG[k]] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = _JPEG_ZIGZAG[k]
+            if blk[z] != 0:
+                correct(z)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _jpeg_apply_scan(coef, sc: dict, nb: int, idx_of: dict) -> None:
+    """Apply one scan (sequential full-band, progressive DC, or
+    progressive AC) onto the per-component coefficient store. With 1x1
+    sampling the MCU grid equals the block grid, in both interleaved
+    and single-component scans; restart intervals reset predictor, EOB
+    run and bit alignment at each RSTn-delimited segment."""
+    comps, ss, se = sc["comps"], sc["ss"], sc["se"]
+    ah, al, ri, tabs = sc["ah"], sc["al"], sc["ri"], sc["tabs"]
+    segments = sc["segments"]
+    seg_i = 0
+    reader = _JpegBitReader(segments[0])
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+    for m in range(nb):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _JpegBitReader(segments[seg_i])
+            pred = [0] * len(comps)
+            state["eobrun"] = 0
+        if ss == 0 and se == 63:  # sequential: DC+AC interleaved
+            for ci, (cid, dct, act) in enumerate(comps):
+                blk = coef[idx_of[cid]][m]
+                t = reader.huff(tabs[(0, dct)])
+                pred[ci] += _jpeg_extend(reader.bits(t), t)
+                blk[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    sym = reader.huff(tabs[(1, act)])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
+                        reader.bits(size), size
+                    )
+                    k += 1
+        elif ss == 0:  # progressive DC scan (first or refinement)
+            for ci, (cid, dct, _act) in enumerate(comps):
+                blk = coef[idx_of[cid]][m]
+                if ah == 0:
+                    t = reader.huff(tabs[(0, dct)])
+                    pred[ci] += _jpeg_extend(reader.bits(t), t)
+                    blk[0] = pred[ci] << al
+                elif reader.bits(1):
+                    blk[0] |= 1 << al
+        else:  # progressive AC scan: single component by spec
+            cid, _dct, act = comps[0]
+            blk = coef[idx_of[cid]][m]
+            if ah == 0:
+                _jpeg_ac_first(reader, tabs[(1, act)], blk, ss, se, al, state)
+            else:
+                _jpeg_ac_refine(reader, tabs[(1, act)], blk, ss, se, al, state)
+
+
 def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
-    """Decode baseline JPEG to ((h, w, ncomp), flat float64 pixels in
-    top-down row-major order; 3-component output converted YCbCr→RGB).
-    Raises NotImplementedError for the features that are genuinely out
-    of baseline-sequential scope (progressive, subsampling, restart
-    intervals, 12-bit precision)."""
+    """Decode baseline (SOF0/1) or progressive (SOF2) JPEG to
+    ((h, w, ncomp), flat float64 pixels in top-down row-major order;
+    3-component output converted YCbCr→RGB). Progressive scans apply
+    T.81 G.2's spectral-selection + successive-approximation
+    procedures (DC first/refine, AC first/refine with EOB runs) onto a
+    shared coefficient store; restart intervals (DRI/RSTn) reset the
+    entropy state per segment in both modes. Raises
+    NotImplementedError for the features genuinely out of scope
+    (chroma subsampling, 12-bit precision, lossless/arithmetic/
+    hierarchical SOFs)."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -665,13 +798,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     quant: dict[int, "np.ndarray"] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (h, w, [(comp_id, qid)])
-    scan_comps = None  # [(comp_id, dc_tbl, ac_tbl)]
-    entropy = None
+    scans: list[dict] = []
+    ri = 0  # restart interval in MCUs; 0 = none
     pos = 2
-    while pos + 4 <= len(b) and entropy is None:
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG segment desync")
         marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
         if marker == 0xD8 or 0xD0 <= marker <= 0xD7 or marker == 0x01:
             pos += 2
             continue
@@ -698,7 +833,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 vals = tuple(body[i + 17 : i + 17 + nvals])
                 huff[(cls, tid)] = _huff_canonical(bits, vals)
                 i += 17 + nvals
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             if body[0] != 8:
                 raise NotImplementedError("12-bit JPEG sample precision")
             h = int.from_bytes(body[1:3], "big")
@@ -714,61 +849,70 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             if len(comps) not in (1, 3):
                 raise NotImplementedError(f"{len(comps)}-component JPEG")
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise NotImplementedError("progressive/extended JPEG (SOF2+)")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "lossless/arithmetic/hierarchical JPEG (SOF3+)"
+            )
         elif marker == 0xDD:
-            raise NotImplementedError("JPEG restart intervals (DRI)")
-        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ri = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — one scan's entropy data follows
             ns = body[0]
             scan_comps = [
                 (body[1 + 2 * c], body[2 + 2 * c] >> 4, body[2 + 2 * c] & 0x0F)
                 for c in range(ns)
             ]
-            # unstuff FF00 → FF; stop at any real marker (EOI)
-            raw = bytearray()
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ah, al = body[3 + 2 * ns] >> 4, body[3 + 2 * ns] & 0x0F
+            # unstuff FF00 → FF; split at RSTn; stop at any other marker
+            segments: list[bytes] = []
+            cur = bytearray()
             j = pos
             while j < len(b):
                 if b[j] == 0xFF:
-                    if j + 1 < len(b) and b[j + 1] == 0x00:
-                        raw.append(0xFF)
+                    nxt = b[j + 1] if j + 1 < len(b) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
                         j += 2
                         continue
                     break
-                raw.append(b[j])
+                cur.append(b[j])
                 j += 1
-            entropy = bytes(raw)
-    if frame is None or scan_comps is None or entropy is None:
+            segments.append(bytes(cur))
+            pos = j
+            scans.append({
+                "comps": scan_comps, "ss": ss, "se": se, "ah": ah,
+                "al": al, "segments": segments, "ri": ri,
+                # snapshot: DHT may legally redefine tables between scans
+                "tabs": dict(huff),
+            })
+    if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     h, w, comps = frame
-    qid_of = dict(comps)
     a_mat = _dct8_matrix()
     bw, bh = (w + 7) // 8, (h + 7) // 8
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in scan_comps]
-    reader = _JpegBitReader(entropy)
-    pred = [0] * len(scan_comps)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, dct, act) in enumerate(scan_comps):
-                coeff = np.zeros(64)
-                t = reader.huff(huff[(0, dct)])
-                pred[ci] += _jpeg_extend(reader.bits(t), t)
-                coeff[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = reader.huff(huff[(1, act)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    coeff[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(size), size)
-                    k += 1
-                block = coeff.reshape(8, 8) * quant[qid_of[cid]]
-                px = a_mat.T @ block @ a_mat + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    planes = [p[:h, :w] for p in planes]
+    nb = bw * bh
+    idx_of = {cid: i for i, (cid, _qid) in enumerate(comps)}
+    # shared coefficient store (natural-order index): baseline fills it
+    # in one scan, progressive accumulates across scans
+    coef = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
+    for sc in scans:
+        _jpeg_apply_scan(coef, sc, nb, idx_of)
+    # dequantize + vectorized IDCT per component
+    planes = []
+    for ci, (_cid, qid) in enumerate(comps):
+        blocks = (coef[ci] * quant[qid].reshape(-1)).reshape(nb, 8, 8)
+        px = np.einsum("ij,njk,kl->nil", a_mat.T, blocks, a_mat) + 128.0
+        plane = (
+            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)
+        )
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255)
         return (h, w, 1), out.reshape(-1)
@@ -809,20 +953,8 @@ class _JpegBitWriter:
         return bytes(self.out)
 
 
-def _encode_jpeg_gray(px, quant=None) -> bytes:
-    """Encode a (h, w) uint8 array (h, w multiples of 8) as spec-valid
-    grayscale baseline JPEG: forward orthonormal DCT, caller's quant
-    table (default all-ones — lossless for block-constant images),
-    zigzag, DC prediction, Annex K Huffman tables, FF stuffing. The
-    stdlib-free twin of ``_decode_jpeg_pixels`` used to synthesize
-    deterministic payloads for end-to-end decode checks."""
-    import numpy as np
-
-    px = np.asarray(px, dtype=np.float64)
-    h, w = px.shape
-    if h % 8 or w % 8:
-        raise ValueError("encoder requires dimensions that are multiples of 8")
-    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+def _jpeg_enc_tables():
+    """Annex K tables as sym → (code, length) for the encoders."""
     enc_dc = {
         sym: (code, length)
         for (length, code), sym in _huff_canonical(
@@ -835,20 +967,72 @@ def _encode_jpeg_gray(px, quant=None) -> bytes:
             _JPEG_STD_AC_BITS, _JPEG_STD_AC_VALS
         ).items()
     }
-    a_mat = _dct8_matrix()
+    return enc_dc, enc_ac
 
-    def seg(marker: int, body: bytes) -> bytes:
-        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+
+def _jpeg_quantized_blocks(px, q):
+    """Raster-order (nb, 64) zigzag-ordered quantized coefficients for
+    a grayscale image (the shared front half of both encoders)."""
+    import numpy as np
+
+    a_mat = _dct8_matrix()
+    h, w = px.shape
+    zz = []
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coeff = np.round((a_mat @ block @ a_mat.T) / q).astype(np.int64)
+            zz.append(coeff.reshape(-1)[list(_JPEG_ZIGZAG)])
+    return zz
+
+
+def _jpeg_gray_headers(h: int, w: int, q, sof_marker: int) -> bytes:
+    import numpy as np  # noqa: F401  (q is an ndarray)
 
     head = b"\xff\xd8"  # SOI
     zz_q = bytes(int(q.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
-    head += seg(0xDB, b"\x00" + zz_q)
-    head += seg(0xC0, b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-                + b"\x01" + b"\x01\x11\x00")
-    head += seg(0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS))
-    head += seg(0xC4, b"\x10" + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS))
-    head += seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    head += _jpeg_seg(0xDB, b"\x00" + zz_q)
+    head += _jpeg_seg(
+        sof_marker,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00",
+    )
+    head += _jpeg_seg(
+        0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+    )
+    head += _jpeg_seg(
+        0xC4, b"\x10" + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS)
+    )
+    return head
 
+
+def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
+    """Encode a (h, w) uint8 array (h, w multiples of 8) as spec-valid
+    grayscale baseline JPEG: forward orthonormal DCT, caller's quant
+    table (default all-ones — lossless for block-constant images),
+    zigzag, DC prediction, Annex K Huffman tables, FF stuffing, and
+    (with ``restart_interval`` > 0) DRI + RSTn markers every that many
+    MCUs with predictor reset and byte alignment. The stdlib-free twin
+    of ``_decode_jpeg_pixels`` used to synthesize deterministic
+    payloads for end-to-end decode checks."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires dimensions that are multiples of 8")
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+    enc_dc, enc_ac = _jpeg_enc_tables()
+    head = _jpeg_gray_headers(h, w, q, 0xC0)
+    if restart_interval:
+        head += _jpeg_seg(0xDD, restart_interval.to_bytes(2, "big"))
+    head += _jpeg_seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+
+    body = bytearray()
     wtr = _JpegBitWriter()
     pred = 0
 
@@ -858,30 +1042,197 @@ def _encode_jpeg_gray(px, quant=None) -> bytes:
         if t:
             wtr.bits(extra if extra >= 0 else extra + (1 << t) - 1, t)
 
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-            coeff = np.round((a_mat @ block @ a_mat.T) / q).astype(np.int64)
-            zz = coeff.reshape(-1)[list(_JPEG_ZIGZAG)]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            t = int(abs(diff)).bit_length()
-            put(enc_dc, t, diff, t)
+    for m, zz in enumerate(_jpeg_quantized_blocks(px, q)):
+        if restart_interval and m and m % restart_interval == 0:
+            body += wtr.finish()
+            body += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])
+            wtr = _JpegBitWriter()
+            pred = 0
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        t = int(abs(diff)).bit_length()
+        put(enc_dc, t, diff, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(enc_ac, 0xF0, 0, 0)
+                run -= 16
+            s = abs(v).bit_length()
+            put(enc_ac, (run << 4) | s, v, s)
             run = 0
-            for k in range(1, 64):
+        if run:
+            put(enc_ac, 0x00, 0, 0)  # EOB
+    return head + bytes(body) + wtr.finish() + b"\xff\xd9"  # EOI
+
+
+def _encode_jpeg_gray_progressive(px, quant=None) -> bytes:
+    """Encode a (h, w) uint8 array as spec-valid grayscale PROGRESSIVE
+    JPEG (SOF2) with a six-scan script exercising every G.2 decode
+    path: DC first at Al=1, AC first over bands [1,5] and [6,63] at
+    Al=1 (with EOBn run accumulation across blocks), then DC
+    refinement and AC refinement of both bands down to Al=0 —
+    successive approximation restores the coefficients EXACTLY, so the
+    decode must be bit-identical to the baseline decode of the same
+    pixels. Test-vector twin of the progressive half of
+    ``_decode_jpeg_pixels``."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.float64)
+    h, w = px.shape
+    if h % 8 or w % 8:
+        raise ValueError("encoder requires dimensions that are multiples of 8")
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+    enc_dc, _ = _jpeg_enc_tables()
+    # the Annex K baseline AC table has no EOBn (r<<4, s=0) symbols —
+    # progressive scans ship their own DHT covering all 256 symbols
+    # (255 at length 9, 0xFF at length 10; the all-ones code stays
+    # reserved as T.81 C.2 requires), registered as AC table 1
+    prog_bits = (0,) * 8 + (255, 1) + (0,) * 6
+    prog_vals = tuple(range(255)) + (255,)
+    enc_ac = {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(
+            prog_bits, prog_vals
+        ).items()
+    }
+    blocks = _jpeg_quantized_blocks(px, q)
+    out = bytearray(_jpeg_gray_headers(h, w, q, 0xC2))
+    out += _jpeg_seg(0xC4, b"\x11" + bytes(prog_bits) + bytes(prog_vals))
+
+    def sos(ss: int, se: int, ah: int, al: int) -> bytes:
+        # DC scans use std DC table 0; AC scans the progressive AC
+        # table 1 (Td<<4 | Ta in the component spec byte)
+        tsel = b"\x00" if se == 0 else b"\x01"
+        return _jpeg_seg(
+            0xDA,
+            b"\x01" + b"\x01" + tsel
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    def put(wtr, table, sym: int, extra: int, t: int) -> None:
+        code, length = table[sym]
+        wtr.bits(code, length)
+        if t:
+            wtr.bits(extra if extra >= 0 else extra + (1 << t) - 1, t)
+
+    def flush_eobrun(wtr, pend) -> None:
+        n = pend["eobrun"]
+        if n == 0:
+            return
+        r = n.bit_length() - 1
+        put(wtr, enc_ac, r << 4, 0, 0)
+        if r:
+            wtr.bits(n - (1 << r), r)
+        for bit in pend["bits"]:
+            wtr.bits(bit, 1)
+        pend["eobrun"] = 0
+        pend["bits"] = []
+
+    # scan 1: DC first, Al=1 (arithmetic shift keeps diff coding exact
+    # under refinement: (x>>1<<1)|(x&1) == x in two's complement)
+    out += sos(0, 0, 0, 1)
+    wtr = _JpegBitWriter()
+    pred = 0
+    for zz in blocks:
+        v = int(zz[0]) >> 1
+        diff = v - pred
+        pred = v
+        t = int(abs(diff)).bit_length()
+        put(wtr, enc_dc, t, diff, t)
+    out += wtr.finish()
+
+    # scans 2-3: AC first per spectral band, Al=1, EOBn accumulation
+    for lo, hi in ((1, 5), (6, 63)):
+        out += sos(lo, hi, 0, 1)
+        wtr = _JpegBitWriter()
+        pend = {"eobrun": 0, "bits": []}
+        for zz in blocks:
+            vals = []
+            for k in range(lo, hi + 1):
                 v = int(zz[k])
+                vals.append((abs(v) >> 1) * (1 if v >= 0 else -1))
+            if not any(vals):
+                pend["eobrun"] += 1
+                if pend["eobrun"] == 0x7FFF:
+                    flush_eobrun(wtr, pend)
+                continue
+            flush_eobrun(wtr, pend)
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for i, v in enumerate(vals):
+                if i > last_nz:
+                    pend["eobrun"] += 1  # trailing zeros end this block
+                    break
                 if v == 0:
                     run += 1
                     continue
                 while run > 15:
-                    put(enc_ac, 0xF0, 0, 0)
+                    put(wtr, enc_ac, 0xF0, 0, 0)
                     run -= 16
                 s = abs(v).bit_length()
-                put(enc_ac, (run << 4) | s, v, s)
+                put(wtr, enc_ac, (run << 4) | s, v, s)
                 run = 0
-            if run:
-                put(enc_ac, 0x00, 0, 0)  # EOB
-    return head + wtr.finish() + b"\xff\xd9"  # EOI
+            else:
+                pass  # band ended exactly on a nonzero: no EOB needed
+        flush_eobrun(wtr, pend)
+        out += wtr.finish()
+
+    # scan 4: DC refinement Ah=1 → Al=0 (one raw bit per block)
+    out += sos(0, 0, 1, 0)
+    wtr = _JpegBitWriter()
+    for zz in blocks:
+        wtr.bits(int(zz[0]) & 1, 1)
+    out += wtr.finish()
+
+    # scans 5-6: AC refinement per band, Ah=1 → Al=0
+    for lo, hi in ((1, 5), (6, 63)):
+        out += sos(lo, hi, 1, 0)
+        wtr = _JpegBitWriter()
+        pend = {"eobrun": 0, "bits": []}
+        for zz in blocks:
+            vals = [int(zz[k]) for k in range(lo, hi + 1)]
+            ab = [abs(v) for v in vals]
+            eob_idx = -1
+            for i, a in enumerate(ab):
+                if a == 1:  # newly visible at this precision
+                    eob_idx = i
+            run = 0
+            bits_buf: list[int] = []
+            for i, v in enumerate(vals):
+                a = ab[i]
+                if a == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eob_idx:
+                    flush_eobrun(wtr, pend)
+                    put(wtr, enc_ac, 0xF0, 0, 0)
+                    for bit in bits_buf:
+                        wtr.bits(bit, 1)
+                    bits_buf = []
+                    run -= 16
+                if a > 1:  # already visible: one correction bit
+                    bits_buf.append(a & 1)
+                    continue
+                flush_eobrun(wtr, pend)
+                put(wtr, enc_ac, (run << 4) | 1, 0, 0)
+                wtr.bits(1 if v > 0 else 0, 1)
+                for bit in bits_buf:
+                    wtr.bits(bit, 1)
+                bits_buf = []
+                run = 0
+            if run > 0 or bits_buf:
+                pend["eobrun"] += 1
+                pend["bits"].extend(bits_buf)
+                if pend["eobrun"] == 0x7FFF:
+                    flush_eobrun(wtr, pend)
+        flush_eobrun(wtr, pend)
+        out += wtr.finish()
+
+    return bytes(out) + b"\xff\xd9"  # EOI
 
 
 _JPEG_SYNTH_SCHEMA = StructType(
@@ -895,15 +1246,20 @@ _JPEG_SYNTH_SCHEMA = StructType(
 
 
 def synth_jpeg_gray(df: DataFrame, id_col: str, seed_col: str,
-                    w_col: str, h_col: str) -> DataFrame:
+                    w_col: str, h_col: str,
+                    progressive: bool = False) -> DataFrame:
     """Deterministic JPEG corpus generator: per row, encode a (h, w)
     grayscale image whose 8x8 block at (bx, by) is the constant
     ``(seed + 7*bx + 13*by) % 256`` — closed-form recomputable by a SQL
-    oracle, and exactly recoverable through the all-ones-quant baseline
-    codec (DC-only blocks). Arrow-batched mapInPandas, repartitioned by
+    oracle, and exactly recoverable through the all-ones-quant codec
+    (DC-only blocks). ``progressive=True`` emits the SOF2 six-scan
+    successive-approximation stream instead of baseline; both decode
+    to identical pixels. Arrow-batched mapInPandas, repartitioned by
     id like every CPU-bound media stage."""
     import numpy as np
     import pandas as pd
+
+    enc = _encode_jpeg_gray_progressive if progressive else _encode_jpeg_gray
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -913,7 +1269,7 @@ def synth_jpeg_gray(df: DataFrame, id_col: str, seed_col: str,
                 by = (np.arange(int(h)) // 8).reshape(-1, 1)
                 img = ((int(seed) + 7 * bx + 13 * by) % 256).astype(np.uint8)
                 ids.append(int(i))
-                payloads.append(_encode_jpeg_gray(img))
+                payloads.append(enc(img))
                 ws.append(int(w))
                 hs.append(int(h))
             yield pd.DataFrame(

@@ -453,6 +453,64 @@ def mm_jpeg_decode_block_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_progressive_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (doc_id * 29) % 256 AS seed,
+             8 * (2 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+      FROM documents WHERE doc_id < 48)
+    SELECT doc_id,
+           CAST(u.x AS INT) AS bx, CAST(v.y AS INT) AS by,
+           CAST((seed + 7 * u.x + 13 * v.y) % 256 AS DOUBLE) AS lo,
+           CAST((seed + 7 * u.x + 13 * v.y) % 256 AS DOUBLE) AS hi,
+           CAST(64 AS BIGINT) AS n_px
+    FROM g, UNNEST(range(0, w // 8)) AS u(x), UNNEST(range(0, h // 8)) AS v(y)
+    """,
+    tags=("B15", "B11"),
+)
+def mm_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) JPEG decode end to end: per document
+    synthesize the six-scan successive-approximation stream (DC
+    first/refine at Al=1→0, AC first/refine over two spectral bands
+    with EOBn runs — synth_jpeg_gray(progressive=True)), decode it
+    back through the multi-scan coefficient store
+    (_jpeg_apply_scan: G.2 DC/AC first + refinement procedures), and
+    reduce per 8x8 block JVM-side. min = max = the closed form and
+    n_px = 64 prove every coefficient survived ALL SIX scans — a wrong
+    EOB run length, refinement correction bit, or point-transform
+    shift breaks the hash. Same all-ones-quant exactness argument as
+    the baseline query; seed differs so the two queries can't mask
+    each other."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        synth_jpeg_gray,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select(
+        "doc_id",
+        (F.col("doc_id") * 29 % 256).alias("seed"),
+        (8 * (2 + F.col("doc_id") % 3)).cast("int").alias("w"),
+        (8 * (1 + F.col("doc_id") % 2)).cast("int").alias("h"),
+    )
+    jp = synth_jpeg_gray(d, "doc_id", "seed", "w", "h", progressive=True)
+    dec = decode_media(jp, "id")
+    px = dec.select(
+        F.col("id").alias("doc_id"),
+        F.col("shape")[1].alias("w"),
+        F.posexplode("data"),
+    )
+    return px.groupBy(
+        "doc_id",
+        F.floor((F.col("pos") % F.col("w")) / 8).cast("int").alias("bx"),
+        F.floor(F.floor(F.col("pos") / F.col("w")) / 8).cast("int").alias("by"),
+    ).agg(
+        F.min("col").alias("lo"),
+        F.max("col").alias("hi"),
+        F.count(F.lit(1)).alias("n_px"),
+    )
+
+
+@register(
     "mm_png_decode_channel_stats",
     oracle="""
     WITH g AS (

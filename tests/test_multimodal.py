@@ -393,17 +393,89 @@ def test_jpeg_decoder_rejects_out_of_scope_features():
 
     payload = bytearray(_encode_jpeg_gray(_block_img(8, 8)))
     sof = payload.index(b"\xff\xc0")
-    progressive = bytes(payload[:sof + 1]) + b"\xc2" + bytes(payload[sof + 2:])
-    with pytest.raises(NotImplementedError, match="progressive"):
-        _decode_jpeg_pixels(progressive)
     subsampled = bytearray(payload)
     subsampled[sof + 11] = 0x22  # component sampling factors 2x2
     with pytest.raises(NotImplementedError, match="subsampl"):
         _decode_jpeg_pixels(bytes(subsampled))
-    dri = (bytes(payload[:sof]) + b"\xff\xdd\x00\x04\x00\x08"
-           + bytes(payload[sof:]))
-    with pytest.raises(NotImplementedError, match="restart"):
-        _decode_jpeg_pixels(dri)
+    lossless = bytes(payload[:sof + 1]) + b"\xc3" + bytes(payload[sof + 2:])
+    with pytest.raises(NotImplementedError, match="lossless"):
+        _decode_jpeg_pixels(lossless)
+
+
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """SOF2 six-scan script (DC first/refine at Al=1→0, AC first/
+    refine over bands [1,5] and [6,63] with EOBn runs): successive
+    approximation restores every coefficient exactly, so progressive
+    and baseline decodes of the same pixels must be bit-identical."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+        _encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in ((8, 8), (16, 24), (48, 40)):
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        q = np.ones((8, 8))
+        q[0, 1], q[1, 0] = 2, 3
+        (hb, wb, cb), pb = _decode_jpeg_pixels(_encode_jpeg_gray(img, q))
+        (hp, wp, cp), pp = _decode_jpeg_pixels(
+            _encode_jpeg_gray_progressive(img, q)
+        )
+        assert (hb, wb, cb) == (hp, wp, cp) == (h, w, 1)
+        assert np.array_equal(pb, pp)
+    # smooth gradient + coarse quant: long zero runs exercise the EOBn
+    # accumulation and refinement correction-bit paths
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = (128 + 60 * np.sin(xx / 10.0) * np.cos(yy / 14.0)).astype(np.uint8)
+    q = np.full((8, 8), 16.0)
+    (_, _, _), pb = _decode_jpeg_pixels(_encode_jpeg_gray(img, q))
+    (_, _, _), pp = _decode_jpeg_pixels(_encode_jpeg_gray_progressive(img, q))
+    assert np.array_equal(pb, pp)
+
+
+def test_jpeg_progressive_block_constant_exact():
+    """All-ones quant + block-constant image: DC = 8*(v-128) integral,
+    AC = 0 — the closed-form oracle must hold through the progressive
+    path exactly, like the baseline one."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray_progressive,
+    )
+
+    img = _block_img(24, 16)  # (w, h) → a 16x24 array
+    (h, w, n), flat = _decode_jpeg_pixels(
+        _encode_jpeg_gray_progressive(img)
+    )
+    assert (h, w, n) == (16, 24, 1)
+    assert np.array_equal(flat.reshape(h, w), img.astype(float))
+
+
+def test_jpeg_restart_intervals_decode():
+    """DRI + RSTn: predictor reset and byte realignment per restart
+    segment must reproduce the no-restart decode exactly, and a
+    missing restart segment must fail loudly."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (16, 32)).astype(np.uint8)
+    with_rst = _encode_jpeg_gray(img, restart_interval=2)
+    assert any(
+        bytes([0xFF, 0xD0 + i]) in with_rst for i in range(8)
+    ), "restart markers actually emitted"
+    (_, _, _), pd = _decode_jpeg_pixels(with_rst)
+    (_, _, _), pl = _decode_jpeg_pixels(_encode_jpeg_gray(img))
+    assert np.array_equal(pd, pl)
+    # truncate away the final restart segment: decoder must not
+    # silently decode garbage
+    last_rst = max(
+        with_rst.rfind(bytes([0xFF, 0xD0 + i])) for i in range(8)
+    )
+    with pytest.raises(ValueError):
+        _decode_jpeg_pixels(with_rst[: last_rst + 2] + b"\xff\xd9")
 
 
 def _encode_jpeg_3comp_neutral_chroma(px):
