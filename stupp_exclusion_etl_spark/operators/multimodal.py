@@ -721,6 +721,91 @@ def _jpeg_ac_refine(reader, tab, blk, ss, se, al, state) -> None:
         state["eobrun"] -= 1
 
 
+def _jpeg_seq_block(reader, tabs, dct, act, blk, pred: int) -> int:
+    """Sequential (full-band) decode of one 8x8 block: DC diff + AC
+    run-length symbols into natural-order ``blk``. Returns the new DC
+    predictor."""
+    t = reader.huff(tabs[(0, dct)])
+    pred += _jpeg_extend(reader.bits(t), t)
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        sym = reader.huff(tabs[(1, act)])
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL: 16 zeros
+            k += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        k += run
+        blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(reader.bits(size), size)
+        k += 1
+    return pred
+
+
+def _jpeg_decode_subsampled(h, w, comps, samp, scans, idx_of, idct_planes):
+    """Sequential decode with real MCU geometry (T.81 A.2.3): sampling
+    factors up to 2x2, MCUs of Hmax x Vmax-aligned regions carrying
+    h_i x v_i blocks per component, restart intervals in MCUs; each
+    subsampled plane is IDCT'd at its own resolution then replicated
+    (nearest-neighbor upsampling, the classic "box" reconstruction) to
+    frame size. Progressive + subsampled stays guarded — its
+    non-interleaved scans use per-component block counts, a different
+    geometry."""
+    import numpy as np
+
+    if len(scans) != 1 or scans[0]["ss"] != 0 or scans[0]["se"] != 63 \
+            or scans[0]["ah"] or scans[0]["al"]:
+        raise NotImplementedError("progressive subsampled JPEG")
+    sc = scans[0]
+    if len(sc["comps"]) != len(comps):
+        raise NotImplementedError("non-interleaved subsampled JPEG scan")
+    hmax = max(hh for hh, _vv in samp.values())
+    vmax = max(vv for _hh, vv in samp.values())
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    for cid, _qid in comps:
+        hh, vv = samp[cid]
+        grids.append((mcy * vv, mcx * hh))
+    coef = [
+        np.zeros((rows * cols, 64), dtype=np.int64) for rows, cols in grids
+    ]
+    ri, tabs, segments = sc["ri"], sc["tabs"], sc["segments"]
+    seg_i = 0
+    reader = _JpegBitReader(segments[0])
+    pred = [0] * len(sc["comps"])
+    for m in range(mcx * mcy):
+        if ri and m and m % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            reader = _JpegBitReader(segments[seg_i])
+            pred = [0] * len(sc["comps"])
+        mx, my = m % mcx, m // mcx
+        for ci, (cid, dct, act) in enumerate(sc["comps"]):
+            hh, vv = samp[cid]
+            _rows, cols = grids[idx_of[cid]]
+            for by in range(vv):
+                for bx in range(hh):
+                    bi = (my * vv + by) * cols + (mx * hh + bx)
+                    pred[ci] = _jpeg_seq_block(
+                        reader, tabs, dct, act,
+                        coef[idx_of[cid]][bi], pred[ci],
+                    )
+    planes = []
+    for ci, ((cid, _qid), plane) in enumerate(
+        zip(comps, idct_planes(coef, grids))
+    ):
+        hh, vv = samp[cid]
+        if (hh, vv) != (hmax, vmax):
+            plane = np.repeat(
+                np.repeat(plane, vmax // vv, axis=0), hmax // hh, axis=1
+            )
+        planes.append(plane[:h, :w])
+    return planes
+
+
 def _jpeg_apply_scan(coef, sc: dict, nb: int, idx_of: dict) -> None:
     """Apply one scan (sequential full-band, progressive DC, or
     progressive AC) onto the per-component coefficient store. With 1x1
@@ -744,24 +829,9 @@ def _jpeg_apply_scan(coef, sc: dict, nb: int, idx_of: dict) -> None:
             state["eobrun"] = 0
         if ss == 0 and se == 63:  # sequential: DC+AC interleaved
             for ci, (cid, dct, act) in enumerate(comps):
-                blk = coef[idx_of[cid]][m]
-                t = reader.huff(tabs[(0, dct)])
-                pred[ci] += _jpeg_extend(reader.bits(t), t)
-                blk[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    sym = reader.huff(tabs[(1, act)])
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    blk[_JPEG_ZIGZAG[k]] = _jpeg_extend(
-                        reader.bits(size), size
-                    )
-                    k += 1
+                pred[ci] = _jpeg_seq_block(
+                    reader, tabs, dct, act, coef[idx_of[cid]][m], pred[ci]
+                )
         elif ss == 0:  # progressive DC scan (first or refinement)
             for ci, (cid, dct, _act) in enumerate(comps):
                 blk = coef[idx_of[cid]][m]
@@ -839,16 +909,20 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             comps = []
+            samp = {}
             for c in range(body[5]):
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
-                if hv != 0x11:
+                hh, vv = hv >> 4, hv & 0x0F
+                if hh not in (1, 2) or vv not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled JPEG chroma (sampling factors != 1x1)"
+                        f"JPEG sampling factors {hh}x{vv} (1x1/2x1/1x2/"
+                        "2x2 supported)"
                     )
+                samp[cid] = (hh, vv)
                 comps.append((cid, qid))
             if len(comps) not in (1, 3):
                 raise NotImplementedError(f"{len(comps)}-component JPEG")
-            frame = (h, w, comps)
+            frame = (h, w, comps, samp)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -893,26 +967,42 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             })
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    h, w, comps = frame
+    h, w, comps, samp = frame
     a_mat = _dct8_matrix()
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    nb = bw * bh
     idx_of = {cid: i for i, (cid, _qid) in enumerate(comps)}
-    # shared coefficient store (natural-order index): baseline fills it
-    # in one scan, progressive accumulates across scans
-    coef = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
-    for sc in scans:
-        _jpeg_apply_scan(coef, sc, nb, idx_of)
-    # dequantize + vectorized IDCT per component
-    planes = []
-    for ci, (_cid, qid) in enumerate(comps):
-        blocks = (coef[ci] * quant[qid].reshape(-1)).reshape(nb, 8, 8)
-        px = np.einsum("ij,njk,kl->nil", a_mat.T, blocks, a_mat) + 128.0
-        plane = (
-            px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw * 8)
+
+    def idct_planes(coef, grids):
+        """grids: per comp (rows, cols) of 8x8 blocks in raster order →
+        dequantized, IDCT'd sample planes (one vectorized einsum per
+        component)."""
+        out = []
+        for ci, (_cid, qid) in enumerate(comps):
+            rows, cols = grids[ci]
+            blocks = (
+                coef[ci] * quant[qid].reshape(-1)
+            ).reshape(rows * cols, 8, 8)
+            px = np.einsum("ij,njk,kl->nil", a_mat.T, blocks, a_mat) + 128.0
+            out.append(
+                px.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3)
+                .reshape(rows * 8, cols * 8)
+            )
+        return out
+
+    if any(samp[cid] != (1, 1) for cid, _qid in comps):
+        planes = _jpeg_decode_subsampled(
+            h, w, comps, samp, scans, idx_of, idct_planes
         )
-        planes.append(plane[:h, :w])
+    else:
+        bw, bh = (w + 7) // 8, (h + 7) // 8
+        nb = bw * bh
+        # shared coefficient store (natural-order index): baseline
+        # fills it in one scan, progressive accumulates across scans
+        coef = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
+        for sc in scans:
+            _jpeg_apply_scan(coef, sc, nb, idx_of)
+        planes = [
+            p[:h, :w] for p in idct_planes(coef, [(bh, bw)] * len(comps))
+        ]
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, 255)
         return (h, w, 1), out.reshape(-1)
@@ -1067,6 +1157,89 @@ def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
         if run:
             put(enc_ac, 0x00, 0, 0)  # EOB
     return head + bytes(body) + wtr.finish() + b"\xff\xd9"  # EOI
+
+
+def _encode_jpeg_420(y, cb, cr, quant=None) -> bytes:
+    """Encode YCbCr 4:2:0 baseline JPEG (Y sampled 2x2, chroma 1x1 at
+    quarter resolution; h, w multiples of 16): real MCU interleaving —
+    four Y blocks then one Cb and one Cr per MCU, per-component DC
+    prediction, shared all-ones default quant. Test-vector twin of the
+    subsampled decode path."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    h, w = y.shape
+    if h % 16 or w % 16:
+        raise ValueError("4:2:0 encoder requires multiples of 16")
+    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
+        raise ValueError("chroma planes must be quarter resolution")
+    q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
+    enc_dc, enc_ac = _jpeg_enc_tables()
+    a_mat = _dct8_matrix()
+
+    head = b"\xff\xd8"
+    zz_q = bytes(int(q.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    head += _jpeg_seg(0xDB, b"\x00" + zz_q)
+    head += _jpeg_seg(
+        0xC0,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    head += _jpeg_seg(
+        0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+    )
+    head += _jpeg_seg(
+        0xC4, b"\x10" + bytes(_JPEG_STD_AC_BITS) + bytes(_JPEG_STD_AC_VALS)
+    )
+    head += _jpeg_seg(
+        0xDA, b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00"
+        + b"\x00\x3f\x00"
+    )
+
+    wtr = _JpegBitWriter()
+
+    def put(table, sym: int, extra: int, t: int) -> None:
+        code, length = table[sym]
+        wtr.bits(code, length)
+        if t:
+            wtr.bits(extra if extra >= 0 else extra + (1 << t) - 1, t)
+
+    def enc_block(plane, r0: int, c0: int, pred: int) -> int:
+        block = plane[r0 : r0 + 8, c0 : c0 + 8] - 128.0
+        coeff = np.round((a_mat @ block @ a_mat.T) / q).astype(np.int64)
+        zz = coeff.reshape(-1)[list(_JPEG_ZIGZAG)]
+        diff = int(zz[0]) - pred
+        t = int(abs(diff)).bit_length()
+        put(enc_dc, t, diff, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                put(enc_ac, 0xF0, 0, 0)
+                run -= 16
+            s = abs(v).bit_length()
+            put(enc_ac, (run << 4) | s, v, s)
+            run = 0
+        if run:
+            put(enc_ac, 0x00, 0, 0)
+        return int(zz[0])
+
+    preds = [0, 0, 0]
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):
+                for bx in range(2):
+                    preds[0] = enc_block(
+                        y, my * 16 + by * 8, mx * 16 + bx * 8, preds[0]
+                    )
+            preds[1] = enc_block(cb, my * 8, mx * 8, preds[1])
+            preds[2] = enc_block(cr, my * 8, mx * 8, preds[2])
+    return head + wtr.finish() + b"\xff\xd9"
 
 
 def _encode_jpeg_gray_progressive(px, quant=None) -> bytes:

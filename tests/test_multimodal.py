@@ -393,13 +393,61 @@ def test_jpeg_decoder_rejects_out_of_scope_features():
 
     payload = bytearray(_encode_jpeg_gray(_block_img(8, 8)))
     sof = payload.index(b"\xff\xc0")
-    subsampled = bytearray(payload)
-    subsampled[sof + 11] = 0x22  # component sampling factors 2x2
-    with pytest.raises(NotImplementedError, match="subsampl"):
-        _decode_jpeg_pixels(bytes(subsampled))
+    oversampled = bytearray(payload)
+    oversampled[sof + 11] = 0x33  # 3x3 sampling factors: out of scope
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        _decode_jpeg_pixels(bytes(oversampled))
     lossless = bytes(payload[:sof + 1]) + b"\xc3" + bytes(payload[sof + 2:])
     with pytest.raises(NotImplementedError, match="lossless"):
         _decode_jpeg_pixels(lossless)
+
+
+def test_jpeg_420_subsampled_decode():
+    """Real MCU geometry (4 Y blocks + Cb + Cr per MCU, per-component
+    DC prediction, nearest-neighbor chroma reconstruction): with
+    block-constant planes and all-ones quant the round trip is exact
+    against the closed-form YCbCr→RGB conversion of the replicated
+    chroma; random content stays within DCT integer-rounding
+    tolerance."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_420,
+    )
+
+    rng = np.random.default_rng(3)
+    h, w = 32, 48
+
+    def expected(y, cb, cr):
+        cbf = np.repeat(np.repeat(cb, 2, 0), 2, 1)
+        crf = np.repeat(np.repeat(cr, 2, 0), 2, 1)
+        return np.clip(np.round(np.stack([
+            y + 1.402 * (crf - 128.0),
+            y - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0),
+            y + 1.772 * (cbf - 128.0),
+        ], axis=-1)), 0, 255)
+
+    def blocky(rows, cols):
+        return np.repeat(
+            np.repeat(
+                rng.integers(0, 256, (rows, cols)).astype(float), 8, 0
+            ), 8, 1,
+        )
+
+    y, cb, cr = blocky(h // 8, w // 8), blocky(h // 16, w // 16), blocky(
+        h // 16, w // 16
+    )
+    (hh, ww, nc), flat = _decode_jpeg_pixels(_encode_jpeg_420(y, cb, cr))
+    assert (hh, ww, nc) == (h, w, 3)
+    assert np.array_equal(
+        np.asarray(flat).reshape(h, w, 3), expected(y, cb, cr)
+    )
+
+    y = rng.integers(0, 256, (h, w)).astype(float)
+    cb = rng.integers(0, 256, (h // 2, w // 2)).astype(float)
+    cr = rng.integers(0, 256, (h // 2, w // 2)).astype(float)
+    (_, _, _), flat = _decode_jpeg_pixels(_encode_jpeg_420(y, cb, cr))
+    diff = np.abs(np.asarray(flat).reshape(h, w, 3) - expected(y, cb, cr))
+    assert diff.max() <= 3.0
 
 
 def test_jpeg_progressive_decodes_identical_to_baseline():
