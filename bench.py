@@ -135,6 +135,8 @@ HEADLINE = [
     "mm_png_adam7_decode_stats",
     "mm_gif_interlaced_stats",
     "atomic_skipping_read",
+    "atomic_changes_read",
+    "mm_jpeg_progressive_stats",
 ]
 
 

@@ -370,6 +370,87 @@ def atomic_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "atomic_changes_read",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 6),
+    b2 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 BETWEEN 4 AND 8),
+    final AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS k,
+             COALESCE(n.o_totalprice, o.o_totalprice) AS p
+      FROM b1 o FULL JOIN b2 n ON n.o_orderkey = o.o_orderkey),
+    kept AS (SELECT * FROM final WHERE k % 7 <> 0),
+    feed AS (
+      SELECT k, p, 'insert' AS ct FROM kept
+      WHERE k NOT IN (SELECT o_orderkey FROM b1)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'delete' FROM b1
+      WHERE o_orderkey NOT IN (SELECT k FROM kept)
+      UNION ALL
+      SELECT f.k, f.p, 'update' FROM kept f
+      JOIN b1 o ON o.o_orderkey = f.k
+      JOIN b2 n ON n.o_orderkey = f.k)
+    SELECT ct AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(p), 2) AS total
+    FROM feed GROUP BY ct
+    """,
+    tags=("A15", "A16", "C16"),
+)
+def atomic_changes_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed drive (sinks.atomic.changes): base batch, an
+    overlapping re-priced upsert, a keyed delete — then the row-level
+    feed between the base version and the final snapshot, aggregated
+    by change type. The feed is computed from ONLY the files that
+    entered/left the manifest (a metadata diff plus two bounded
+    scans), and rows merely copied into rewritten files compare equal
+    and drop out — so the oracle can restate the feed as pure batch
+    algebra (insert = new keys surviving the delete, delete = base
+    keys gone, update = re-priced keys that survived), which is
+    exactly the incremental-reprocessing contract a downstream
+    tokenization/indexing stage consumes. Money sums rounded to 2."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_c_"),
+        keys=["o_orderkey"],
+        cluster_by=["o_orderkey"],
+        cluster_files=8,
+    )
+    t.upsert(
+        o.filter(k % 10 < 6).withColumn("ts", F.lit(0)),
+        [F.col("ts").desc()],
+    )
+    v0 = t.current_version()
+    t.upsert(
+        o.filter((k % 10 >= 4) & (k % 10 <= 8))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+        .withColumn("ts", F.lit(1)),
+        [F.col("ts").desc()],
+    )
+    t.delete_keys(o.filter(k % 7 == 0).select("o_orderkey"))
+    return (
+        t.changes(v0)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@register(
     "atomic_merge_read",
     oracle="""
     WITH init AS (

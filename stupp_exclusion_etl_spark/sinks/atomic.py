@@ -1352,6 +1352,94 @@ class AtomicParquetTable:
             max_commit_retries,
         )
 
+    # -- change data feed ---------------------------------------------
+
+    def changes(
+        self, since: int, until: int | None = None
+    ) -> DataFrame:
+        """Row-level change feed between two snapshots (Delta CDF's
+        idea): one row per key whose content differs between version
+        ``since`` and ``until`` (default: current), with
+        ``_change_type`` ∈ insert / update / delete — update and
+        insert rows carry the new values, delete rows the old ones.
+
+        100 TB shape: only files that entered or left the manifest
+        between the two versions are read (a manifest diff, then two
+        bounded scans); rows merely COPIED into rewritten files
+        compare equal across the key full-outer join and drop out, so
+        the feed reports the semantic batch effect, not the physical
+        write amplification — a compaction yields an empty feed. This
+        is what lets a downstream pipeline (tokenization, indexing,
+        dedup refresh) reprocess increments instead of the table."""
+        man_a = self._manifest(since)
+        man_b = (
+            self._manifest(until)
+            if until is not None
+            else self.snapshot()
+        )
+        files_a = {
+            f for fl in man_a["partitions"].values() for f in fl
+        }
+        files_b = {
+            f for fl in man_b["partitions"].values() for f in fl
+        }
+
+        def read_files(files: set[str]) -> DataFrame | None:
+            if not files:
+                return None
+            return (
+                self.spark.read
+                .option("basePath", f"{self.path}/{DATA_DIR}")
+                .option("mergeSchema", "true")
+                .parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in files])
+            )
+
+        old = read_files(files_a - files_b)
+        new = read_files(files_b - files_a)
+        if old is None and new is None:
+            empty = self.spark.createDataFrame([], man_b["schema_ddl"])
+            return empty.withColumn("_change_type", F.lit(""))
+        # align schemas (evolution may have widened either side)
+        if old is None:
+            old = new.limit(0)
+        if new is None:
+            new = old.limit(0)
+        cols = list(dict.fromkeys([*new.columns, *old.columns]))
+        for c in cols:
+            if c not in new.columns:
+                new = new.withColumn(c, F.lit(None))
+            if c not in old.columns:
+                old = old.withColumn(c, F.lit(None))
+        # presence flags rather than key-null probes: a NULL key is a
+        # legal (partition-scoped) row and must still diff correctly
+        n = new.withColumn("__n_present", F.lit(True)).alias("__n")
+        o = old.withColumn("__o_present", F.lit(True)).alias("__o")
+        on = None
+        for k in self.keys:
+            clause = F.col(f"__n.{k}").eqNullSafe(F.col(f"__o.{k}"))
+            on = clause if on is None else (on & clause)
+        joined = n.join(o, on, "full_outer")
+        same = F.lit(True)
+        for c in cols:
+            if c not in self.keys:
+                same = same & F.col(f"__n.{c}").eqNullSafe(F.col(f"__o.{c}"))
+        change = (
+            F.when(F.col("__o.__o_present").isNull(), F.lit("insert"))
+            .when(F.col("__n.__n_present").isNull(), F.lit("delete"))
+            .when(~same, F.lit("update"))
+        )
+        out_cols = [
+            F.when(
+                F.col("__n.__n_present").isNotNull(), F.col(f"__n.{c}")
+            ).otherwise(F.col(f"__o.{c}")).alias(c)
+            for c in cols
+        ]
+        return (
+            joined.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*out_cols, "_change_type")
+        )
+
     # -- maintenance --------------------------------------------------
 
     def compact(self, target_bytes_per_file: int = 128 * 1024 * 1024) -> int:
