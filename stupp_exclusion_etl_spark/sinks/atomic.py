@@ -385,6 +385,55 @@ def _file_may_match(fstat: dict | None, col: str, op: str, enc_vals) -> bool:
     raise ValueError(f"unknown op {op!r}")
 
 
+def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
+    """Z-order curve value over the cluster columns (OPTIMIZE ZORDER
+    BY): each column is bucketized into 2^bits uniform buckets over its
+    batch min/max (one extra bounded aggregate per write), and the
+    bucket bits are interleaved so range-partitioning on the z-value
+    co-locates rows close in EVERY dimension — a predicate on any one
+    clustered column then prunes ~N^(1-1/k) of N files via the stats
+    index, instead of only the first column pruning. Entirely JVM-side
+    column arithmetic (casts, floor, shiftright, bitwiseAND). NULLs
+    bucket to 0 (they sort first, like NULLS FIRST)."""
+    from pyspark.sql import types as T
+
+    def as_double(c: str) -> Column:
+        dt = df.schema[c].dataType
+        if isinstance(dt, T.DateType):
+            return F.col(c).cast("timestamp").cast("double")
+        if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+            return F.col(c).cast("double")
+        return F.col(c).cast("double")
+
+    nb = 1 << bits
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(as_double(c)).alias(f"__lo_{c}"),
+            F.max(as_double(c)).alias(f"__hi_{c}"),
+        ]
+    stats = df.agg(*aggs).first()
+    z = F.lit(0).cast("long")
+    k = len(cols)
+    for i, c in enumerate(cols):
+        lo, hi = stats[f"__lo_{c}"], stats[f"__hi_{c}"]
+        if lo is None or hi is None or hi <= lo:
+            continue  # constant/all-null column adds no bits
+        frac = (as_double(c) - F.lit(lo)) / F.lit(hi - lo)
+        bucket = F.coalesce(
+            F.least(
+                F.greatest(F.floor(frac * nb), F.lit(0)), F.lit(nb - 1)
+            ),
+            F.lit(0),
+        ).cast("long")
+        for b in range(bits):
+            z = z + (
+                F.shiftright(bucket, b).bitwiseAND(F.lit(1))
+                * F.lit(1 << (b * k + i))
+            )
+    return z
+
+
 def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
     """(col, op[, value]) → (col, op, [values]). `in` takes an
     iterable; null ops take no value."""
@@ -439,6 +488,7 @@ class AtomicParquetTable:
         partition_by: list[str] | None = None,
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
+        cluster_order: str = "range",
         hooks: dict[str, Callable[[], None]] | None = None,
     ) -> None:
         if partition_by and set(partition_by) & set(keys):
@@ -461,6 +511,13 @@ class AtomicParquetTable:
         # an int pins the per-write file count (tests, or operators
         # who want N range-disjoint files regardless of batch size)
         self.cluster_files = cluster_files
+        # "range": lexicographic range clustering — perfect pruning on
+        # the FIRST cluster column, none on later ones. "zorder":
+        # interleave the columns' bucket bits (OPTIMIZE ZORDER BY) so a
+        # predicate on ANY clustered column prunes ~N^(1-1/k) of files
+        if cluster_order not in ("range", "zorder"):
+            raise ValueError(f"cluster_order: {cluster_order!r}")
+        self.cluster_order = cluster_order
         self.hooks = hooks or {}
 
     # -- snapshot resolution ------------------------------------------
@@ -594,13 +651,23 @@ class AtomicParquetTable:
             # covers a narrow cluster-key range for stats skipping; the
             # local sort additionally tightens parquet row-group stats
             # so Spark's own reader skips pages inside kept files
-            cols = [*self.partition_by, *self.cluster_by]
+            drop_after = []
+            if self.cluster_order == "zorder" and len(self.cluster_by) > 1:
+                df = df.withColumn(
+                    "__zorder", _zvalue_column(df, self.cluster_by)
+                )
+                cols = [*self.partition_by, "__zorder"]
+                drop_after = ["__zorder"]
+            else:
+                cols = [*self.partition_by, *self.cluster_by]
             n = num_files or self.cluster_files
             df = (
                 df.repartitionByRange(n, *cols)
                 if n
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*cols)
+            if drop_after:
+                df = df.drop(*drop_after)
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)

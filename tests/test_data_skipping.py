@@ -245,6 +245,55 @@ def test_enc_and_prune_unit_edges():
     assert math.isnan(_enc_stat_value(float("nan"), "f") or float("nan"))
 
 
+def test_zorder_prunes_on_every_clustered_column(spark, tmp_path):
+    """cluster_order='zorder' interleaves the cluster columns' bucket
+    bits, so a predicate on ANY clustered column prunes files — where
+    lexicographic range clustering only ever prunes on the first.
+    Values must match the plain filter under both orders."""
+    rows = [(i, i % 100, (i * 7919) % 100, float(i)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "k int, a int, b int, vv double")
+
+    def build(order):
+        t = AtomicParquetTable(
+            spark, str(tmp_path / order), keys=["k"],
+            cluster_by=["a", "b"], cluster_files=16, cluster_order=order,
+        )
+        t.upsert(
+            df.withColumn("ts", F.lit(0)),
+            [F.col("ts").desc()],
+        )
+        return t
+
+    rng_t, z_t = build("range"), build("zorder")
+    a_pred = [("a", ">=", 10), ("a", "<", 20)]
+    b_pred = [("b", ">=", 10), ("b", "<", 20)]
+    # range clustering: second column never prunes
+    assert rng_t.skipping_report(b_pred)["files_kept"] == 16
+    # z-order: BOTH dimensions prune
+    za = z_t.skipping_report(a_pred)["files_kept"]
+    zb = z_t.skipping_report(b_pred)["files_kept"]
+    assert za < 16 and zb < 16, (za, zb)
+    for t in (rng_t, z_t):
+        for preds in (a_pred, b_pred, [("a", "=", 42), ("b", "=", 13)]):
+            got = t.read(where=preds).count()
+            want = df
+            for pred in preds:
+                from stupp_exclusion_etl_spark.sinks.atomic import (
+                    _predicate_column,
+                )
+
+                want = want.filter(_predicate_column(pred))
+            assert got == want.count()
+
+
+def test_zorder_invalid_order_rejected(spark, tmp_path):
+    with pytest.raises(ValueError, match="cluster_order"):
+        AtomicParquetTable(
+            spark, str(tmp_path / "bad"), keys=["k"],
+            cluster_by=["a"], cluster_order="hilbert",
+        )
+
+
 def test_partitioned_table_stats_and_combined_pruning(spark, tmp_path):
     """Partition pruning (dir-level) and stats pruning (file-level)
     compose: predicate on the partition col narrows dirs via the
