@@ -385,6 +385,65 @@ def _file_may_match(fstat: dict | None, col: str, op: str, enc_vals) -> bool:
     raise ValueError(f"unknown op {op!r}")
 
 
+def _partition_may_match(
+    part_dir: str, partition_by: list[str], pred: tuple
+) -> bool:
+    """Conservative partition-dir test for one predicate on a
+    partition column: False only when the parsed dir value PROVES no
+    row in the partition can satisfy it. Values come back through the
+    same Hive escaping the writer used (percent-unquote,
+    __HIVE_DEFAULT_PARTITION__ = NULL); typed comparison re-parses the
+    string as the predicate literal's type and keeps the partition on
+    any parse failure."""
+    from urllib.parse import unquote
+
+    col, op, vals = _normalize_predicate(pred)
+    value_str: str | None = None
+    found = False
+    for seg in part_dir.split("/"):
+        name, _, raw = seg.partition("=")
+        if name == col:
+            found = True
+            value_str = (
+                None
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(raw)
+            )
+            break
+    if not found:
+        return True
+    if op == "is_null":
+        return value_str is None
+    if op == "not_null":
+        return value_str is not None
+    if value_str is None:
+        return False  # NULL partition: no value predicate matches
+
+    def parse(v):
+        if isinstance(v, bool):  # before int: bool IS an int
+            return value_str == "true"
+        if isinstance(v, int):
+            return int(value_str)
+        if isinstance(v, float):
+            return float(value_str)
+        if isinstance(v, str):
+            return value_str
+        raise TypeError(type(v))
+
+    for v in vals:
+        try:
+            parsed = parse(v)
+        except (TypeError, ValueError):
+            return True  # unparseable/unknown type: keep the partition
+        if {
+            "=": parsed == v, "in": parsed == v,
+            "<": parsed < v, "<=": parsed <= v,
+            ">": parsed > v, ">=": parsed >= v,
+        }[op]:
+            return True
+    return False
+
+
 def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     """Z-order curve value over the cluster columns (OPTIMIZE ZORDER
     BY): each column is bucketized into 2^bits uniform buckets over its
@@ -592,8 +651,31 @@ class AtomicParquetTable:
         self, man: dict, rel: list[str], where: list[tuple]
     ) -> list[str]:
         stats = man.get("stats", {})
+        # manifest-level partition pruning first: a predicate on a
+        # partition column eliminates whole partitions by their dir
+        # string before any per-file stat is consulted — at 100 TB the
+        # partition map is thousands of entries vs millions of files
+        part_preds = [
+            p for p in where
+            if _normalize_predicate(p)[0] in self.partition_by
+        ]
+        live_parts = {
+            part
+            for part in man["partitions"]
+            if all(
+                _partition_may_match(part, self.partition_by, p)
+                for p in part_preds
+            )
+        }
+        file_part = {
+            f: part
+            for part, files in man["partitions"].items()
+            for f in files
+        }
         kept = []
         for f in rel:
+            if file_part.get(f) not in live_parts:
+                continue
             fstat = stats.get(f)
             ok = True
             for pred in where:

@@ -245,6 +245,56 @@ def test_enc_and_prune_unit_edges():
     assert math.isnan(_enc_stat_value(float("nan"), "f") or float("nan"))
 
 
+def test_partition_value_pruning_at_manifest_level(spark, tmp_path):
+    """A predicate on a partition column eliminates whole partitions
+    from the file list by parsing the Hive dir strings — before any
+    per-file stat or footer is consulted. Null partitions and
+    percent-escaped values must round-trip through the escaping."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "pp"), keys=["k"], partition_by=["part"]
+    )
+    rows = (
+        [(k, "A", float(k), "s", 0) for k in range(10)]
+        + [(k, "B", float(k), "s", 0) for k in range(10, 20)]
+        + [(k, "x:y", float(k), "s", 0) for k in range(20, 25)]
+        + [(k, None, float(k), "s", 0) for k in range(25, 28)]
+    )
+    t.upsert(_df(spark, rows), [F.col("ts").desc()])
+    total = t.skipping_report([])["files_total"]
+
+    rep = t.skipping_report([("part", "=", "A")])
+    assert 0 < rep["files_kept"] < total
+    assert t.read(where=[("part", "=", "A")]).count() == 10
+    # escaped special characters parse back correctly
+    rep2 = t.skipping_report([("part", "=", "x:y")])
+    assert 0 < rep2["files_kept"] < total
+    assert t.read(where=[("part", "=", "x:y")]).count() == 5
+    # NULL partition: is_null keeps only the Hive default dir
+    repn = t.skipping_report([("part", "is_null")])
+    assert 0 < repn["files_kept"] < total
+    assert t.read(where=[("part", "is_null")]).count() == 3
+    assert t.read(where=[("part", "not_null")]).count() == 25
+    assert t.read(where=[("part", "in", ["A", "B"])]).count() == 20
+
+
+def test_partition_range_pruning_typed(spark, tmp_path):
+    """Range predicates on an int partition column compare typed, not
+    lexicographic — part=9 < part=10 must hold."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "pr"), keys=["k"], partition_by=["bucket"]
+    )
+    rows = [(k, k % 12, float(k)) for k in range(120)]
+    t.upsert(
+        spark.createDataFrame(rows, "k int, bucket int, v double"),
+        [F.col("v").desc()],
+    )
+    rep = t.skipping_report([("bucket", ">=", 9)])
+    assert rep["files_kept"] < rep["files_total"]
+    got = t.read(where=[("bucket", ">=", 9)])
+    assert got.count() == 30  # buckets 9, 10, 11
+    assert sorted(set(r.bucket for r in got.collect())) == [9, 10, 11]
+
+
 def test_zorder_prunes_on_every_clustered_column(spark, tmp_path):
     """cluster_order='zorder' interleaves the cluster columns' bucket
     bits, so a predicate on ANY clustered column prunes files — where
