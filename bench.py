@@ -137,6 +137,7 @@ HEADLINE = [
     "atomic_skipping_read",
     "atomic_changes_read",
     "mm_jpeg_progressive_stats",
+    "pipeline_incremental_dedup",
 ]
 
 

@@ -571,3 +571,120 @@ def pipeline_near_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
         )
     )
+
+
+@register(
+    "pipeline_incremental_dedup",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SHINGLES} AS shingles FROM documents),
+    ex AS (SELECT DISTINCT doc_id, u.s FROM toks, UNNEST(shingles) AS u(s)),
+    based AS (SELECT doc_id, ({_MD5_BASE}) % {MINHASH_P} AS hb
+              FROM (SELECT doc_id, s FROM ex)),
+    sigs AS (SELECT doc_id, {_MINHASH_AGGS} FROM based GROUP BY doc_id),
+    bands AS ({_BAND_SELECTS}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0),
+    n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+          FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT c.id1, c.id2, CAST(count(*) AS BIGINT) AS n_inter
+      FROM cand c
+      JOIN ex e1 ON e1.doc_id = c.id1
+      JOIN ex e2 ON e2.doc_id = c.id2 AND e2.s = e1.s
+      GROUP BY c.id1, c.id2)
+    SELECT CAST(i.id1 AS BIGINT) AS id1, CAST(i.id2 AS BIGINT) AS id2,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (na.n_sh + nb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN n na ON na.doc_id = i.id1
+    JOIN n nb ON nb.doc_id = i.id2
+    WHERE CAST(i.n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - i.n_inter) >= 0.4
+    """,
+    tags=("B9", "B14", "C16"),
+)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dedup driven by the atomic table's change feed
+    (the CDC consumption pattern a 100 TB corpus actually needs): the
+    base corpus (doc_id % 10 != 0) is committed, a new batch
+    (doc_id % 10 == 0) is upserted, and `changes(v0)` — not a rescan —
+    yields exactly the changed documents. Only THEIR LSH bands probe
+    the corpus band index (semi-join restriction), so candidate work
+    is O(changed x bucket), never corpus²; exact shingle-set Jaccard
+    (>= 0.4) then verifies each candidate. The oracle restates the
+    same semantics non-incrementally — all corpus pairs with at least
+    one batch member — so a hash match proves the feed surfaced
+    precisely the batch and the restricted band probe lost no pair.
+    Pairs are least/greatest-normalized to match the oracle's
+    id1 < id2."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        _exploded_shingles,
+        lsh_bands,
+        minhash_signatures,
+    )
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="incdedup_"),
+        keys=["doc_id"],
+        cluster_by=["doc_id"],
+        cluster_files=4,
+    )
+    k = F.col("doc_id")
+    t.upsert(
+        d.filter(k % 10 != 0).withColumn("ts", F.lit(0)),
+        [F.col("ts").desc()],
+    )
+    v0 = t.current_version()
+    t.upsert(
+        d.filter(k % 10 == 0).withColumn("ts", F.lit(1)),
+        [F.col("ts").desc()],
+    )
+    changed = t.changes(v0).filter(
+        F.col("_change_type") != "delete"
+    ).select("doc_id")
+    corpus = t.read().select("doc_id", "text")
+    sigs = minhash_signatures(corpus, "doc_id", "text", _N_HASHES, 3)
+    bands = lsh_bands(sigs, "doc_id", _N_HASHES, _BAND_SIZE)
+    probe = bands.join(changed, "doc_id", "left_semi")
+    a = probe.select(F.col("doc_id").alias("ida"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("idb"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            F.least("ida", "idb").alias("id1"),
+            F.greatest("ida", "idb").alias("id2"),
+        )
+        .distinct()
+    )
+    ex = _exploded_shingles(corpus, "doc_id", "text", 3).distinct()
+    n = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    e1 = ex.select(F.col("doc_id").alias("id1"), F.col("s"))
+    e2 = ex.select(F.col("doc_id").alias("id2"), F.col("s"))
+    inter = (
+        cand.join(e1, "id1")
+        .join(e2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = n.select(F.col("doc_id").alias("id1"), F.col("n_sh").alias("na"))
+    nb = n.select(F.col("doc_id").alias("id2"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
+    return (
+        inter.join(na, "id1")
+        .join(nb, "id2")
+        .filter(jac >= 0.4)
+        .select(
+            F.col("id1").cast("long"),
+            F.col("id2").cast("long"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
