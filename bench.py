@@ -138,6 +138,7 @@ HEADLINE = [
     "atomic_changes_read",
     "mm_jpeg_progressive_stats",
     "pipeline_incremental_dedup",
+    "mm_jpeg_420_subsampled_stats",
 ]
 
 

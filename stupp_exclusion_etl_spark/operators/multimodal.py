@@ -1458,6 +1458,60 @@ def synth_jpeg_gray(df: DataFrame, id_col: str, seed_col: str,
     return src.mapInPandas(gen, _JPEG_SYNTH_SCHEMA)
 
 
+def synth_jpeg_420(df: DataFrame, id_col: str, seed_col: str,
+                   wb_col: str, hb_col: str) -> DataFrame:
+    """Deterministic 4:2:0 color JPEG generator: per row encode a
+    (hb*8, wb*8) YCbCr image (wb, hb EVEN — 4:2:0 needs 16-multiple
+    dims) whose luma 8x8 block (bx, by) is ``(seed + 5*bx + 11*by) %
+    256`` and whose chroma planes are constant per CHROMA block
+    (cx, cy) = (bx//2, by//2): Cb = ``(3*seed + 7*cx + 13*cy) % 256``,
+    Cr = ``(5*seed + 3*cx + 17*cy) % 256``. Block-constant planes +
+    all-ones quant make the subsampled round trip exact, so an oracle
+    recomputes every decoded RGB value in closed form (the constants
+    are chosen so no YCbCr→RGB conversion lands on an exact .5 —
+    rounding-mode-proof). Arrow-batched mapInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads, ws, hs = [], [], [], []
+            for i, seed, wb, hb in zip(
+                pdf["id"], pdf["s"], pdf["wb"], pdf["hb"]
+            ):
+                seed, wb, hb = int(seed), int(wb), int(hb)
+                bx = np.arange(wb).reshape(1, -1)
+                by = np.arange(hb).reshape(-1, 1)
+                y = np.repeat(
+                    np.repeat((seed + 5 * bx + 11 * by) % 256, 8, 0), 8, 1
+                ).astype(np.float64)
+                cx = np.arange(wb // 2).reshape(1, -1)
+                cy = np.arange(hb // 2).reshape(-1, 1)
+                cb = np.repeat(
+                    np.repeat((3 * seed + 7 * cx + 13 * cy) % 256, 8, 0),
+                    8, 1,
+                ).astype(np.float64)
+                cr = np.repeat(
+                    np.repeat((5 * seed + 3 * cx + 17 * cy) % 256, 8, 0),
+                    8, 1,
+                ).astype(np.float64)
+                ids.append(int(i))
+                payloads.append(_encode_jpeg_420(y, cb, cr))
+                ws.append(wb * 8)
+                hs.append(hb * 8)
+            yield pd.DataFrame(
+                {"id": ids, "payload": payloads, "width": ws, "height": hs}
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(seed_col).cast("long").alias("s"),
+        F.col(wb_col).cast("int").alias("wb"),
+        F.col(hb_col).cast("int").alias("hb"),
+    ).repartition("id")
+    return src.mapInPandas(gen, _JPEG_SYNTH_SCHEMA)
+
+
 _DECODE_SCHEMA = StructType(
     [
         StructField("id", LongType()),

@@ -511,6 +511,84 @@ def mm_jpeg_progressive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_420_subsampled_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (doc_id * 23) % 256 AS seed,
+             2 + 2 * (doc_id % 2) AS wb, 2 + 2 * (doc_id % 3) AS hb
+      FROM documents WHERE doc_id < 48),
+    blocks AS (
+      SELECT g.doc_id, CAST(u.x AS INT) AS bx, CAST(v.y AS INT) AS by,
+             (g.seed + 5 * u.x + 11 * v.y) % 256 AS yv,
+             (3 * g.seed + 7 * (u.x // 2) + 13 * (v.y // 2)) % 256 AS cb,
+             (5 * g.seed + 3 * (u.x // 2) + 17 * (v.y // 2)) % 256 AS cr
+      FROM g, UNNEST(range(0, g.wb)) AS u(x), UNNEST(range(0, g.hb)) AS v(y)),
+    chans AS (
+      SELECT doc_id, bx, by, 0 AS ch,
+             LEAST(255, GREATEST(0, ROUND(yv + 1.402 * (cr - 128)))) AS val
+      FROM blocks
+      UNION ALL
+      SELECT doc_id, bx, by, 1,
+             LEAST(255, GREATEST(0, ROUND(
+               yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))))
+      FROM blocks
+      UNION ALL
+      SELECT doc_id, bx, by, 2,
+             LEAST(255, GREATEST(0, ROUND(yv + 1.772 * (cb - 128))))
+      FROM blocks)
+    SELECT doc_id, bx, by, CAST(ch AS INT) AS ch,
+           CAST(val AS DOUBLE) AS lo, CAST(val AS DOUBLE) AS hi,
+           CAST(64 AS BIGINT) AS n_px
+    FROM chans
+    """,
+    tags=("B15", "B11"),
+)
+def mm_jpeg_420_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED (4:2:0) color JPEG decode end to end: per
+    document synthesize a real MCU-interleaved stream (four Y blocks +
+    Cb + Cr per MCU, per-component DC prediction —
+    operators.multimodal.synth_jpeg_420), decode it through the MCU
+    geometry path (_jpeg_decode_subsampled: sampling-factor block
+    layout, per-plane IDCT, nearest-neighbor chroma reconstruction,
+    YCbCr→RGB), and reduce per (luma block, channel) JVM-side.
+    Block-constant planes + all-ones quant make the round trip exact,
+    and min = max = the closed-form converted value proves every
+    pixel: a block misplaced in the MCU walk, a swapped chroma plane,
+    or a wrong upsample offset breaks the hash. Synth constants are
+    tie-free (no conversion lands on exact .5), so SQL's
+    round-half-away and numpy's round-half-even agree."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        synth_jpeg_420,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select(
+        "doc_id",
+        (F.col("doc_id") * 23 % 256).alias("seed"),
+        (2 + 2 * (F.col("doc_id") % 2)).cast("int").alias("wb"),
+        (2 + 2 * (F.col("doc_id") % 3)).cast("int").alias("hb"),
+    )
+    jp = synth_jpeg_420(d, "doc_id", "seed", "wb", "hb")
+    dec = decode_media(jp, "id")
+    px = dec.select(
+        F.col("id").alias("doc_id"),
+        F.col("shape")[1].alias("w"),
+        F.posexplode("data"),
+    )
+    idx = F.floor(F.col("pos") / 3)
+    return px.groupBy(
+        "doc_id",
+        F.floor((idx % F.col("w")) / 8).cast("int").alias("bx"),
+        F.floor(F.floor(idx / F.col("w")) / 8).cast("int").alias("by"),
+        (F.col("pos") % 3).cast("int").alias("ch"),
+    ).agg(
+        F.min("col").alias("lo"),
+        F.max("col").alias("hi"),
+        F.count(F.lit(1)).alias("n_px"),
+    )
+
+
+@register(
     "mm_png_decode_channel_stats",
     oracle="""
     WITH g AS (
