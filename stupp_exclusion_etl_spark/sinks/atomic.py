@@ -1501,6 +1501,36 @@ class AtomicParquetTable:
             max_commit_retries,
         )
 
+    def history(self) -> list[dict]:
+        """Commit log, newest first (DESCRIBE HISTORY): one record per
+        retained manifest with version, parent, streaming batch_id,
+        partition/file counts, and which partitions changed vs the
+        parent — metadata-only (manifest reads, no data I/O)."""
+        cur = self.current_version()
+        if cur is None:
+            return []
+        out = []
+        for v in range(cur, -1, -1):
+            try:
+                man = self._manifest(v)
+            except Exception:
+                break  # expired by gc(): older history is gone
+            parent = man.get("parent")
+            out.append({
+                "version": v,
+                "parent": parent,
+                "batch_id": man.get("batch_id"),
+                "n_partitions": len(man["partitions"]),
+                "n_files": sum(
+                    len(fl) for fl in man["partitions"].values()
+                ),
+                # vs parent; v0 diffs against empty = every partition
+                "changed_partitions": sorted(
+                    self._changed_parts(parent, v)
+                ),
+            })
+        return out
+
     # -- change data feed ---------------------------------------------
 
     def changes(

@@ -109,3 +109,18 @@ def test_schema_evolution_in_feed(spark, table):
 def test_feed_between_identical_versions_is_empty(spark, table):
     v0 = table.current_version()
     assert table.changes(v0, v0).count() == 0
+
+
+def test_history_is_metadata_only_commit_log(spark, table):
+    table.upsert(
+        _mk(spark, [(5, -1.0, "b", 1)]), [F.col("ts").desc()]
+    )
+    table.delete_keys(spark.createDataFrame([(6,)], "k int"))
+    h = table.history()
+    assert [r["version"] for r in h] == [2, 1, 0]
+    assert [r["parent"] for r in h] == [1, 0, None]
+    assert all(r["n_files"] > 0 for r in h)
+    # v0 "changed" everything (diff vs empty); later commits only
+    # their touched partitions (unpartitioned table: the "" root)
+    assert h[-1]["changed_partitions"] == [""]
+    assert h[0]["changed_partitions"] == [""]
