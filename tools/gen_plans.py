@@ -48,6 +48,9 @@ BLURBS = {
     "source_session_double_json": "Authenticated-session connector scan: one-partition-per-page BatchScan; login/cookie/double-JSON decode all inside the source.",
     "profile_columns": "Two column-pruned map-side-combining paths (r6 rewrite): global wide agg for nulls/min/max + unpivot->two-phase HASH distinct; 6-row broadcast join reassembles — no SortAggregate, no stats dragged through the distinct path.",
     "atomic_upsert_read": "Manifest-routed read of the atomic table: explicit live-file scan under basePath (partition parsing intact), keep-latest already folded at commit time — the read plan is a plain pruned scan + hash agg.",
+    "atomic_skipping_read": "Stats-index read (r7): the scan's file list was pruned against per-file min/max BEFORE planning — the plan shows a scan over the few surviving range-clustered files plus the residual filter and one hash agg.",
+    "atomic_changes_read": "Change feed (r7): full-outer null-safe compare of ONLY the files that entered/left the manifest — two bounded scans, one join, one agg; untouched files never appear.",
+    "pipeline_incremental_dedup": "CDC-driven incremental dedup (r7): changed docs from the feed semi-join-restrict the band probe, so candidate work is O(changed x bucket); verify joins all equi-joins.",
 }
 
 
