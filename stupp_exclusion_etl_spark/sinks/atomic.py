@@ -1531,6 +1531,28 @@ class AtomicParquetTable:
             })
         return out
 
+    def restore(self, version: int) -> int:
+        """Roll the table back to a retained snapshot as a NEW commit
+        (Delta RESTORE): the new manifest points at the old version's
+        file entries verbatim — zero data I/O, one manifest write, and
+        history is preserved (the bad commits stay time-travelable
+        until gc). Data files are immutable and gc only deletes
+        unreferenced ones, so every file the target manifest lists is
+        still present. Returns the new version."""
+        man = self._manifest(version)
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"no table at {self.path}")
+        if version == cur:
+            return cur
+        # replace every current partition with the target's entries
+        return self._commit(
+            cur,
+            {p: list(fl) for p, fl in man["partitions"].items()},
+            set(self._manifest(cur)["partitions"]),
+            man["schema_ddl"],
+        )
+
     # -- change data feed ---------------------------------------------
 
     def changes(

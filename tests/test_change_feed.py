@@ -111,6 +111,31 @@ def test_feed_between_identical_versions_is_empty(spark, table):
     assert table.changes(v0, v0).count() == 0
 
 
+def test_restore_rolls_back_as_new_commit(spark, table):
+    """restore(v) re-points the manifest at a retained snapshot's file
+    entries — zero data I/O, history preserved, and the change feed
+    across the restore is the exact reverse diff of the bad commit."""
+    v0 = table.current_version()
+    base = sorted((r.k, r.v) for r in table.read().collect())
+    table.upsert(
+        _mk(spark, [(5, -1.0, "bad", 1), (500, 0.0, "oops", 1)]),
+        [F.col("ts").desc()],
+    )
+    v1 = table.current_version()
+    v2 = table.restore(v0)
+    assert v2 == v1 + 1
+    assert sorted((r.k, r.v) for r in table.read().collect()) == base
+    # the bad snapshot stays time-travelable until gc
+    assert table.read(version=v1).filter(F.col("s") == "bad").count() == 1
+    # feed across the restore = reverse of the bad batch
+    rows = sorted(
+        (r.k, r._change_type) for r in table.changes(v1, v2).collect()
+    )
+    assert rows == [(5, "update"), (500, "delete")]
+    # net feed v0 -> restored head is empty
+    assert table.changes(v0, v2).count() == 0
+
+
 def test_history_is_metadata_only_commit_log(spark, table):
     table.upsert(
         _mk(spark, [(5, -1.0, "b", 1)]), [F.col("ts").desc()]
