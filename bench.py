@@ -139,6 +139,7 @@ HEADLINE = [
     "mm_jpeg_progressive_stats",
     "pipeline_incremental_dedup",
     "mm_jpeg_420_subsampled_stats",
+    "mm_wav_g711_decode_stats",
 ]
 
 

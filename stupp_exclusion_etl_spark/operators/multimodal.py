@@ -517,17 +517,56 @@ def _decode_wav_samples(b: bytes) -> tuple[tuple[int, int], int, "object"]:
     n_ch = max(1, int.from_bytes(fmt[2:4], "little"))
     rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_fmt != 1 or bits not in (8, 16):
-        raise NotImplementedError(
-            f"WAV format={audio_fmt} bits={bits}: only integer PCM decodes "
-            "without codec libraries"
-        )
-    if bits == 8:
+    if audio_fmt == 1 and bits == 8:
         s = np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0
-    else:
+    elif audio_fmt == 1 and bits == 16:
         s = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64)
+    elif audio_fmt in (6, 7) and bits == 8:
+        # G.711 companded telephony audio: 256-entry expansion table
+        # (A-law fmt 6, μ-law fmt 7), vectorized gather to 13/14-bit
+        # linear PCM — the classic logarithmic codec, no library needed
+        table = _g711_table("a" if audio_fmt == 6 else "u")
+        s = table[np.frombuffer(data, dtype=np.uint8)].astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"WAV format={audio_fmt} bits={bits}: only integer PCM and "
+            "G.711 A-law/mu-law decode without codec libraries"
+        )
     n = s.size // n_ch
     return (n, n_ch), rate, s[: n * n_ch]
+
+
+_G711_TABLES: dict = {}
+
+
+def _g711_table(law: str):
+    """Lazily-built G.711 expansion tables from the spec formulas.
+
+    μ-law ("u"): complement the byte, then linear =
+    ((8m + 0x84) << e) - 0x84 with the sign bit selecting the negative
+    branch (14-bit range). A-law ("a"): XOR 0x55, segment 0 is linear,
+    higher segments shift — 13-bit range; sign bit SET is positive."""
+    import numpy as np
+
+    if law not in _G711_TABLES:
+        ulaw = np.zeros(256, dtype=np.int64)
+        for b in range(256):
+            c = ~b & 0xFF
+            t = (((c & 0x0F) << 3) + 0x84) << ((c >> 4) & 0x07)
+            ulaw[b] = (0x84 - t) if (c & 0x80) else (t - 0x84)
+        alaw = np.zeros(256, dtype=np.int64)
+        for b in range(256):
+            a = b ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a >> 4) & 0x07
+            if seg == 0:
+                t += 8
+            else:
+                t = (t + 0x108) << (seg - 1)
+            alaw[b] = t if (a & 0x80) else -t
+        _G711_TABLES["u"] = ulaw
+        _G711_TABLES["a"] = alaw
+    return _G711_TABLES[law]
 
 
 # --- baseline JPEG codec (pure numpy — no codec library) -------------------
@@ -1510,6 +1549,55 @@ def synth_jpeg_420(df: DataFrame, id_col: str, seed_col: str,
         F.col(hb_col).cast("int").alias("hb"),
     ).repartition("id")
     return src.mapInPandas(gen, _JPEG_SYNTH_SCHEMA)
+
+
+def synth_wav_g711(df: DataFrame, id_col: str, seed_col: str,
+                   n_col: str, law: str = "u") -> DataFrame:
+    """Deterministic G.711 telephony-WAV generator: per row a RIFF
+    stream with fmt code 7 (μ-law) or 6 (A-law), mono 8 kHz, whose
+    companded bytes are ``(seed + 7*i) % 256`` — every byte value (and
+    so every table entry) is exercised, and a SQL oracle recomputes
+    the expanded linear samples from the spec formula without touching
+    bytes. Arrow-batched mapInPandas."""
+    import pandas as pd
+
+    fmt_code = 7 if law == "u" else 6
+
+    def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, seed, n in zip(pdf["id"], pdf["s"], pdf["n"]):
+                seed, n = int(seed), int(n)
+                data = bytes((seed + 7 * j) % 256 for j in range(n))
+                fmt = (
+                    fmt_code.to_bytes(2, "little")
+                    + (1).to_bytes(2, "little")       # mono
+                    + (8000).to_bytes(4, "little")    # rate
+                    + (8000).to_bytes(4, "little")    # byte rate
+                    + (1).to_bytes(2, "little")       # block align
+                    + (8).to_bytes(2, "little")       # bits
+                )
+                payload = (
+                    b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+                    + b"fmt " + (16).to_bytes(4, "little") + fmt
+                    + b"data" + n.to_bytes(4, "little") + data
+                )
+                ids.append(int(i))
+                payloads.append(payload)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(seed_col).cast("long").alias("s"),
+        F.col(n_col).cast("int").alias("n"),
+    ).repartition("id")
+    return src.mapInPandas(
+        gen,
+        StructType([
+            StructField("id", LongType()),
+            StructField("payload", BinaryType()),
+        ]),
+    )
 
 
 _DECODE_SCHEMA = StructType(

@@ -589,6 +589,63 @@ def mm_jpeg_420_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_wav_g711_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (doc_id * 13) % 256 AS seed,
+             64 + (doc_id % 5) * 16 AS n
+      FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT doc_id, 255 - ((seed + 7 * u.i) % 256) AS c
+      FROM g, UNNEST(range(0, n)) AS u(i)),
+    v AS (
+      SELECT doc_id,
+             CASE WHEN c >= 128
+                  THEN 132 - (((c % 16) * 8 + 132) << ((c // 16) % 8))
+                  ELSE (((c % 16) * 8 + 132) << ((c // 16) % 8)) - 132
+             END AS val
+      FROM s)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val
+    FROM v GROUP BY doc_id
+    """,
+    tags=("B15", "B5"),
+)
+def mm_wav_g711_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 μ-LAW telephony decode end to end: per document a RIFF
+    stream (fmt code 7, mono 8 kHz) whose companded bytes sweep
+    ``(seed + 7*i) % 256`` — every μ-law code point is hit — decoded
+    through the WAV chunk walk + table expansion
+    (operators.multimodal._g711_table) and reduced per document
+    JVM-side. The oracle re-derives each linear sample from the SPEC
+    formula (complement, mantissa/exponent, ±0x84 bias) in pure SQL,
+    so a single wrong table entry, sign branch, or bias breaks the
+    hash. All-integer outputs: no rounding tolerance anywhere."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        synth_wav_g711,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 64).select(
+        "doc_id",
+        (F.col("doc_id") * 13 % 256).alias("seed"),
+        (64 + (F.col("doc_id") % 5) * 16).cast("int").alias("n"),
+    )
+    wav = synth_wav_g711(d, "doc_id", "seed", "n", law="u")
+    dec = decode_media(wav, "id")
+    s = dec.select(F.col("id").alias("doc_id"), F.explode("data").alias("val"))
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+    )
+
+
+@register(
     "mm_png_decode_channel_stats",
     oracle="""
     WITH g AS (

@@ -402,6 +402,39 @@ def test_jpeg_decoder_rejects_out_of_scope_features():
         _decode_jpeg_pixels(lossless)
 
 
+def test_wav_g711_decode_both_laws():
+    """G.711 table expansion: μ-law and A-law byte sweeps decode to
+    the spec formulas for every code point, through the real RIFF
+    chunk walk (fmt codes 7 and 6)."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_wav_samples,
+        _g711_table,
+    )
+
+    data = bytes(range(256))
+    for law, code in (("u", 7), ("a", 6)):
+        fmt = (
+            code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        )
+        payload = (
+            b"RIFF" + (292).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little") + fmt
+            + b"data" + (256).to_bytes(4, "little") + data
+        )
+        (n, ch), rate, s = _decode_wav_samples(payload)
+        assert (n, ch, rate) == (256, 1, 8000)
+        assert np.array_equal(s, _g711_table(law).astype(float))
+    # μ-law spec anchors: 0xFF encodes +0, 0x7F encodes -0
+    ul = _g711_table("u")
+    assert ul[0xFF] == 0 and ul[0x7F] == 0
+    # 16-bit-aligned expansion, the G.711 software convention
+    assert ul.min() == -32124 and ul.max() == 32124
+    # A-law full-scale magnitude at the same alignment
+    assert _g711_table("a").max() == 32256
+
+
 def test_jpeg_420_subsampled_decode():
     """Real MCU geometry (4 Y blocks + Cb + Cr per MCU, per-component
     DC prediction, nearest-neighbor chroma reconstruction): with
