@@ -926,13 +926,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             i = 0
             while i < len(body):
                 prec, tid = body[i] >> 4, body[i] & 0x0F
-                if prec != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
+                width = 2 if prec else 1  # 16-bit entries when Pq=1
                 tbl = np.zeros(64)
                 for k in range(64):
-                    tbl[_JPEG_ZIGZAG[k]] = body[i + 1 + k]
+                    off = i + 1 + k * width
+                    tbl[_JPEG_ZIGZAG[k]] = int.from_bytes(
+                        body[off : off + width], "big"
+                    )
                 quant[tid] = tbl.reshape(8, 8)
-                i += 65
+                i += 1 + 64 * width
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -943,8 +945,11 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 huff[(cls, tid)] = _huff_canonical(bits, vals)
                 i += 17 + nvals
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
-            if body[0] != 8:
-                raise NotImplementedError("12-bit JPEG sample precision")
+            if body[0] not in (8, 12):
+                raise NotImplementedError(
+                    f"{body[0]}-bit JPEG sample precision"
+                )
+            precision = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             comps = []
@@ -961,7 +966,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 comps.append((cid, qid))
             if len(comps) not in (1, 3):
                 raise NotImplementedError(f"{len(comps)}-component JPEG")
-            frame = (h, w, comps, samp)
+            frame = (h, w, comps, samp, precision)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -1006,7 +1011,9 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             })
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    h, w, comps, samp = frame
+    h, w, comps, samp, precision = frame
+    shift = float(1 << (precision - 1))  # level shift: 128 / 2048
+    maxv = (1 << precision) - 1
     a_mat = _dct8_matrix()
     idx_of = {cid: i for i, (cid, _qid) in enumerate(comps)}
 
@@ -1020,7 +1027,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             blocks = (
                 coef[ci] * quant[qid].reshape(-1)
             ).reshape(rows * cols, 8, 8)
-            px = np.einsum("ij,njk,kl->nil", a_mat.T, blocks, a_mat) + 128.0
+            px = np.einsum("ij,njk,kl->nil", a_mat.T, blocks, a_mat) + shift
             out.append(
                 px.reshape(rows, cols, 8, 8).transpose(0, 2, 1, 3)
                 .reshape(rows * 8, cols * 8)
@@ -1043,18 +1050,18 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             p[:h, :w] for p in idct_planes(coef, [(bh, bw)] * len(comps))
         ]
     if len(planes) == 1:
-        out = np.clip(np.round(planes[0]), 0, 255)
+        out = np.clip(np.round(planes[0]), 0, maxv)
         return (h, w, 1), out.reshape(-1)
     y, cb, cr = planes
     rgb = np.stack(
         [
-            y + 1.402 * (cr - 128.0),
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-            y + 1.772 * (cb - 128.0),
+            y + 1.402 * (cr - shift),
+            y - 0.344136 * (cb - shift) - 0.714136 * (cr - shift),
+            y + 1.772 * (cb - shift),
         ],
         axis=-1,
     )
-    return (h, w, 3), np.clip(np.round(rgb), 0, 255).reshape(-1)
+    return (h, w, 3), np.clip(np.round(rgb), 0, maxv).reshape(-1)
 
 
 class _JpegBitWriter:
@@ -1103,7 +1110,7 @@ def _jpeg_seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
 
-def _jpeg_quantized_blocks(px, q):
+def _jpeg_quantized_blocks(px, q, shift: float = 128.0):
     """Raster-order (nb, 64) zigzag-ordered quantized coefficients for
     a grayscale image (the shared front half of both encoders)."""
     import numpy as np
@@ -1113,13 +1120,14 @@ def _jpeg_quantized_blocks(px, q):
     zz = []
     for by in range(h // 8):
         for bx in range(w // 8):
-            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            block = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - shift
             coeff = np.round((a_mat @ block @ a_mat.T) / q).astype(np.int64)
             zz.append(coeff.reshape(-1)[list(_JPEG_ZIGZAG)])
     return zz
 
 
-def _jpeg_gray_headers(h: int, w: int, q, sof_marker: int) -> bytes:
+def _jpeg_gray_headers(h: int, w: int, q, sof_marker: int,
+                       precision: int = 8) -> bytes:
     import numpy as np  # noqa: F401  (q is an ndarray)
 
     head = b"\xff\xd8"  # SOI
@@ -1127,7 +1135,7 @@ def _jpeg_gray_headers(h: int, w: int, q, sof_marker: int) -> bytes:
     head += _jpeg_seg(0xDB, b"\x00" + zz_q)
     head += _jpeg_seg(
         sof_marker,
-        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
         + b"\x01" + b"\x01\x11\x00",
     )
     head += _jpeg_seg(
@@ -1139,7 +1147,8 @@ def _jpeg_gray_headers(h: int, w: int, q, sof_marker: int) -> bytes:
     return head
 
 
-def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
+def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0,
+                      precision: int = 8) -> bytes:
     """Encode a (h, w) uint8 array (h, w multiples of 8) as spec-valid
     grayscale baseline JPEG: forward orthonormal DCT, caller's quant
     table (default all-ones — lossless for block-constant images),
@@ -1156,10 +1165,44 @@ def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
         raise ValueError("encoder requires dimensions that are multiples of 8")
     q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
     enc_dc, enc_ac = _jpeg_enc_tables()
-    head = _jpeg_gray_headers(h, w, q, 0xC0)
+    tsel = b"\x00"
+    if precision == 12:
+        # 12-bit (SOF1 extended sequential): DC diffs reach size 15 and
+        # AC magnitudes size 14 — beyond the Annex K 8-bit tables, so
+        # ship full-coverage tables as id 1 (the same construction the
+        # progressive encoder uses). q[0,0] >= 2 keeps the DC diff
+        # range within size 15 (size-16 needs the appended-bits-free
+        # special case this test encoder doesn't implement).
+        if q[0, 0] < 2:
+            raise ValueError("12-bit encoder requires quant[0,0] >= 2")
+        dc_bits = (0, 0, 0, 0, 16) + (0,) * 11
+        dc_vals = tuple(range(16))
+        ac_bits = (0,) * 8 + (255, 1) + (0,) * 6
+        ac_vals = tuple(range(255)) + (255,)
+        enc_dc = {
+            sym: (code, length)
+            for (length, code), sym in _huff_canonical(
+                dc_bits, dc_vals
+            ).items()
+        }
+        enc_ac = {
+            sym: (code, length)
+            for (length, code), sym in _huff_canonical(
+                ac_bits, ac_vals
+            ).items()
+        }
+        tsel = b"\x11"
+    elif precision != 8:
+        raise ValueError(f"precision {precision}")
+    head = _jpeg_gray_headers(
+        h, w, q, 0xC1 if precision == 12 else 0xC0, precision
+    )
+    if precision == 12:
+        head += _jpeg_seg(0xC4, b"\x01" + bytes(dc_bits) + bytes(dc_vals))
+        head += _jpeg_seg(0xC4, b"\x11" + bytes(ac_bits) + bytes(ac_vals))
     if restart_interval:
         head += _jpeg_seg(0xDD, restart_interval.to_bytes(2, "big"))
-    head += _jpeg_seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    head += _jpeg_seg(0xDA, b"\x01" + b"\x01" + tsel + b"\x00\x3f\x00")
 
     body = bytearray()
     wtr = _JpegBitWriter()
@@ -1171,7 +1214,9 @@ def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0) -> bytes:
         if t:
             wtr.bits(extra if extra >= 0 else extra + (1 << t) - 1, t)
 
-    for m, zz in enumerate(_jpeg_quantized_blocks(px, q)):
+    for m, zz in enumerate(
+        _jpeg_quantized_blocks(px, q, float(1 << (precision - 1)))
+    ):
         if restart_interval and m and m % restart_interval == 0:
             body += wtr.finish()
             body += bytes([0xFF, 0xD0 + (m // restart_interval - 1) % 8])

@@ -402,6 +402,58 @@ def test_jpeg_decoder_rejects_out_of_scope_features():
         _decode_jpeg_pixels(lossless)
 
 
+def test_jpeg_12bit_precision_decode():
+    """SOF1 extended sequential at 12-bit precision: level shift 2048,
+    clip ceiling 4095, full-coverage Huffman tables for the wider
+    DC/AC size categories. Block-constant even values with q=2 round
+    trip exactly; random 12-bit content stays within quantization
+    noise."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    q = np.full((8, 8), 2.0)
+    vals = rng.integers(0, 2048, (2, 3)) * 2  # even ⇒ DC/2 integral
+    px = np.repeat(np.repeat(vals.astype(float), 8, 0), 8, 1)
+    (h, w, n), flat = _decode_jpeg_pixels(
+        _encode_jpeg_gray(px, q, precision=12)
+    )
+    assert (h, w, n) == (16, 24, 1)
+    assert np.array_equal(np.asarray(flat).reshape(h, w), px)
+    rnd = rng.integers(0, 4096, (16, 24)).astype(float)
+    (_, _, _), flat = _decode_jpeg_pixels(
+        _encode_jpeg_gray(rnd, q, precision=12)
+    )
+    assert np.abs(np.asarray(flat).reshape(16, 24) - rnd).max() <= 8
+    with pytest.raises(ValueError, match="quant"):
+        _encode_jpeg_gray(px, np.ones((8, 8)), precision=12)
+
+
+def test_jpeg_16bit_quant_table_decode():
+    """DQT with Pq=1 (16-bit entries) parses and decodes identically
+    to the same table written 8-bit."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(6)
+    px = rng.integers(0, 256, (16, 16)).astype(float)
+    base = bytearray(_encode_jpeg_gray(px))
+    i = base.index(b"\xff\xdb")
+    seglen = int.from_bytes(base[i + 2 : i + 4], "big")
+    entries = b"".join((1).to_bytes(2, "big") for _ in range(64))
+    wide = (
+        b"\xff\xdb" + (2 + 1 + 128).to_bytes(2, "big") + b"\x10" + entries
+    )
+    pay16 = bytes(base[:i]) + wide + bytes(base[i + 2 + seglen :])
+    (_, _, _), f16 = _decode_jpeg_pixels(pay16)
+    (_, _, _), f8 = _decode_jpeg_pixels(bytes(base))
+    assert np.array_equal(f16, f8)
+
+
 def test_wav_g711_decode_both_laws():
     """G.711 table expansion: μ-law and A-law byte sweeps decode to
     the spec formulas for every code point, through the real RIFF
