@@ -214,7 +214,11 @@ def main() -> None:
         _N_HASHES,
     )
 
-    cap = 1000  # minhash_lsh_pairs' default max_bucket
+    # audit at an EXPLICIT cap below the hot-cluster size: sf0.1 has
+    # 5000 docs, so the 20% hot cluster tops out near 1000 members and
+    # can never exceed the operator's default cap of 1000 — asserting
+    # the mechanism requires a cap the fixture actually crosses
+    cap = 500
     docs = table(spark, skew_dir, "documents")
     sizes = (
         lsh_bands(
@@ -235,6 +239,7 @@ def main() -> None:
     n_candidates = minhash_lsh_pairs(
         docs, "doc_id", "text",
         n_hashes=_N_HASHES, band_size=_BAND_SIZE, shingle_k=3,
+        max_bucket=cap,
     ).count()
     bucket_audit = {
         "cap": cap,
