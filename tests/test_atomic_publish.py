@@ -613,3 +613,75 @@ def test_batch_id_makes_upsert_exactly_once(spark, tmp_path):
     # the next real batch applies
     sink(_df(spark, [(7, "B", "b7", 2)]), 2)
     assert (7, "B", "b7", 2) in _rows(t)
+
+
+def test_three_writer_interleave_no_batch_lost(spark, tmp_path):
+    """N-writer stress (beyond the pairwise race): writer A stages,
+    then B and C each commit fully (B's commit fires C's via its own
+    hook), so A's eventual commit must rebase across TWO intervening
+    versions. All three batches land; disjoint partitions mean the
+    fast-forward chain suffices and no data is rewritten twice."""
+    path = str(tmp_path / "multi")
+    base = _base(spark, path)
+    base.upsert(_df(spark, BASE), [F.col("ts").desc()])
+
+    fired = {}
+
+    def c_after_b():
+        if fired.get("c"):
+            return
+        fired["c"] = True
+        _base(spark, path).upsert(
+            _df(spark, [(30, "C", "c-w", 1)]), [F.col("ts").desc()]
+        )
+
+    writer_c_trigger = _base(spark, path, hooks={"moved": c_after_b})
+
+    def b_and_c_after_a():
+        if fired.get("b"):
+            return
+        fired["b"] = True
+        writer_c_trigger.upsert(
+            _df(spark, [(20, "B", "b-w", 1)]), [F.col("ts").desc()]
+        )
+
+    a = _base(spark, path, hooks={"moved": b_and_c_after_a})
+    a.upsert(_df(spark, [(10, "A", "a-w", 1)]), [F.col("ts").desc()])
+
+    rows = _rows(_base(spark, path))
+    assert (10, "A", "a-w", 1) in rows
+    assert (20, "B", "b-w", 1) in rows
+    assert (30, "C", "c-w", 1) in rows
+    assert len(rows) == len(BASE) + 3
+
+
+def test_racing_writers_recency_wins_regardless_of_commit_order(
+    spark, tmp_path
+):
+    """Same key written by two racing writers: the RECENCY order
+    (order_by ts), not the commit arrival order, decides the surviving
+    row — the loser's re-merge runs keep_latest against the winner's
+    snapshot. The stale writer commits LAST here and must not
+    overwrite the fresher value."""
+    path = str(tmp_path / "lww")
+    base = _base(spark, path)
+    base.upsert(_df(spark, BASE), [F.col("ts").desc()])
+
+    fired = {}
+
+    def fresh_commits_first():
+        if fired.get("x"):
+            return
+        fired["x"] = True
+        _base(spark, path).upsert(
+            _df(spark, [(1, "A", "fresh", 9)]), [F.col("ts").desc()]
+        )
+
+    stale = _base(spark, path, hooks={"moved": fresh_commits_first})
+    stale.upsert(_df(spark, [(1, "A", "stale", 5)]), [F.col("ts").desc()])
+
+    rows = _rows(_base(spark, path))
+    assert (1, "A", "fresh", 9) in rows, (
+        "the ts=9 row must win even though the ts=5 writer committed last"
+    )
+    assert not any(r[2] == "stale" for r in rows)
