@@ -214,6 +214,44 @@ def test_string_bounds_dropped_when_long(spark, tmp_path):
     assert t.read(where=[("s", ">", "y")]).count() == 1
 
 
+def test_spark_stats_fallback_matches_footer_path(spark, tmp_path, monkeypatch):
+    """On a non-local filesystem the footer reader is unavailable and
+    stats come from one Spark aggregate grouped by input_file_name —
+    the two paths must produce the same bounds/null counts so pruning
+    behaves identically wherever the table lives."""
+    import stupp_exclusion_etl_spark.sinks.atomic as atomic_mod
+
+    rows = [(k, "A" if k % 3 else None, float(k), f"s{k:03d}", 0)
+            for k in range(60)]
+
+    def build(path):
+        t = AtomicParquetTable(
+            spark, path, keys=["k"], cluster_by=["k"], cluster_files=3
+        )
+        t.upsert(_df(spark, rows), [F.col("ts").desc()])
+        return t
+
+    footer_t = build(str(tmp_path / "footer"))
+    monkeypatch.setattr(atomic_mod, "_local_fs_path", lambda p: None)
+    spark_t = build(str(tmp_path / "sparkjob"))
+
+    def norm(t):
+        # stats keyed by each file's k-range so the two tables'
+        # differently-named files align
+        out = {}
+        for st in t.snapshot()["stats"].values():
+            c = st["cols"]
+            out[(c["k"]["min"], c["k"]["max"])] = (
+                st["rows"], c["v"], c["s"], c["part"]["nulls"]
+            )
+        return out
+
+    assert norm(footer_t) == norm(spark_t)
+    rep = spark_t.skipping_report([("k", "<", 20)])
+    assert rep["files_kept"] == 1
+    assert spark_t.read(where=[("k", "<", 20)]).count() == 20
+
+
 def test_enc_and_prune_unit_edges():
     assert _enc_stat_value(float("inf"), "f") is None
     assert _enc_stat_value(datetime.date(2020, 1, 2), "d") == datetime.date(
