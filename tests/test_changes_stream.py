@@ -79,6 +79,24 @@ def test_compaction_emits_no_changes(spark, table):
     assert n_sem == 3
 
 
+def test_schema_evolution_in_stream_diff(spark, table):
+    """A widened batch (new column) flows through the driver-side diff:
+    the reader built AFTER the widening sees the union schema, old-file
+    rows align with None for the new column, and the changed rows carry
+    their new values."""
+    table.upsert(
+        spark.createDataFrame(
+            [(3, -3.0, "w", 1, "extra")],
+            "k int, v double, s string, ts int, note string",
+        ),
+        [F.col("ts").desc()],
+    )
+    r = _reader(table)  # constructed at the widened schema
+    assert r.cols[-1] == "note"
+    rows = list(r.readBetweenOffsets({"version": 0}, {"version": 1}))
+    assert rows == [(3, -3.0, "w", 1, "extra", "update")]
+
+
 def test_streaming_end_to_end_and_restart(spark, table, tmp_path):
     register_changes_stream(spark)
     out = str(tmp_path / "out")
