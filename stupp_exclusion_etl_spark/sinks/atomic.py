@@ -80,6 +80,30 @@ def _ddl(df: DataFrame) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
 
 
+def _union_ddl(parent_ddl: str, new_ddl: str) -> str:
+    """Schema union for a FILE-scoped commit: the merged frame only saw
+    the candidate files + batch, so if every candidate predates a
+    schema widening, committing ``_ddl(merged)`` alone would silently
+    NARROW the manifest schema while untouched live files still carry
+    the wider one (empty-prune reads and the CDC stream would then
+    drop those columns). Parent column order is kept (with the merged
+    frame's type where both carry the column — evolution may widen a
+    type), genuinely new columns append — mirroring how the
+    partition-scoped path inherits the full-table schema by unioning
+    with ``self.read()``."""
+    from pyspark.sql import types as T
+
+    pf = list(T.StructType.fromDDL(parent_ddl)) if parent_ddl else []
+    nf = list(T.StructType.fromDDL(new_ddl)) if new_ddl else []
+    new_by_name = {f.name: f for f in nf}
+    fields = [new_by_name.get(f.name, f) for f in pf]
+    have = {f.name for f in pf}
+    fields += [f for f in nf if f.name not in have]
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    )
+
+
 # ----------------------------------------------------------------------
 # Hadoop FS helpers (driver-side, metadata-scale only)
 # ----------------------------------------------------------------------
@@ -234,9 +258,13 @@ def _enc_stat_value(v, tag: str):
     if v is None:
         return None
     if tag == "f":
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            return None  # type-mismatched literal: can't prune, keep file
         v = float(v)
         return v if math.isfinite(v) else None
     if tag == "s":
+        if not isinstance(v, str):
+            return None
         return v if len(v) < _STAT_MAX_STR else None
     if tag == "b":
         return int(bool(v))
@@ -247,7 +275,11 @@ def _enc_stat_value(v, tag: str):
             return None
         base = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo)
         return int((v - base) / datetime.timedelta(microseconds=1))
-    return v  # "i"
+    # "i": a literal of the wrong type (e.g. read(where=("id","=","5"))
+    # on an int column) must degrade to "can't prune" instead of
+    # reaching _file_may_match's ordered comparisons and raising —
+    # None ⇒ keep the file; the exact Spark-side filter still applies.
+    return v if isinstance(v, int) and not isinstance(v, bool) else None
 
 
 def _local_fs_path(path: str) -> str | None:
@@ -518,7 +550,9 @@ def _predicate_column(pred: tuple) -> Column:
     if op == "not_null":
         return c.isNotNull()
     if op == "in":
-        return c.isin(*vals)
+        # SQL semantics: x IN () is false for every row; Column.isin()
+        # with zero args would raise instead
+        return c.isin(*vals) if vals else F.lit(False)
     v = vals[0]
     return {
         "=": c == v, "<": c < v, "<=": c <= v, ">": c > v, ">=": c >= v
@@ -786,6 +820,7 @@ class AtomicParquetTable:
         schema_ddl: str,
         batch_id: int | None = None,
         replaced_files: dict[str, set[str]] | None = None,
+        precomputed_stats: dict | None = None,
     ) -> int:
         """Build manifest v{parent+1}: carry untouched partitions'
         entries forward verbatim, swap in the new files for replaced
@@ -794,6 +829,11 @@ class AtomicParquetTable:
         files drop out of their partitions' entries while the rest of
         each entry survives, and the batch's new files are appended —
         how a file-scoped MERGE retires exactly the files it re-merged.
+        ``precomputed_stats`` short-circuits the per-file stats pass
+        for callers whose "new" entries are files an earlier manifest
+        already carries stats for (restore()) — without it a rollback
+        would re-read O(table) footers (or, on a remote FS, rescan the
+        whole table's data) for stats that are already known.
         One atomic create-if-absent publishes it."""
         rf = replaced_files or {}
         partitions: dict[str, list[str]] = {}
@@ -813,7 +853,11 @@ class AtomicParquetTable:
                         stats[f] = pstats[f]
         for part, files in new_by_part.items():
             partitions[part] = sorted(partitions.get(part, []) + list(files))
-        stats.update(self._new_file_stats(new_by_part))
+        stats.update(
+            precomputed_stats
+            if precomputed_stats is not None
+            else self._new_file_stats(new_by_part)
+        )
         version = 0 if parent is None else parent + 1
         # streaming idempotence marker: the max micro-batch id ever
         # applied rides IN the manifest (carried forward by non-batch
@@ -1037,9 +1081,12 @@ class AtomicParquetTable:
         merged = merged.localCheckpoint(eager=True)
         by_part = self._stage_and_move(merged, txn)
         touched = set(cand) | set(by_part)
+        # the merged frame saw only candidate files + batch; union with
+        # the table schema so untouched wider files keep their columns
         return self._commit_or_rebase(
-            parent, by_part, touched, _ddl(merged), batch_keys, remerge,
-            retries, batch_id, replaced_files=cand,
+            parent, by_part, touched,
+            _union_ddl(man["schema_ddl"], _ddl(merged)), batch_keys,
+            remerge, retries, batch_id, replaced_files=cand,
         )
 
     def _file_scoped_delete(
@@ -1208,7 +1255,13 @@ class AtomicParquetTable:
                 if not (changed & touched_dirs) and not self._keys_in_parts(
                     cur, changed, batch_keys
                 ):
-                    parent = cur  # fast-forward onto the new head
+                    # fast-forward onto the new head; its live files
+                    # are carried forward, so a schema the competing
+                    # commit widened must survive in ours
+                    schema_ddl = _union_ddl(
+                        self._manifest(cur)["schema_ddl"], schema_ddl
+                    )
+                    parent = cur
                     continue
                 return remerge(retries)
 
@@ -1516,6 +1569,15 @@ class AtomicParquetTable:
             except Exception:
                 break  # expired by gc(): older history is gone
             parent = man.get("parent")
+            # vs parent; v0 diffs against empty = every partition. For
+            # the OLDEST retained version the parent manifest may have
+            # been expired by gc(): the diff base is gone, so the
+            # record is kept but its change set is unknowable (None),
+            # instead of crashing the whole commit log.
+            try:
+                changed = sorted(self._changed_parts(parent, v))
+            except Exception:
+                changed = None
             out.append({
                 "version": v,
                 "parent": parent,
@@ -1524,10 +1586,7 @@ class AtomicParquetTable:
                 "n_files": sum(
                     len(fl) for fl in man["partitions"].values()
                 ),
-                # vs parent; v0 diffs against empty = every partition
-                "changed_partitions": sorted(
-                    self._changed_parts(parent, v)
-                ),
+                "changed_partitions": changed,
             })
         return out
 
@@ -1545,12 +1604,17 @@ class AtomicParquetTable:
             raise ValueError(f"no table at {self.path}")
         if version == cur:
             return cur
-        # replace every current partition with the target's entries
+        # replace every current partition with the target's entries;
+        # the target manifest already carries their stats — carry them
+        # forward instead of re-reading O(table) footers (or, remote,
+        # rescanning data), keeping restore the zero-data-I/O rollback
+        # it documents
         return self._commit(
             cur,
             {p: list(fl) for p, fl in man["partitions"].items()},
             set(self._manifest(cur)["partitions"]),
             man["schema_ddl"],
+            precomputed_stats=man.get("stats", {}),
         )
 
     # -- change data feed ---------------------------------------------

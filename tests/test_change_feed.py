@@ -149,3 +149,48 @@ def test_history_is_metadata_only_commit_log(spark, table):
     # their touched partitions (unpartitioned table: the "" root)
     assert h[-1]["changed_partitions"] == [""]
     assert h[0]["changed_partitions"] == [""]
+
+
+def test_history_survives_gc_of_parent_manifest(spark, table):
+    """The commit log on a gc'd table: the oldest retained version's
+    parent manifest is gone, so its diff base is unknowable — the
+    record reports changed_partitions=None instead of crashing
+    (ADVICE r7: _changed_parts raised through history())."""
+    table.upsert(_mk(spark, [(5, -1.0, "b", 1)]), [F.col("ts").desc()])
+    table.upsert(_mk(spark, [(6, -2.0, "c", 2)]), [F.col("ts").desc()])
+    table.gc(keep_versions=2, min_age_seconds=0)
+    h = table.history()
+    assert [r["version"] for r in h] == [2, 1]
+    assert h[0]["changed_partitions"] == [""]  # parent v1 retained
+    assert h[1]["changed_partitions"] is None  # parent v0 expired
+    assert all(r["n_files"] > 0 for r in h)
+
+
+def test_restore_carries_stats_without_rereading_footers(spark, table):
+    """restore() must be the zero-data-I/O rollback it documents: the
+    target manifest already carries stats for every file it lists, so
+    no footer read / Spark stats job may run (ADVICE r7: _commit
+    re-derived stats over O(table) files)."""
+    v0 = table.current_version()
+    stats0 = table.snapshot()["stats"]
+    table.upsert(_mk(spark, [(5, -1.0, "bad", 1)]), [F.col("ts").desc()])
+
+    def boom(new_by_part):
+        raise AssertionError("restore() must not re-derive file stats")
+
+    orig = table._new_file_stats
+    table._new_file_stats = boom
+    try:
+        v2 = table.restore(v0)
+    finally:
+        table._new_file_stats = orig
+    man = table.snapshot()
+    assert man["version"] == v2
+    # the restored snapshot's stats are the target's, carried forward
+    live = {f for fl in man["partitions"].values() for f in fl}
+    assert {f: man["stats"][f] for f in live} == {
+        f: stats0[f] for f in live
+    }
+    # and pruning still works on the restored head
+    rep = table.skipping_report([("k", "=", 3)])
+    assert rep["files_kept"] < rep["files_total"]

@@ -398,3 +398,39 @@ def test_partitioned_table_stats_and_combined_pruning(spark, tmp_path):
     assert rep["files_kept"] < rep["files_total"]
     got = t.read(where=[("part", "=", "B"), ("k", ">=", 90)])
     assert sorted(r.k for r in got.collect()) == list(range(90, 100))
+
+
+def test_type_mismatched_literal_degrades_conservatively(spark, clustered):
+    """A predicate literal of the wrong type for the column's stat tag
+    (ADVICE r7: read(where=("k","=","5")) on an int column raised
+    TypeError in the ordered prune comparisons) must disable pruning
+    for that predicate and fall through to the exact Spark filter —
+    never crash, never lose a row."""
+    t, rows = clustered
+    # string literal on int column: prune is a no-op, Spark's implicit
+    # cast still answers the query exactly
+    rep = t.skipping_report([("k", "=", "5")])
+    assert rep["files_kept"] == rep["files_total"]
+    got = _vals(t.read(where=[("k", "=", "5")]))
+    assert got == [r for r in sorted(rows) if r[0] == 5]
+    # int literal on string column
+    rep = t.skipping_report([("s", "=", 5)])
+    assert rep["files_kept"] == rep["files_total"]
+    # unit edges: mismatches encode to None (⇒ keep file)
+    assert _enc_stat_value("5", "i") is None
+    assert _enc_stat_value("abc", "f") is None
+    assert _enc_stat_value(5, "s") is None
+    assert _enc_stat_value(True, "i") is None
+    assert _enc_stat_value(5, "f") == 5.0  # int on float stays usable
+
+
+def test_empty_in_list_is_empty_result(spark, clustered):
+    """('col','in',[]) is SQL's x IN (): false for every row — it must
+    prune everything and return an empty frame with the table schema,
+    not crash Column.isin() (ADVICE r7)."""
+    t, rows = clustered
+    df = t.read(where=[("k", "in", [])])
+    assert df.count() == 0
+    assert df.columns == t.read().columns
+    rep = t.skipping_report([("k", "in", [])])
+    assert rep["files_kept"] == 0

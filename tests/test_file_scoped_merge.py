@@ -210,3 +210,37 @@ def test_concurrent_file_scoped_writers_both_land(spark, tmp_path):
     assert r.filter(F.col("s") == "w1").count() == 10
     assert r.filter(F.col("s") == "w2").count() == 10
     assert r.count() == 400
+
+
+def test_file_scoped_merge_keeps_widened_schema(spark, table):
+    """A file-scoped merge whose candidate files all predate a schema
+    widening must not narrow the manifest schema (ADVICE r7): untouched
+    live files still carry the wider columns, so empty-prune reads and
+    the CDC feed would silently lose them."""
+    # widen: a batch in [10,20) adds `note` — only file(s) in that
+    # range are rewritten with the new column
+    table.upsert(
+        spark.createDataFrame(
+            [(k, -1.0, "w", 1, f"n{k}") for k in range(10, 20)],
+            "k int, v double, s string, ts int, note string",
+        ),
+        [F.col("ts").desc()],
+    )
+    assert "note" in table.snapshot()["schema_ddl"]
+    # now merge far away: candidates are pre-widening files w/o `note`
+    table.upsert(
+        _mk(spark, [(k, -2.0, "far", 2) for k in range(900, 910)]),
+        [F.col("ts").desc()],
+    )
+    man = table.snapshot()
+    assert "note" in man["schema_ddl"], (
+        "file-scoped commit narrowed the table schema to its rewrite "
+        "set's columns"
+    )
+    # the widened values survive and full reads still see the column
+    r = table.read()
+    assert "note" in r.columns
+    assert r.filter(F.col("note") == "n15").count() == 1
+    # an empty-prune read (no file matches) keeps the union schema
+    empty = table.read(where=[("k", "=", 10_000_000)])
+    assert "note" in empty.columns
