@@ -15,20 +15,27 @@ through manifest v have been served", so exactly-once is structural:
 - a NEW query starts from the table's current version (option
   ``from_version`` rewinds for backfill);
 - a RESTARTED query resumes from the checkpointed version; manifests
-  and data files are immutable, so ``readBetweenOffsets`` reproduces a
-  batch bit-for-bit (failure-recovery replay);
+  and data files are immutable, so re-planning the same offset range
+  reproduces a batch bit-for-bit (failure-recovery replay);
 - ``commit`` is the retention hook (a real deployment gates
   ``gc(keep_versions=...)`` on it so un-consumed versions stay
   time-travelable).
 
-The diff itself mirrors sinks/atomic.py `changes`: only files that
-entered/left the manifest between the two versions are read, copied
-rows compare equal and drop out. This SimpleDataSourceStreamReader
-serves rows through the driver (the Simple API's contract — same as
-sources/replay_stream.py); at 100 TB the same offsets would drive a
-partition-planning `streamReader` or a `foreachBatch` loop calling
-``changes(since, until)`` with full cluster parallelism — the offset
-algebra is the part this connector pins down.
+This is the partition-planning ``DataSourceStreamReader``: the DRIVER
+only diffs the two manifests (metadata) and groups the entered/left
+files into KEY-RANGE-DISJOINT partitions using the manifest's per-file
+[min,max] stats on the first key column — two files land in the same
+partition iff their key ranges touch, so every key's old and new rows
+meet inside one task and the per-partition diff is complete for its
+keys. Row data is then read and diffed ON EXECUTORS
+(``read(partition)`` runs inside Spark tasks) — change rows never
+transit the driver, unlike the Simple-reader API. Files with no usable
+key stats collapse the plan to one partition (still executor-side) —
+the conservative fallback, never a wrong answer. The diff itself
+mirrors sinks/atomic.py `changes`: only files that entered/left the
+manifest between the two versions are read; rows merely COPIED into
+rewritten files compare equal and drop out, so a compaction yields an
+empty feed.
 """
 
 from __future__ import annotations
@@ -36,10 +43,20 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+
+#: driver-side cap on micro-batch partitions: adjacent key-range groups
+#: are merged down to this many tasks (override with option
+#: ``max_partitions``) — a huge backlog batch should not explode into
+#: thousands of tiny tasks
+_DEFAULT_MAX_PARTITIONS = 32
 
 
 def _ddl_parts(ddl: str) -> list[str]:
@@ -109,9 +126,9 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _read_rows(path: str, files: set[str], cols: list[str]):
-    """{key-agnostic} pandas frame over a bounded file set, aligned to
-    ``cols`` (missing columns — schema evolution — become None)."""
+def _read_rows(path: str, files, cols: list[str]):
+    """pandas frame over a bounded file set, aligned to ``cols``
+    (missing columns — schema evolution — become None)."""
     import pandas as pd
     import pyarrow.parquet as pq
 
@@ -132,14 +149,14 @@ def _read_rows(path: str, files: set[str], cols: list[str]):
     return df[cols]
 
 
-def _diff(path: str, keys: list[str], cols: list[str], types: list[str],
-          man_a: dict, man_b: dict):
-    """Row-level (values..., _change_type) tuples between two
-    manifests — the pandas twin of AtomicParquetTable.changes."""
-    files_a = {f for fl in man_a["partitions"].values() for f in fl}
-    files_b = {f for fl in man_b["partitions"].values() for f in fl}
-    old = _read_rows(path, files_a - files_b, cols)
-    new = _read_rows(path, files_b - files_a, cols)
+def _diff_files(path: str, keys: list[str], cols: list[str],
+                types: list[str], files_old, files_new):
+    """Row-level (values..., _change_type) tuples between two bounded
+    file sets — the per-partition pandas twin of
+    AtomicParquetTable.changes. Deterministic (key-sorted) so a
+    checkpoint replay reproduces the batch bit-for-bit."""
+    old = _read_rows(path, files_old, cols)
+    new = _read_rows(path, files_new, cols)
     merged = new.merge(
         old, on=keys, how="outer", suffixes=("", "__old"),
         indicator=True,
@@ -176,41 +193,147 @@ def _diff(path: str, keys: list[str], cols: list[str], types: list[str],
     return out
 
 
-class AtomicChangesStreamReader(SimpleDataSourceStreamReader):
+def _key_bounds(man: dict, f: str, k0: str):
+    """(lo, hi) of the first key column for one file from the manifest
+    stats, or None when unusable for range grouping (missing stats,
+    unknown bounds, or NULL keys present — a NULL can't be assigned a
+    range, so such files force the single-partition fallback)."""
+    st = ((man.get("stats", {}).get(f) or {}).get("cols") or {}).get(k0)
+    if st is None:
+        return None
+    lo, hi, nulls = st.get("min"), st.get("max"), st.get("nulls")
+    if lo is None or hi is None or nulls is None or nulls > 0:
+        return None
+    return lo, hi
+
+
+def _plan_groups(
+    man_a: dict, man_b: dict, k0: str, max_partitions: int
+) -> list[tuple[list[str], list[str]]]:
+    """Group the entered/left files into key-range-disjoint
+    (files_old, files_new) partitions via an interval sweep over the
+    manifest's per-file [min,max] on ``k0`` (metadata only — no data
+    I/O on the driver). Two files share a partition iff their key
+    ranges overlap (transitively), so any given key's old and new rows
+    are guaranteed to meet inside exactly one partition — the property
+    that makes the per-partition outer-join diff complete. Any file
+    without usable bounds collapses to one partition (sound, just
+    unparallel). Adjacent groups merge down to ``max_partitions``."""
+    files_a = {f for fl in man_a["partitions"].values() for f in fl}
+    files_b = {f for fl in man_b["partitions"].values() for f in fl}
+    sides = [(f, 0, man_a) for f in files_a - files_b] + [
+        (f, 1, man_b) for f in files_b - files_a
+    ]
+    if not sides:
+        return []
+    items = []
+    for f, side, man in sides:
+        b = _key_bounds(man, f, k0)
+        if b is None:
+            return [(
+                sorted(files_a - files_b), sorted(files_b - files_a)
+            )]
+        items.append((b[0], b[1], f, side))
+    items.sort(key=lambda t: (t[0], t[1], t[2]))
+    groups: list[list[set]] = []
+    cur_hi = None
+    for lo, hi, f, side in items:
+        if cur_hi is None or lo > cur_hi:
+            groups.append([set(), set()])
+            cur_hi = hi
+        else:
+            cur_hi = max(cur_hi, hi)
+        groups[-1][side].add(f)
+    if len(groups) > max_partitions:
+        # merge ADJACENT groups (they stay key-disjoint supersets)
+        step = -(-len(groups) // max_partitions)
+        groups = [
+            [
+                set().union(*(g[0] for g in groups[i : i + step])),
+                set().union(*(g[1] for g in groups[i : i + step])),
+            ]
+            for i in range(0, len(groups), step)
+        ]
+    return [(sorted(g[0]), sorted(g[1])) for g in groups]
+
+
+class ChangesPartition(InputPartition):
+    """One key-range-disjoint slice of a micro-batch: the old/new files
+    whose rows one task reads and diffs. Self-contained (path, keys,
+    schema ride along) so ``read`` needs no driver state."""
+
+    def __init__(self, path, keys, cols, types, files_old, files_new):
+        self.path = path
+        self.keys = keys
+        self.cols = cols
+        self.types = types
+        self.files_old = files_old
+        self.files_new = files_new
+
+
+class AtomicChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.path = options["path"].rstrip("/")
         self.keys = [k.strip() for k in options["keys"].split(",")]
         self.from_version = options.get("from_version")
-        man = _manifest(self.path, _current_version(self.path))
+        self.max_partitions = int(
+            options.get("max_partitions", _DEFAULT_MAX_PARTITIONS)
+        )
+        cur = _current_version(self.path)
+        if cur is None:
+            raise ValueError(
+                f"atomic_changes: no committed table at {self.path!r} "
+                "— the stream needs at least one manifest to resolve "
+                "the schema; commit a first batch before starting it"
+            )
+        man = _manifest(self.path, cur)
         self.cols = _ddl_fields(man["schema_ddl"])
         self.types = _ddl_types(man["schema_ddl"])
+
+    # -- offsets (driver, metadata-only) ------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name
         if self.from_version is not None:
             return {"version": int(self.from_version)}
         return {"version": _current_version(self.path)}
 
-    def read(self, start: dict):
-        a = start["version"]
-        b = _current_version(self.path)
-        if b is None or b <= a:
-            return iter([]), {"version": a}
-        rows = _diff(
-            self.path, self.keys, self.cols, self.types,
-            _manifest(self.path, a), _manifest(self.path, b),
-        )
-        return iter(rows), {"version": b}
+    def latestOffset(self) -> dict:  # noqa: N802 — API name
+        return {"version": _current_version(self.path)}
 
-    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
-        rows = _diff(
-            self.path, self.keys, self.cols, self.types,
-            _manifest(self.path, start["version"]),
-            _manifest(self.path, end["version"]),
+    # -- micro-batch planning (driver, metadata-only) ------------------
+
+    def partitions(self, start: dict, end: dict):
+        a, b = start["version"], end["version"]
+        if b is None or b <= a:
+            return []
+        return [
+            ChangesPartition(
+                self.path, self.keys, self.cols, self.types, fo, fn
+            )
+            for fo, fn in _plan_groups(
+                _manifest(self.path, a),
+                _manifest(self.path, b),
+                self.keys[0],
+                self.max_partitions,
+            )
+        ]
+
+    # -- row production (EXECUTORS: runs inside Spark tasks) ----------
+
+    def read(self, partition: ChangesPartition):
+        return iter(
+            _diff_files(
+                partition.path, partition.keys, partition.cols,
+                partition.types, partition.files_old,
+                partition.files_new,
+            )
         )
-        return iter(rows)
 
     def commit(self, end: dict) -> None:
         pass  # retention hook: production gates gc(keep_versions) here
+
+    def stop(self) -> None:
+        pass
 
 
 class AtomicChangesDataSource(DataSource):
@@ -220,10 +343,16 @@ class AtomicChangesDataSource(DataSource):
 
     def schema(self) -> str:
         path = self.options["path"].rstrip("/")
-        man = _manifest(path, _current_version(path))
+        cur = _current_version(path)
+        if cur is None:
+            raise ValueError(
+                f"atomic_changes: no committed table at {path!r} — "
+                "commit a first batch before starting the stream"
+            )
+        man = _manifest(path, cur)
         return man["schema_ddl"] + ", _change_type string"
 
-    def simpleStreamReader(self, schema):  # noqa: N802 — API name
+    def streamReader(self, schema):  # noqa: N802 — API name
         return AtomicChangesStreamReader(self.options)
 
 

@@ -1,11 +1,15 @@
 """Streaming CDC source over the atomic table
 (sources/changes_stream.py): version offsets, per-commit micro-batch
 diffs, deterministic replay, checkpoint-restart resume without
-re-serving, and compaction-invisibility — the streaming twin of the
-`changes` API contract (tests/test_change_feed.py)."""
+re-serving, compaction-invisibility — the streaming twin of the
+`changes` API contract (tests/test_change_feed.py) — plus the
+partition-planning proofs: the driver plans key-range-disjoint file
+groups from manifest stats only, and change rows are produced INSIDE
+Spark tasks (TaskContext present), never through the driver."""
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -13,7 +17,9 @@ from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
 from stupp_exclusion_etl_spark.sources.changes_stream import (
+    AtomicChangesDataSource,
     AtomicChangesStreamReader,
+    _plan_groups,
     register_changes_stream,
 )
 
@@ -35,31 +41,101 @@ def table(spark, tmp_path):
     return t
 
 
-def _reader(table):
-    return AtomicChangesStreamReader({"path": table.path, "keys": "k"})
+def _reader(table, **opts):
+    return AtomicChangesStreamReader(
+        {"path": table.path, "keys": "k", **opts}
+    )
+
+
+def _batch(r, start, end):
+    """All rows of the micro-batch (start, end] across its planned
+    partitions — what the executors would produce, key-sorted."""
+    return sorted(
+        row for p in r.partitions(start, end) for row in r.read(p)
+    )
 
 
 def test_offsets_and_diff_unit(spark, table):
     r = _reader(table)
     off0 = r.initialOffset()
     assert off0 == {"version": 0}
-    rows, off = r.read(off0)
-    assert list(rows) == [] and off == off0  # caught up: empty batch
+    assert r.latestOffset() == off0
+    assert r.partitions(off0, r.latestOffset()) == []  # caught up
     table.upsert(
         _mk(spark, [(5, -5.0, "upd", 1), (500, 0.0, "new", 1)]),
         [F.col("ts").desc()],
     )
     table.delete_keys(spark.createDataFrame([(7,)], "k int"))
-    rows, off1 = r.read(off0)
-    rows = list(rows)
+    off1 = r.latestOffset()
+    assert off1 == {"version": table.current_version()}
+    rows = _batch(r, off0, off1)
     assert rows == [
         (5, -5.0, "upd", 1, "update"),
         (7, 7.0, "a", 0, "delete"),
         (500, 0.0, "new", 1, "insert"),
     ]
-    assert off1 == {"version": table.current_version()}
-    # failure-recovery replay: manifests are immutable ⇒ bit-identical
-    assert list(r.readBetweenOffsets(off0, off1)) == rows
+    # failure-recovery replay: manifests are immutable ⇒ re-planning
+    # the same offset range is bit-identical
+    assert _batch(r, off0, off1) == rows
+
+
+def test_partitions_are_key_range_disjoint(spark, tmp_path):
+    """The driver plans one partition per overlapping key-range group:
+    a batch touching two distant file ranges yields (at least) two
+    partitions whose old/new file sets cover the manifest diff exactly
+    — each key's old and new rows meet inside one task."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "t"), keys=["k"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    t.upsert(
+        _mk(spark, [(k, float(k), "a", 0) for k in range(100)]),
+        [F.col("ts").desc()],
+    )
+    man0 = t.snapshot()
+    t.upsert(
+        _mk(spark, [(5, -5.0, "u", 1), (80, -80.0, "u", 1)]),
+        [F.col("ts").desc()],
+    )
+    man1 = t.snapshot()
+    groups = _plan_groups(man0, man1, "k", 32)
+    assert len(groups) >= 2, "two distant key ranges must parallelize"
+    # groups partition the manifest diff exactly (no file twice/lost)
+    files0 = {f for fl in man0["partitions"].values() for f in fl}
+    files1 = {f for fl in man1["partitions"].values() for f in fl}
+    all_old = [f for fo, _fn in groups for f in fo]
+    all_new = [f for _fo, fn in groups for f in fn]
+    assert sorted(all_old) == sorted(files0 - files1)
+    assert sorted(all_new) == sorted(files1 - files0)
+    assert len(set(all_old)) == len(all_old)
+    assert len(set(all_new)) == len(all_new)
+    # the partitioned diff equals the unpartitioned table-level feed
+    r = _reader(t)
+    rows = _batch(r, {"version": man0["version"]},
+                  {"version": man1["version"]})
+    assert [(x[0], x[-1]) for x in rows] == [
+        (5, "update"), (80, "update")
+    ]
+    # max_partitions caps the plan by merging ADJACENT groups
+    assert len(_plan_groups(man0, man1, "k", 1)) == 1
+    assert sorted(
+        f for fo, _ in _plan_groups(man0, man1, "k", 1) for f in fo
+    ) == sorted(files0 - files1)
+
+
+def test_stream_on_empty_table_fails_clearly(spark, tmp_path):
+    """ADVICE r7: starting the stream before the first commit raised an
+    opaque TypeError from v{None:012d}; it must name the problem."""
+    os.makedirs(tmp_path / "empty", exist_ok=True)
+    with pytest.raises(ValueError, match="no committed table"):
+        AtomicChangesStreamReader(
+            {"path": str(tmp_path / "empty"), "keys": "k"}
+        )
+    ds = AtomicChangesDataSource(
+        options={"path": str(tmp_path / "empty"), "keys": "k"}
+    )
+    with pytest.raises(ValueError, match="no committed table"):
+        ds.schema()
 
 
 def test_compaction_emits_no_changes(spark, table):
@@ -69,21 +145,23 @@ def test_compaction_emits_no_changes(spark, table):
         table.upsert(
             _mk(spark, [(i, -float(i), "x", 1)]), [F.col("ts").desc()]
         )
-    rows, off1 = r.read(off0)
-    n_sem = len(list(rows))
+    off1 = r.latestOffset()
+    n_sem = len(_batch(r, off0, off1))
     v = table.compact(target_bytes_per_file=1 << 30)
     if v != off1["version"]:
-        rows2, off2 = r.read(off1)
-        assert list(rows2) == [], "compaction must not appear in the feed"
+        off2 = r.latestOffset()
         assert off2 == {"version": v}
+        assert _batch(r, off1, off2) == [], (
+            "compaction must not appear in the feed"
+        )
     assert n_sem == 3
 
 
 def test_schema_evolution_in_stream_diff(spark, table):
-    """A widened batch (new column) flows through the driver-side diff:
-    the reader built AFTER the widening sees the union schema, old-file
-    rows align with None for the new column, and the changed rows carry
-    their new values."""
+    """A widened batch (new column) flows through the executor-side
+    diff: the reader built AFTER the widening sees the union schema,
+    old-file rows align with None for the new column, and the changed
+    rows carry their new values."""
     table.upsert(
         spark.createDataFrame(
             [(3, -3.0, "w", 1, "extra")],
@@ -93,7 +171,7 @@ def test_schema_evolution_in_stream_diff(spark, table):
     )
     r = _reader(table)  # constructed at the widened schema
     assert r.cols[-1] == "note"
-    rows = list(r.readBetweenOffsets({"version": 0}, {"version": 1}))
+    rows = _batch(r, {"version": 0}, {"version": 1})
     assert rows == [(3, -3.0, "w", 1, "extra", "update")]
 
 
@@ -137,3 +215,86 @@ def test_streaming_end_to_end_and_restart(spark, table, tmp_path):
         (5, -5.0, "u1", 1, "update"),
         (6, -6.0, "u2", 2, "update"),
     ]
+
+
+def test_rows_are_produced_inside_tasks_not_on_driver(spark, tmp_path):
+    """Execution-level proof that the feed does NOT transit the driver:
+    a probe subclass records, at every read() invocation, whether a
+    TaskContext is active (only Spark tasks have one — the old Simple
+    reader's read() ran on the driver, where TaskContext.get() is
+    None) and which task partition served it. The two-distant-ranges
+    batch must show ≥2 distinct task partitions, all with a live
+    TaskContext."""
+    probe_dir = str(tmp_path / "probe")
+    os.makedirs(probe_dir)
+
+    class ProbeReader(AtomicChangesStreamReader):
+        def read(self, partition):
+            import uuid
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            fname = os.path.join(self.options_probe, uuid.uuid4().hex)
+            with open(fname, "w") as fh:
+                fh.write(
+                    f"{tc is not None},"
+                    f"{tc.partitionId() if tc is not None else -1}"
+                )
+            return super().read(partition)
+
+    class ProbeSource(AtomicChangesDataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "atomic_changes_probe"
+
+        def streamReader(self, schema):
+            r = ProbeReader(self.options)
+            r.options_probe = self.options["probe_dir"]
+            return r
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "t"), keys=["k"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    t.upsert(
+        _mk(spark, [(k, float(k), "a", 0) for k in range(100)]),
+        [F.col("ts").desc()],
+    )
+    t.upsert(
+        _mk(spark, [(5, -5.0, "u", 1), (80, -80.0, "u", 1)]),
+        [F.col("ts").desc()],
+    )
+    spark.dataSource.register(ProbeSource)
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("atomic_changes_probe")
+        .option("path", t.path)
+        .option("keys", "k")
+        .option("from_version", "0")
+        .option("probe_dir", probe_dir)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.k, r._change_type) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [(5, "update"), (80, "update")]
+    probes = []
+    for n in os.listdir(probe_dir):
+        with open(os.path.join(probe_dir, n)) as fh:
+            in_task, pid = fh.read().split(",")
+            probes.append((in_task == "True", int(pid)))
+    assert probes, "probe reader never ran"
+    assert all(in_task for in_task, _ in probes), (
+        "read() executed without a TaskContext — rows transited the "
+        "driver"
+    )
+    assert len({pid for _, pid in probes}) >= 2, (
+        "two distant key ranges must be served by distinct tasks"
+    )
