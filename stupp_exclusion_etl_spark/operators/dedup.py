@@ -365,7 +365,16 @@ def embedding_neardup_pairs(
         norm2(F.col(vec_col)).alias("n"),
     )
     if max_pairs is not None:
-        est = _estimate_bucket_pairs(e, "bk")
+        from stupp_exclusion_etl_spark.operators.budget import (
+            cached_estimate,
+        )
+
+        # memoized per (plan, input files) fingerprint: the estimate
+        # job runs once per distinct input, not once per call
+        # (retired the r7 bench-gate exception for this query)
+        est = cached_estimate(
+            "bucket_pairs", (e,), lambda: _estimate_bucket_pairs(e, "bk")
+        )
         if est > max_pairs:
             if on_exceed != "subdivide":
                 from stupp_exclusion_etl_spark.operators.budget import (

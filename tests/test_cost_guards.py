@@ -179,3 +179,104 @@ def test_registered_queries_take_exact_path_at_test_scale(spark):
 
     check(spark, SF_SMALL, "dedup_embedding_cosine")
     check(spark, SF_SMALL, "sim_knn_join")
+
+
+def test_estimate_cache_hits_and_invalidates(spark, tmp_path):
+    """The guard's estimate job is memoized per (plan, input-file)
+    fingerprint (retires the r7 bench-gate exception): a re-built frame
+    over the same files computes once; rewriting a file invalidates;
+    non-file-backed frames never consult the cache."""
+    import time
+
+    from stupp_exclusion_etl_spark.operators import budget
+
+    p = str(tmp_path / "emb")
+    spark.createDataFrame(
+        [(i, _vec(i), "hot") for i in range(50)],
+        "vec_id long, embedding array<double>, label string",
+    ).coalesce(1).write.parquet(p)
+
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return 42
+
+    df1 = spark.read.parquet(p).select("vec_id", "label")
+    df2 = spark.read.parquet(p).select("vec_id", "label")  # re-built
+    assert budget.cached_estimate("t", (df1,), compute) == 42
+    assert budget.cached_estimate("t", (df2,), compute) == 42
+    assert calls["n"] == 1, "identical plan+files must cache-hit"
+    # a different plan over the same files is a different key
+    df3 = spark.read.parquet(p).select("vec_id")
+    assert budget.cached_estimate("t", (df3,), compute) == 42
+    assert calls["n"] == 2
+    # rewriting the files invalidates (size/mtime change)
+    time.sleep(0.01)
+    spark.createDataFrame(
+        [(i, _vec(i), "hot") for i in range(60)],
+        "vec_id long, embedding array<double>, label string",
+    ).coalesce(1).write.mode("overwrite").parquet(p)
+    df4 = spark.read.parquet(p).select("vec_id", "label")
+    budget.cached_estimate("t", (df4,), compute)
+    assert calls["n"] == 3, "rewritten input must recompute"
+    # non-file-backed frames skip the cache entirely
+    mem = spark.createDataFrame([(1,)], "a int")
+    budget.cached_estimate("t", (mem,), compute)
+    budget.cached_estimate("t", (mem,), compute)
+    assert calls["n"] == 5
+
+
+def test_guarded_query_estimates_once_across_calls(spark, tmp_path):
+    """End-to-end: two calls of the guarded operator over the same
+    parquet input run the pair-estimate aggregate exactly once — the
+    second call plans no estimate job (the warm-tier cost the bench
+    gate flagged in r7)."""
+    from stupp_exclusion_etl_spark.operators import budget, dedup
+
+    p = str(tmp_path / "emb2")
+    spark.createDataFrame(
+        [(i, _vec(i), f"b{i % 3}") for i in range(90)],
+        "vec_id long, embedding array<double>, label string",
+    ).write.parquet(p)
+
+    real = dedup._estimate_bucket_pairs
+    calls = {"n": 0}
+
+    def spy(e, c):
+        calls["n"] += 1
+        return real(e, c)
+
+    dedup._estimate_bucket_pairs = spy
+    try:
+        for _ in range(2):
+            e = spark.read.parquet(p)
+            out = embedding_neardup_pairs(
+                e, "vec_id", "embedding", F.col("label"), 0.99,
+                max_pairs=1_000_000,
+            )
+            out.count()
+    finally:
+        dedup._estimate_bucket_pairs = real
+    assert calls["n"] == 1, (
+        "the estimate must be fingerprint-cached across calls"
+    )
+
+
+def test_rerouted_paths_recall_gate(spark):
+    """Committed recall floor for the budget reroutes (VERDICT r7
+    wrong #2): on the planted-cluster fixture deliberately ABOVE both
+    budgets — the regime the operators' own thresholds target
+    (intra-cluster cosine ≈ 0.99) — the LSH-routed knn_join must keep
+    recall@5 ≥ 0.95 and sub-bucketed embedding_neardup_pairs must keep
+    pair recall ≥ 0.9 with precision 1.0. The same fixture/budgets
+    produce RECALL_r08.json (tools/recall_metrics.py); a silent
+    routing regression fails here, not just in the JSON."""
+    import tools.recall_metrics as rm
+
+    cl = rm.clustered_vectors()
+    knn_r, _ = rm.knn_recall(spark, cl)
+    assert knn_r >= 0.95, f"LSH-routed knn recall@5 degraded: {knn_r}"
+    pair_r, n_exact, _ = rm.neardup_recall(spark, cl, threshold=0.95)
+    assert n_exact > 0
+    assert pair_r >= 0.9, f"sub-bucketed pair recall degraded: {pair_r}"

@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Recall measurement for the cost-guarded reroutes (VERDICT r7 wrong
+#2 / next-round task #4): above their pair/comparison budgets,
+``knn_join`` and ``embedding_neardup_pairs`` switch from exact answers
+to LSH-bounded approximate ones. The trade is the right one at 100 TB,
+but a user flipping the budget deserves a NUMBER for what they give
+up. This tool measures it on two deterministic fixtures, both sized
+deliberately ABOVE the budgets so the guarded calls actually take the
+rerouted paths:
+
+- ``clustered``: 100 planted clusters of 20 members (intra-cluster
+  cosine ≈ 0.99) — the realistic embedding-near-dup regime LSH is
+  designed for, and the regime the in-repo thresholds (cos ≥ 0.9+)
+  target.
+- ``adversarial-random``: near-random vectors (the sf-corpus shape)
+  where "nearest" means cosine ≈ 0.4 — the hardest case for
+  sign-projection LSH; reported for honesty, not gated.
+
+Metrics:
+- ``knn_recall_at_k``: mean over queries of
+  |approx top-k ∩ exact top-k| / k.
+- ``neardup_pair_recall``: |approx pairs ∩ exact pairs| / |exact
+  pairs| (sub-bucketing can only DROP pairs, so precision is 1.0 by
+  construction — asserted).
+
+Writes RECALL_r{N}.json at the repo root; tests/test_cost_guards.py
+gates the clustered numbers (recall ≥ 0.9) so a regression in the LSH
+routing shows up as a test failure, not a silent quality drop.
+
+Usage: python tools/recall_metrics.py [--out RECALL_r08.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _h(s: str) -> float:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 2**32 - 0.5
+
+
+def clustered_vectors(n_clusters=100, per=20, dim=16):
+    """Deterministic planted clusters: center c + tiny per-member
+    perturbation ⇒ intra-cluster cosine ≈ 0.99."""
+    rows = []
+    for c in range(n_clusters):
+        center = [_h(f"c{c}:{d}") for d in range(dim)]
+        for m in range(per):
+            v = [
+                center[d] + 0.02 * _h(f"m{c}:{m}:{d}") for d in range(dim)
+            ]
+            rows.append((c * per + m, v, c))
+    return rows
+
+
+def random_vectors(n=2000, dim=16):
+    return [
+        (i, [_h(f"r{i}:{d}") for d in range(dim)], i % 100)
+        for i in range(n)
+    ]
+
+
+def knn_recall(spark, rows, k=5, max_comparisons=50_000):
+    """recall@k of the LSH-routed knn_join vs the exact answer on the
+    same (vectors, queries)."""
+    from pyspark.sql import functions as F
+
+    from stupp_exclusion_etl_spark.operators.similarity import knn_join
+
+    vec = spark.createDataFrame(
+        [(i, v) for i, v, _c in rows],
+        "vec_id long, embedding array<double>",
+    )
+    # queries: every 10th vector, lightly perturbed (same cluster)
+    qrows = [
+        (i, [x + 0.01 * _h(f"q{i}:{j}") for j, x in enumerate(v)])
+        for i, v, _c in rows[::10]
+    ]
+    q = spark.createDataFrame(qrows, "q_id long, q array<double>")
+    n_cmp = len(rows) * len(qrows)
+    assert n_cmp > max_comparisons, "fixture must exceed the budget"
+
+    def topk(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["q_id"], []).append(r["vec_id"])
+        return out
+
+    exact = topk(knn_join(vec, q, k=k))
+    approx = topk(
+        knn_join(
+            vec, q, k=k, max_comparisons=max_comparisons,
+            on_exceed="lsh", dim=len(rows[0][1]),
+        )
+    )
+    recs = [
+        len(set(approx.get(qid, ())) & set(ex)) / len(ex)
+        for qid, ex in exact.items()
+    ]
+    return sum(recs) / len(recs), n_cmp
+
+
+def neardup_recall(spark, rows, threshold, max_pairs=20_000):
+    """pair recall (and asserted precision=1.0) of the sub-bucketed
+    embedding_neardup_pairs vs the exact within-bucket answer."""
+    from pyspark.sql import functions as F
+
+    from stupp_exclusion_etl_spark.operators.dedup import (
+        embedding_neardup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v, "hot") for i, v, _c in rows],
+        "vec_id long, embedding array<double>, label string",
+    )
+    n = df.count()
+    est_pairs = n * (n - 1) // 2
+    assert est_pairs > max_pairs, "fixture must exceed the budget"
+
+    def pairs(out):
+        return {(r.id1, r.id2) for r in out.collect()}
+
+    exact = pairs(
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", F.col("label"), threshold
+        )
+    )
+    approx = pairs(
+        embedding_neardup_pairs(
+            df, "vec_id", "embedding", F.col("label"), threshold,
+            max_pairs=max_pairs, on_exceed="subdivide",
+            dim=len(rows[0][1]),
+        )
+    )
+    assert approx <= exact, "sub-bucketing must never invent a pair"
+    recall = len(approx & exact) / len(exact) if exact else 1.0
+    return recall, len(exact), est_pairs
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "RECALL_r08.json"))
+    a = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("recall-metrics")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {"budgets": {"knn_max_comparisons": 50_000,
+                       "neardup_max_pairs": 20_000}}
+
+    cl = clustered_vectors()
+    r, n_cmp = knn_recall(spark, cl)
+    out["clustered"] = {"knn_recall_at_5": round(r, 4),
+                        "comparisons_exact": n_cmp}
+    pr, n_exact, est = neardup_recall(spark, cl, threshold=0.95)
+    out["clustered"]["neardup_pair_recall"] = round(pr, 4)
+    out["clustered"]["neardup_exact_pairs"] = n_exact
+    out["clustered"]["neardup_est_candidates"] = est
+
+    rd = random_vectors()
+    r, n_cmp = knn_recall(spark, rd)
+    out["adversarial_random"] = {"knn_recall_at_5": round(r, 4),
+                                 "comparisons_exact": n_cmp}
+    pr, n_exact, est = neardup_recall(spark, rd, threshold=0.5)
+    out["adversarial_random"]["neardup_pair_recall"] = round(pr, 4)
+    out["adversarial_random"]["neardup_exact_pairs"] = n_exact
+    out["adversarial_random"]["neardup_est_candidates"] = est
+
+    with open(a.out, "w") as fh:
+        json.dump(out, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    print(json.dumps(out, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
