@@ -95,11 +95,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # drive — update+insert+delete clause algebra over the atomic table
     # becomes driver-verified
     "atomic_merge_read",
-    # r7: replaced upsert_keep_latest (A15 kept by atomic_upsert_read/
-    # atomic_merge_read, B9 by the dedup trio, B6 by win_topk_per_group)
-    # with the manifest data-skipping drive — stats-pruned clustered
-    # reads become driver-verified
-    "atomic_skipping_read",
+    # r7: gave this slot to the manifest data-skipping drive; r8:
+    # upgraded it to the SECONDARY-INDEX drive (same A2/A16/C16 tags —
+    # range skipping stays preflight-green as atomic_skipping_read):
+    # bloom-pruned point/IN lookups on a NON-clustered column, the
+    # reference's GSI contract, become driver-verified
+    "atomic_index_read",
     # set ops — B8 (+ B2 schema evolution)
     "setop_union_pipelines",
     "setop_union_schema_evolution",

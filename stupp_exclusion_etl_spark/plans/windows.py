@@ -372,6 +372,67 @@ def atomic_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "atomic_index_read",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           'Clerk#' || CAST(o_orderkey AS VARCHAR) AS clerk,
+           o_orderpriority,
+           ROUND(o_totalprice, 4) AS total
+    FROM orders
+    WHERE 'Clerk#' || CAST(o_orderkey AS VARCHAR) IN
+          ('Clerk#1', 'Clerk#7', 'Clerk#33', 'Clerk#644',
+           'Clerk#1200', 'Clerk#999999937')
+    """,
+    tags=("A2", "A16", "C16"),
+)
+def atomic_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index (GSI-parity) point lookups on a NON-clustered
+    column (sinks.atomic ``index_by`` blooms; reference
+    __main__.py:37-45 promises metadata-scale equality lookups on six
+    non-key attributes): orders land clustered on o_orderkey with a
+    derived high-cardinality ``clerk`` attribute declared as an index
+    column — its per-file lexical [min,max] spans nearly the whole
+    domain ('Clerk#1'…'Clerk#9…'), so range stats CANNOT prune, but
+    the per-file bloom knows which clerk values each file actually
+    holds, and the IN probe keeps only the files containing a probed
+    value (one absent value exercises the prove-absent path). At
+    100 TB this is the difference between a metadata decision plus a
+    couple of file scans and a full-table scan for every GSI-shaped
+    probe. Pruning never loses a match (property-tested in
+    tests/test_data_skipping.py); the oracle is the plain filter."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).withColumn(
+        "clerk",
+        F.concat(F.lit("Clerk#"), F.col("o_orderkey").cast("string")),
+    )
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_i_"),
+        keys=["o_orderkey"],
+        cluster_by=["o_orderkey"],
+        cluster_files=8,
+        index_by=["clerk"],
+    )
+    t.upsert(o, [F.col("o_orderkey")])
+    pruned = t.read(
+        where=[(
+            "clerk", "in",
+            ["Clerk#1", "Clerk#7", "Clerk#33", "Clerk#644",
+             "Clerk#1200", "Clerk#999999937"],
+        )]
+    )
+    return pruned.select(
+        "o_orderkey", "clerk", "o_orderpriority",
+        F.round("o_totalprice", 4).alias("total"),
+    )
+
+
+@register(
     "atomic_changes_read",
     oracle="""
     WITH b1 AS (

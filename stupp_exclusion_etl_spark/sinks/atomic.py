@@ -75,6 +75,14 @@ class ConcurrentWriteError(RuntimeError):
     the table and retry the batch (optimistic concurrency)."""
 
 
+class VersionExpiredError(ValueError):
+    """The requested snapshot's manifest is gone — expired by
+    ``gc(keep_versions=...)`` (or never committed). Time travel and
+    ``changes()`` are only defined over RETAINED versions; this error
+    names the versions that are still readable instead of surfacing an
+    opaque filesystem failure."""
+
+
 def _ddl(df: DataFrame) -> str:
     """DDL schema string for re-creating an empty snapshot's frame."""
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
@@ -218,6 +226,52 @@ def _list_files_recursive(spark, directory: str) -> list[str]:
 # collected task-side during the write itself; footer reads after the
 # move are the honest single-process equivalent and see identical
 # bytes.)
+
+# -- secondary-index blooms ------------------------------------------
+# Per-file bloom filters for DECLARED index columns (``index_by``):
+# the reference's GSIs (/root/reference/__main__.py:37-45) promise
+# metadata-scale point/equality lookups on non-key attributes; range
+# clustering only prunes on the cluster columns, so equality probes on
+# anything else scanned every file. A bloom per (file, index column)
+# in the manifest makes `read(where=("PublicStatus","=",...))` prune
+# files WITHOUT re-clustering. No false negatives by construction
+# (pruning never loses a match — property-tested); false positives
+# only cost a kept file. m=4096 bits / k=4 md5-derived hashes ⇒ ~2%
+# FPR at 500 distinct values per file; high-cardinality columns
+# saturate and simply stop pruning (sound). The bloom job is one
+# bounded aggregate over a commit's NEW files only.
+_BLOOM_M = 4096  # bits per (file, column) bloom
+_BLOOM_K = 4  # hash functions (md5 hex 8-char slices)
+
+
+def _bloom_positions(v) -> list[int] | None:
+    """Bit positions of one predicate literal — MUST mirror the write
+    side exactly: Spark's cast-to-string of the column value, md5,
+    four 32-bit big-endian hex slices mod m. Only string/integral
+    literals participate (other types ⇒ None ⇒ keep the file)."""
+    import hashlib
+
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        return None
+    canon = v if isinstance(v, str) else str(v)
+    hexd = hashlib.md5(canon.encode("utf-8")).hexdigest()
+    return [
+        int(hexd[8 * i : 8 * i + 8], 16) % _BLOOM_M
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_may_contain(b64: str, v) -> bool:
+    """False ONLY when the file's bloom PROVES the value absent (some
+    bit of the value's k positions is unset)."""
+    import base64
+
+    pos = _bloom_positions(v)
+    if pos is None:
+        return True
+    bits = base64.b64decode(b64)
+    return all(bits[p // 8] & (1 << (p % 8)) for p in pos)
+
 
 _STAT_MAX_STR = 64  # drop string bounds at/over this length (writer
 # truncation becomes possible at large sizes; a truncated max is not an
@@ -525,6 +579,18 @@ def _zvalue_column(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     return z
 
 
+def _rows_by_rel(rows, rel_files: list[str]) -> dict:
+    """Map input_file_name() result rows back to manifest-relative
+    file names by suffix (the URI prefix varies by FS scheme)."""
+    by_suffix = {}
+    for r in rows:
+        for rel in rel_files:
+            if r["__f"].endswith("/" + rel.rsplit("/", 1)[-1]):
+                if rel in r["__f"] or "/" not in rel:
+                    by_suffix[rel] = r
+    return by_suffix
+
+
 def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
     """(col, op[, value]) → (col, op, [values]). `in` takes an
     iterable; null ops take no value."""
@@ -582,6 +648,7 @@ class AtomicParquetTable:
         cluster_by: list[str] | None = None,
         cluster_files: int | None = None,
         cluster_order: str = "range",
+        index_by: list[str] | None = None,
         hooks: dict[str, Callable[[], None]] | None = None,
     ) -> None:
         if partition_by and set(partition_by) & set(keys):
@@ -611,6 +678,13 @@ class AtomicParquetTable:
         if cluster_order not in ("range", "zorder"):
             raise ValueError(f"cluster_order: {cluster_order!r}")
         self.cluster_order = cluster_order
+        # secondary-index columns (the GSI analog): each commit writes
+        # a per-(new file, column) bloom into the manifest so equality
+        # and IN probes on these NON-clustered columns prune files —
+        # one bounded aggregate over the batch's new files per commit.
+        # Only string/integral columns participate (others are
+        # silently skipped — no stats, no pruning, never wrong).
+        self.index_by = index_by or []
         self.hooks = hooks or {}
 
     # -- snapshot resolution ------------------------------------------
@@ -624,11 +698,26 @@ class AtomicParquetTable:
         return max(versions) if versions else None
 
     def _manifest(self, version: int) -> dict:
-        return json.loads(
-            _read_text(
-                self.spark, f"{self.path}/{MANIFEST_DIR}/v{version:012d}.json"
+        try:
+            return json.loads(
+                _read_text(
+                    self.spark,
+                    f"{self.path}/{MANIFEST_DIR}/v{version:012d}.json",
+                )
             )
-        )
+        except Exception as e:
+            retained = sorted(
+                int(n[1:-5])
+                for n in _list_names(
+                    self.spark, f"{self.path}/{MANIFEST_DIR}"
+                )
+                if n.startswith("v") and n.endswith(".json")
+            )
+            raise VersionExpiredError(
+                f"manifest v{version} not readable at {self.path} — "
+                f"expired by gc() or never committed; retained "
+                f"versions: {retained}"
+            ) from e
 
     def snapshot(self) -> dict | None:
         v = self.current_version()
@@ -723,6 +812,18 @@ class AtomicParquetTable:
                 if not _file_may_match(fstat, col, op, enc):
                     ok = False
                     break
+                # secondary-index bloom (declared index_by columns):
+                # an equality/IN probe drops the file when EVERY
+                # literal is provably absent — the GSI-shaped prune on
+                # non-clustered columns; no false negatives, so this
+                # can only remove work, never a matching row
+                bloom = ((fstat or {}).get("bloom") or {}).get(col)
+                if bloom is not None and op in ("=", "in") and vals:
+                    if not any(
+                        _bloom_may_contain(bloom, v) for v in vals
+                    ):
+                        ok = False
+                        break
             if ok:
                 kept.append(f)
         return kept
@@ -853,11 +954,15 @@ class AtomicParquetTable:
                         stats[f] = pstats[f]
         for part, files in new_by_part.items():
             partitions[part] = sorted(partitions.get(part, []) + list(files))
-        stats.update(
-            precomputed_stats
-            if precomputed_stats is not None
-            else self._new_file_stats(new_by_part)
-        )
+        if precomputed_stats is not None:
+            stats.update(precomputed_stats)
+        else:
+            new_stats = self._new_file_stats(new_by_part)
+            for rel, blooms in self._index_blooms(new_by_part).items():
+                new_stats.setdefault(
+                    rel, {"rows": None, "cols": {}}
+                )["bloom"] = blooms
+            stats.update(new_stats)
         version = 0 if parent is None else parent + 1
         # streaming idempotence marker: the max micro-batch id ever
         # applied rides IN the manifest (carried forward by non-batch
@@ -942,12 +1047,7 @@ class AtomicParquetTable:
             df.withColumn("__f", F.input_file_name())
             .groupBy("__f").agg(*aggs).collect()
         )
-        by_suffix = {}
-        for r in rows:
-            for rel in rel_files:
-                if r["__f"].endswith("/" + rel.rsplit("/", 1)[-1]):
-                    if rel in r["__f"] or "/" not in rel:
-                        by_suffix[rel] = r
+        by_suffix = _rows_by_rel(rows, rel_files)
         out = {}
         for rel, r in by_suffix.items():
             cstats = {}
@@ -959,6 +1059,65 @@ class AtomicParquetTable:
                     "nulls": int(r[f"__nl_{c}"]),
                 }
             out[rel] = {"rows": int(r["__rows"]), "cols": cstats}
+        return out
+
+    def _index_blooms(self, new_by_part: dict[str, list[str]]) -> dict:
+        """{rel_path: {col: b64 bloom}} for one commit's new files and
+        every declared ``index_by`` column — ONE Spark aggregate over
+        just the batch's files (bounded by the commit, like the stats
+        pass). Hashing is md5(cast(col AS STRING)) sliced into four
+        32-bit positions; the positions per file are collected as a
+        set (≤ m=4096 ints per column — bounded metadata) and the
+        driver packs the bitmap. _bloom_positions mirrors this
+        byte-for-byte on the probe side."""
+        import base64
+
+        from pyspark.sql import types as T
+
+        rel_files = [f for fl in new_by_part.values() for f in fl]
+        if not rel_files or not self.index_by:
+            return {}
+        df = self.spark.read.option(
+            "basePath", f"{self.path}/{DATA_DIR}"
+        ).parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in rel_files])
+        ok_types = (
+            T.StringType, T.ByteType, T.ShortType, T.IntegerType,
+            T.LongType,
+        )
+        cols = [
+            c
+            for c in self.index_by
+            if c in df.columns
+            and isinstance(df.schema[c].dataType, ok_types)
+            and c not in self.partition_by
+        ]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            hexc = F.md5(F.encode(F.col(c).cast("string"), "UTF-8"))
+            for i in range(_BLOOM_K):
+                pos = F.pmod(
+                    F.conv(
+                        F.substring(hexc, 1 + 8 * i, 8), 16, 10
+                    ).cast("long"),
+                    F.lit(_BLOOM_M),
+                ).cast("int")
+                aggs.append(F.collect_set(pos).alias(f"__p_{c}_{i}"))
+        rows = (
+            df.withColumn("__f", F.input_file_name())
+            .groupBy("__f").agg(*aggs).collect()
+        )
+        out = {}
+        for rel, r in _rows_by_rel(rows, rel_files).items():
+            blooms = {}
+            for c in cols:
+                bits = bytearray(_BLOOM_M // 8)
+                for i in range(_BLOOM_K):
+                    for p in r[f"__p_{c}_{i}"]:
+                        bits[p // 8] |= 1 << (p % 8)
+                blooms[c] = base64.b64encode(bytes(bits)).decode("ascii")
+            out[rel] = blooms
         return out
 
     # -- file-scoped merge (stats-pruned rewrite set) ------------------
@@ -1826,7 +1985,20 @@ class AtomicParquetTable:
         batch. With the default 10-minute threshold gc is safe to run
         any time alongside writers whose stage→commit window is
         shorter than that; ``min_age_seconds=0`` is only safe with no
-        writer in flight."""
+        writer in flight.
+
+        Time-travel contract under concurrent gc
+        (tests/test_change_feed.py::test_gc_time_travel_contract):
+        a reader pinned at a version gc RETAINS can never lose a file
+        mid-read — its plan lists only files that retained manifest
+        references, gc deletes only files referenced by NO retained
+        manifest, and data files are immutable. A reader pinned at a
+        version gc EXPIRES fails LOUDLY: resolving it raises
+        VersionExpiredError naming the retained versions, and a scan
+        already planned before the expiry hits missing-file task
+        failures (ignoreMissingFiles is off by default) — never a
+        silent partial result. ``changes(since=expired)`` raises the
+        same VersionExpiredError."""
         import time as _time
 
         versions = sorted(

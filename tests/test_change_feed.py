@@ -194,3 +194,53 @@ def test_restore_carries_stats_without_rereading_footers(spark, table):
     # and pruning still works on the restored head
     rep = table.skipping_report([("k", "=", 3)])
     assert rep["files_kept"] < rep["files_total"]
+
+
+def test_gc_time_travel_contract(spark, table):
+    """GC vs time travel (VERDICT r7 task #6): a reader pinned at a
+    RETAINED version survives a concurrent gc (its files are, by
+    construction, referenced by a retained manifest and gc deletes
+    only unreferenced files); a reader pinned at an EXPIRED version
+    fails loudly — resolving it raises VersionExpiredError naming the
+    retained versions, and a scan planned BEFORE the expiry raises on
+    the deleted files rather than returning a partial answer."""
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        VersionExpiredError,
+    )
+
+    v0 = table.current_version()
+    table.upsert(_mk(spark, [(5, -1.0, "b", 1)]), [F.col("ts").desc()])
+    v1 = table.current_version()
+    table.upsert(_mk(spark, [(6, -2.0, "c", 2)]), [F.col("ts").desc()])
+    v2 = table.current_version()
+    pinned_retained = table.read(version=v1)  # planned pre-gc
+    pinned_expired = table.read(version=v0)   # planned pre-gc
+    res = table.gc(keep_versions=2, min_age_seconds=0)
+    assert res["removed_manifests"] == 1
+    # retained pinned read: complete and correct mid-gc
+    assert pinned_retained.count() == 100
+    assert pinned_retained.filter(
+        (F.col("k") == 5) & (F.col("v") == -1.0)
+    ).count() == 1
+    # resolving the expired version fails with a clear error
+    with pytest.raises(VersionExpiredError, match="retained"):
+        table.read(version=v0)
+    with pytest.raises(VersionExpiredError, match="retained"):
+        table.changes(v0)
+    with pytest.raises(VersionExpiredError, match="retained"):
+        table.restore(v0)
+    # the pre-planned expired scan must never return a silent partial
+    # result: v0's unique files are gone, so executing it raises
+    # (unless every v0 file is still referenced by a retained version,
+    # in which case it reads completely — both are within contract,
+    # a partial row set is not)
+    if res["removed_files"] > 0:
+        with pytest.raises(Exception):
+            pinned_expired.count()
+    else:
+        assert pinned_expired.count() == 100
+    # changes between retained versions still work after gc
+    feed = sorted(
+        (r.k, r._change_type) for r in table.changes(v1, v2).collect()
+    )
+    assert feed == [(6, "update")]

@@ -434,3 +434,112 @@ def test_empty_in_list_is_empty_result(spark, clustered):
     assert df.columns == t.read().columns
     rep = t.skipping_report([("k", "in", [])])
     assert rep["files_kept"] == 0
+
+
+@pytest.fixture()
+def bloomed(spark, tmp_path):
+    """Table clustered on k with a DERIVED high-cardinality attr as a
+    declared index column: every file's lexical [min,max] on attr
+    spans ~the whole domain (range stats can't prune), the bloom can."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "bl"), keys=["k"],
+        cluster_by=["k"], cluster_files=8, index_by=["attr", "code"],
+    )
+    rows = [(k, f"Clerk#{k}", 100 + (k % 37), float(k)) for k in range(400)]
+    t.upsert(
+        spark.createDataFrame(
+            rows, "k int, attr string, code int, v double"
+        ),
+        [F.col("k")],
+    )
+    return t, rows
+
+
+def test_bloom_prunes_on_non_clustered_column(spark, bloomed):
+    t, rows = bloomed
+    # lexical min/max can't separate 'Clerk#101' from any file's
+    # ['Clerk#0'-ish, 'Clerk#9'-ish] span — only the bloom prunes
+    rep = t.skipping_report([("attr", "=", "Clerk#101")])
+    assert rep["files_total"] == 8
+    assert rep["files_kept"] <= 2, (
+        f"bloom should keep ~1 of 8 files, kept {rep['files_kept']}"
+    )
+    got = [(r.k, r.attr) for r in t.read(
+        where=[("attr", "=", "Clerk#101")]
+    ).collect()]
+    assert got == [(101, "Clerk#101")]
+    # provably-absent value prunes everything
+    rep = t.skipping_report([("attr", "=", "Clerk#999999")])
+    assert rep["files_kept"] == 0
+    assert t.read(where=[("attr", "=", "Clerk#999999")]).count() == 0
+    # IN keeps the union of the members' files
+    rep = t.skipping_report(
+        [("attr", "in", ["Clerk#3", "Clerk#395", "Clerk#999999"])]
+    )
+    assert 1 <= rep["files_kept"] <= 4
+    got = sorted(r.k for r in t.read(
+        where=[("attr", "in", ["Clerk#3", "Clerk#395", "Clerk#999999"])]
+    ).collect())
+    assert got == [3, 395]
+
+
+def test_bloom_never_loses_a_match_property(spark, bloomed):
+    """Soundness sweep: for EVERY row of the table, an equality probe
+    on each indexed column must keep the row — a bloom false negative
+    would silently drop data (the one failure mode that matters)."""
+    t, rows = bloomed
+    man = t.snapshot()
+    file_part = {
+        f: p for p, fl in man["partitions"].items() for f in fl
+    }
+    assert all(
+        "bloom" in man["stats"][f] for f in file_part
+    ), "every file must carry blooms for the declared index columns"
+    # drive the real read path for a sample; the pure prune decision
+    # for every single row value
+    for k, attr, code, _v in rows[::7]:
+        kept = t._prune_files(
+            man, list(file_part), [("attr", "=", attr)]
+        )
+        got = {r.k for r in t.read(where=[("attr", "=", attr)]).collect()}
+        assert k in got, f"bloom lost k={k} attr={attr}"
+        assert kept, f"prune dropped every file for present {attr}"
+        kept_c = t._prune_files(
+            man, list(file_part), [("code", "=", code)]
+        )
+        assert kept_c
+    # int index column: exact values via the real read
+    got = sorted(
+        r.k for r in t.read(where=[("code", "=", 100)]).collect()
+    )
+    assert got == [k for k in range(400) if 100 + (k % 37) == 100]
+
+
+def test_bloom_carried_forward_and_rebuilt(spark, bloomed):
+    """Untouched files keep their blooms across later commits; files
+    rewritten by compact() get fresh blooms; restore() carries them."""
+    t, rows = bloomed
+    t.upsert(
+        spark.createDataFrame(
+            [(1000, "Clerk#1000", 999, -1.0)],
+            "k int, attr string, code int, v double",
+        ),
+        [F.col("k")],
+    )
+    man = t.snapshot()
+    live = {f for fl in man["partitions"].values() for f in fl}
+    assert all("bloom" in man["stats"][f] for f in live)
+    assert t.read(where=[("attr", "=", "Clerk#1000")]).count() == 1
+    assert t.read(where=[("attr", "=", "Clerk#101")]).count() == 1
+    v_before = t.current_version()
+    t.compact(target_bytes_per_file=1 << 30)
+    man2 = t.snapshot()
+    live2 = {f for fl in man2["partitions"].values() for f in fl}
+    assert all("bloom" in man2["stats"][f] for f in live2)
+    assert t.read(where=[("attr", "=", "Clerk#101")]).count() == 1
+    t.restore(v_before)
+    man3 = t.snapshot()
+    live3 = {f for fl in man3["partitions"].values() for f in fl}
+    assert all("bloom" in man3["stats"][f] for f in live3)
+    rep = t.skipping_report([("attr", "=", "Clerk#999999")])
+    assert rep["files_kept"] == 0
