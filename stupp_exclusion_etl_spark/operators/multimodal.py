@@ -574,9 +574,11 @@ def _g711_table(law: str):
 # ITU-T T.81 baseline sequential DCT, the subset every JFIF file uses:
 # segment walk, DHT canonical Huffman tables, DC prediction + magnitude
 # categories, AC run/size with EOB/ZRL, FF00 byte unstuffing, dequant,
-# dezigzag, orthonormal 8x8 IDCT. Decodes grayscale and non-subsampled
-# (1x1) 3-component YCbCr; progressive (SOF2), subsampled chroma,
-# arithmetic coding and restart markers raise NotImplementedError with
+# dezigzag, orthonormal 8x8 IDCT. Decodes grayscale and 3-component
+# YCbCr in baseline (SOF0), 12-bit (SOF1) and progressive (SOF2)
+# modes, with chroma subsampling up to 2x2 and restart intervals — in
+# ANY combination (one A.2-geometry scan walk covers them all);
+# lossless/arithmetic/hierarchical SOFs raise NotImplementedError with
 # the exact feature named. The matching encoder emits spec-valid
 # grayscale baseline JPEG (standard Annex K Huffman tables, caller's
 # quant table) so decode paths are value-checkable end-to-end: with an
@@ -782,75 +784,26 @@ def _jpeg_seq_block(reader, tabs, dct, act, blk, pred: int) -> int:
     return pred
 
 
-def _jpeg_decode_subsampled(h, w, comps, samp, scans, idx_of, idct_planes):
-    """Sequential decode with real MCU geometry (T.81 A.2.3): sampling
-    factors up to 2x2, MCUs of Hmax x Vmax-aligned regions carrying
-    h_i x v_i blocks per component, restart intervals in MCUs; each
-    subsampled plane is IDCT'd at its own resolution then replicated
-    (nearest-neighbor upsampling, the classic "box" reconstruction) to
-    frame size. Progressive + subsampled stays guarded — its
-    non-interleaved scans use per-component block counts, a different
-    geometry."""
-    import numpy as np
-
-    if len(scans) != 1 or scans[0]["ss"] != 0 or scans[0]["se"] != 63 \
-            or scans[0]["ah"] or scans[0]["al"]:
-        raise NotImplementedError("progressive subsampled JPEG")
-    sc = scans[0]
-    if len(sc["comps"]) != len(comps):
-        raise NotImplementedError("non-interleaved subsampled JPEG scan")
-    hmax = max(hh for hh, _vv in samp.values())
-    vmax = max(vv for _hh, vv in samp.values())
-    mcx = (w + 8 * hmax - 1) // (8 * hmax)
-    mcy = (h + 8 * vmax - 1) // (8 * vmax)
-    grids = []
-    for cid, _qid in comps:
-        hh, vv = samp[cid]
-        grids.append((mcy * vv, mcx * hh))
-    coef = [
-        np.zeros((rows * cols, 64), dtype=np.int64) for rows, cols in grids
-    ]
-    ri, tabs, segments = sc["ri"], sc["tabs"], sc["segments"]
-    seg_i = 0
-    reader = _JpegBitReader(segments[0])
-    pred = [0] * len(sc["comps"])
-    for m in range(mcx * mcy):
-        if ri and m and m % ri == 0:
-            seg_i += 1
-            if seg_i >= len(segments):
-                raise ValueError("missing JPEG restart segment")
-            reader = _JpegBitReader(segments[seg_i])
-            pred = [0] * len(sc["comps"])
-        mx, my = m % mcx, m // mcx
-        for ci, (cid, dct, act) in enumerate(sc["comps"]):
-            hh, vv = samp[cid]
-            _rows, cols = grids[idx_of[cid]]
-            for by in range(vv):
-                for bx in range(hh):
-                    bi = (my * vv + by) * cols + (mx * hh + bx)
-                    pred[ci] = _jpeg_seq_block(
-                        reader, tabs, dct, act,
-                        coef[idx_of[cid]][bi], pred[ci],
-                    )
-    planes = []
-    for ci, ((cid, _qid), plane) in enumerate(
-        zip(comps, idct_planes(coef, grids))
-    ):
-        hh, vv = samp[cid]
-        if (hh, vv) != (hmax, vmax):
-            plane = np.repeat(
-                np.repeat(plane, vmax // vv, axis=0), hmax // hh, axis=1
-            )
-        planes.append(plane[:h, :w])
-    return planes
-
-
-def _jpeg_apply_scan(coef, sc: dict, nb: int, idx_of: dict) -> None:
+def _jpeg_apply_scan(coef, sc: dict, samp: dict, grids, comp_dims: dict,
+                     idx_of: dict, mcx: int, mcy: int) -> None:
     """Apply one scan (sequential full-band, progressive DC, or
-    progressive AC) onto the per-component coefficient store. With 1x1
-    sampling the MCU grid equals the block grid, in both interleaved
-    and single-component scans; restart intervals reset predictor, EOB
-    run and bit alignment at each RSTn-delimited segment."""
+    progressive AC — first or refinement) onto the per-component
+    coefficient stores, with REAL T.81 A.2 geometry so every sampling
+    x mode combination shares one walk:
+
+    - an INTERLEAVED scan (>1 component) visits MCUs in raster order,
+      each carrying h_i x v_i data units per component written into
+      that component's MCU-padded grid; restart intervals count MCUs.
+    - a NON-interleaved scan (single component — every progressive AC
+      scan by spec, and legal for DC/sequential too) visits that
+      component's OWN ceil(w_i/8) x ceil(h_i/8) block raster (NOT the
+      padded grid — T.81 A.2.2), remapped into the padded store;
+      restart intervals count data units.
+
+    With 1x1 sampling both geometries degenerate to the plain block
+    grid, which is why baseline, progressive, subsampled and
+    progressive+subsampled all decode through this one function.
+    Restart segments reset predictor, EOB run and bit alignment."""
     comps, ss, se = sc["comps"], sc["ss"], sc["se"]
     ah, al, ri, tabs = sc["ah"], sc["al"], sc["ri"], sc["tabs"]
     segments = sc["segments"]
@@ -858,7 +811,34 @@ def _jpeg_apply_scan(coef, sc: dict, nb: int, idx_of: dict) -> None:
     reader = _JpegBitReader(segments[0])
     pred = [0] * len(comps)
     state = {"eobrun": 0}
-    for m in range(nb):
+    interleaved = len(comps) > 1
+    if interleaved:
+        nunits = mcx * mcy
+    else:
+        bw_c, bh_c = comp_dims[comps[0][0]]
+        nunits = bw_c * bh_c
+
+    def apply_unit(blk, ci: int, dct: int, act: int) -> None:
+        if ss == 0 and se == 63:  # sequential: DC+AC full band
+            pred[ci] = _jpeg_seq_block(
+                reader, tabs, dct, act, blk, pred[ci]
+            )
+        elif ss == 0:  # progressive DC scan (first or refinement)
+            if ah == 0:
+                t = reader.huff(tabs[(0, dct)])
+                pred[ci] += _jpeg_extend(reader.bits(t), t)
+                blk[0] = pred[ci] << al
+            elif reader.bits(1):
+                blk[0] |= 1 << al
+        else:  # progressive AC (single-component by spec)
+            if ah == 0:
+                _jpeg_ac_first(reader, tabs[(1, act)], blk, ss, se, al, state)
+            else:
+                _jpeg_ac_refine(reader, tabs[(1, act)], blk, ss, se, al, state)
+
+    if interleaved and ss != 0:
+        raise ValueError("interleaved progressive AC scan is not valid T.81")
+    for m in range(nunits):
         if ri and m and m % ri == 0:
             seg_i += 1
             if seg_i >= len(segments):
@@ -866,27 +846,20 @@ def _jpeg_apply_scan(coef, sc: dict, nb: int, idx_of: dict) -> None:
             reader = _JpegBitReader(segments[seg_i])
             pred = [0] * len(comps)
             state["eobrun"] = 0
-        if ss == 0 and se == 63:  # sequential: DC+AC interleaved
+        if interleaved:
+            mx, my = m % mcx, m // mcx
             for ci, (cid, dct, act) in enumerate(comps):
-                pred[ci] = _jpeg_seq_block(
-                    reader, tabs, dct, act, coef[idx_of[cid]][m], pred[ci]
-                )
-        elif ss == 0:  # progressive DC scan (first or refinement)
-            for ci, (cid, dct, _act) in enumerate(comps):
-                blk = coef[idx_of[cid]][m]
-                if ah == 0:
-                    t = reader.huff(tabs[(0, dct)])
-                    pred[ci] += _jpeg_extend(reader.bits(t), t)
-                    blk[0] = pred[ci] << al
-                elif reader.bits(1):
-                    blk[0] |= 1 << al
-        else:  # progressive AC scan: single component by spec
-            cid, _dct, act = comps[0]
-            blk = coef[idx_of[cid]][m]
-            if ah == 0:
-                _jpeg_ac_first(reader, tabs[(1, act)], blk, ss, se, al, state)
-            else:
-                _jpeg_ac_refine(reader, tabs[(1, act)], blk, ss, se, al, state)
+                hh, vv = samp[cid]
+                cols = grids[idx_of[cid]][1]
+                for by in range(vv):
+                    for bx in range(hh):
+                        bi = (my * vv + by) * cols + (mx * hh + bx)
+                        apply_unit(coef[idx_of[cid]][bi], ci, dct, act)
+        else:
+            cid, dct, act = comps[0]
+            cols = grids[idx_of[cid]][1]
+            r, c = divmod(m, bw_c)
+            apply_unit(coef[idx_of[cid]][r * cols + c], 0, dct, act)
 
 
 def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
@@ -896,10 +869,11 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     T.81 G.2's spectral-selection + successive-approximation
     procedures (DC first/refine, AC first/refine with EOB runs) onto a
     shared coefficient store; restart intervals (DRI/RSTn) reset the
-    entropy state per segment in both modes. Raises
-    NotImplementedError for the features genuinely out of scope
-    (chroma subsampling, 12-bit precision, lossless/arithmetic/
-    hierarchical SOFs)."""
+    entropy state per segment in both modes; chroma subsampling
+    composes with either mode (interleaved scans walk MCUs,
+    non-interleaved scans walk the component's own block raster).
+    Raises NotImplementedError only for the features genuinely out of
+    scope (lossless/arithmetic/hierarchical SOFs, >2x sampling)."""
     import numpy as np
 
     if b[:2] != b"\xff\xd8":
@@ -1034,21 +1008,38 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             )
         return out
 
-    if any(samp[cid] != (1, 1) for cid, _qid in comps):
-        planes = _jpeg_decode_subsampled(
-            h, w, comps, samp, scans, idx_of, idct_planes
-        )
-    else:
-        bw, bh = (w + 7) // 8, (h + 7) // 8
-        nb = bw * bh
-        # shared coefficient store (natural-order index): baseline
-        # fills it in one scan, progressive accumulates across scans
-        coef = [np.zeros((nb, 64), dtype=np.int64) for _ in comps]
-        for sc in scans:
-            _jpeg_apply_scan(coef, sc, nb, idx_of)
-        planes = [
-            p[:h, :w] for p in idct_planes(coef, [(bh, bw)] * len(comps))
-        ]
+    # one geometry for every mode combination: per-component
+    # MCU-padded coefficient stores (1x1 ⇒ the plain block grid);
+    # baseline fills them in one scan, progressive accumulates across
+    # scans — including progressive + subsampled, whose interleaved DC
+    # scans walk MCUs while its AC scans walk each component's own
+    # ceil-dims raster
+    hmax = max(hh for hh, _vv in samp.values())
+    vmax = max(vv for _hh, vv in samp.values())
+    mcx = (w + 8 * hmax - 1) // (8 * hmax)
+    mcy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = []
+    comp_dims = {}
+    for cid, _qid in comps:
+        hh, vv = samp[cid]
+        grids.append((mcy * vv, mcx * hh))
+        w_i = -(-(w * hh) // hmax)  # ceil: component resolution
+        h_i = -(-(h * vv) // vmax)
+        comp_dims[cid] = (-(-w_i // 8), -(-h_i // 8))
+    coef = [
+        np.zeros((rows * cols, 64), dtype=np.int64) for rows, cols in grids
+    ]
+    for sc in scans:
+        _jpeg_apply_scan(coef, sc, samp, grids, comp_dims, idx_of, mcx, mcy)
+    planes = []
+    for (cid, _qid), plane in zip(comps, idct_planes(coef, grids)):
+        hh, vv = samp[cid]
+        if (hh, vv) != (hmax, vmax):
+            # nearest-neighbor replication (box reconstruction)
+            plane = np.repeat(
+                np.repeat(plane, vmax // vv, axis=0), hmax // hh, axis=1
+            )
+        planes.append(plane[:h, :w])
     if len(planes) == 1:
         out = np.clip(np.round(planes[0]), 0, maxv)
         return (h, w, 1), out.reshape(-1)
@@ -1492,6 +1483,158 @@ def _encode_jpeg_gray_progressive(px, quant=None) -> bytes:
     return bytes(out) + b"\xff\xd9"  # EOI
 
 
+def _encode_jpeg_420_progressive(y, cb, cr, quant=None) -> bytes:
+    """Encode YCbCr 4:2:0 PROGRESSIVE (SOF2) JPEG — the combined
+    geometry the r7 guard blocked: scan 1 is the interleaved DC-first
+    scan in MCU order (four Y DC diffs then Cb, Cr per MCU, Al=0);
+    scans 2-4 are per-component AC-first scans over the FULL band
+    [1,63] at Al=0, each walking that component's OWN ceil-dims block
+    raster (T.81 A.2.2) with EOBn run accumulation. Spectral selection
+    only (no successive approximation), so coefficients are restored
+    exactly and the decode must equal the baseline 4:2:0 decode of the
+    same planes. Accepts any h, w multiples of 8 (chroma planes at
+    ceil-half resolution): when h or w is not a multiple of 16 the
+    padded MCU grid is LARGER than the AC scans' ceil-dims rasters,
+    exercising the decoder's non-interleaved index remap for real."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.float64)
+    cb = np.asarray(cb, dtype=np.float64)
+    cr = np.asarray(cr, dtype=np.float64)
+    h, w = y.shape
+    if h % 8 or w % 8:
+        raise ValueError("progressive 4:2:0 encoder needs 8-multiples")
+    h2, w2 = -(-h // 2), -(-w // 2)
+    if cb.shape != (h2, w2) or cr.shape != (h2, w2):
+        raise ValueError("chroma planes must be ceil-half resolution")
+    q = np.ones((8, 8)) if quant is None else np.asarray(
+        quant, dtype=np.float64
+    )
+    mcx, mcy = -(-w // 16), -(-h // 16)
+
+    def pad_to(plane, rows, cols):
+        ph, pw = plane.shape
+        return np.pad(plane, ((0, rows - ph), (0, cols - pw)), "edge")
+
+    # padded block stores (the decoder's grids); ceil-dims per comp
+    yp = pad_to(y, mcy * 16, mcx * 16)
+    cbp = pad_to(cb, mcy * 8, mcx * 8)
+    crp = pad_to(cr, mcy * 8, mcx * 8)
+    blk_store = [
+        _jpeg_quantized_blocks(p, q) for p in (yp, cbp, crp)
+    ]
+    grid_cols = [mcx * 2, mcx, mcx]
+    ceil_dims = [
+        (-(-w // 8), -(-h // 8)), (-(-w2 // 8), -(-h2 // 8)),
+        (-(-w2 // 8), -(-h2 // 8)),
+    ]
+    enc_dc, _ = _jpeg_enc_tables()
+    prog_bits = (0,) * 8 + (255, 1) + (0,) * 6
+    prog_vals = tuple(range(255)) + (255,)
+    enc_ac = {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(
+            prog_bits, prog_vals
+        ).items()
+    }
+
+    head = b"\xff\xd8"
+    zz_q = bytes(int(q.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64))
+    head += _jpeg_seg(0xDB, b"\x00" + zz_q)
+    head += _jpeg_seg(
+        0xC2,
+        b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+    )
+    head += _jpeg_seg(
+        0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
+    )
+    head += _jpeg_seg(0xC4, b"\x11" + bytes(prog_bits) + bytes(prog_vals))
+    out = bytearray(head)
+
+    def put(wtr, table, sym: int, extra: int, t: int) -> None:
+        code, length = table[sym]
+        wtr.bits(code, length)
+        if t:
+            wtr.bits(extra if extra >= 0 else extra + (1 << t) - 1, t)
+
+    # scan 1: interleaved DC first (MCU order, per-component pred)
+    out += _jpeg_seg(
+        0xDA,
+        b"\x03" + b"\x01\x00" + b"\x02\x00" + b"\x03\x00"
+        + bytes([0, 0, 0]),
+    )
+    wtr = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_dc(ci: int, bi: int) -> None:
+        v = int(blk_store[ci][bi][0])
+        diff = v - preds[ci]
+        preds[ci] = v
+        t = int(abs(diff)).bit_length()
+        put(wtr, enc_dc, t, diff, t)
+
+    for my in range(mcy):
+        for mx in range(mcx):
+            for by in range(2):
+                for bx in range(2):
+                    put_dc(0, (my * 2 + by) * grid_cols[0] + mx * 2 + bx)
+            put_dc(1, my * grid_cols[1] + mx)
+            put_dc(2, my * grid_cols[2] + mx)
+    out += wtr.finish()
+
+    # scans 2-4: per-component AC first over [1,63], Al=0, EOBn runs —
+    # walked over the component's ceil-dims raster, remapped into the
+    # padded store exactly like the decoder
+    for ci, comp_id in ((0, 1), (1, 2), (2, 3)):
+        out += _jpeg_seg(
+            0xDA,
+            b"\x01" + bytes([comp_id, 0x01]) + bytes([1, 63, 0]),
+        )
+        wtr = _JpegBitWriter()
+        eobrun = 0
+
+        def flush() -> None:
+            nonlocal eobrun
+            if eobrun == 0:
+                return
+            r = eobrun.bit_length() - 1
+            put(wtr, enc_ac, r << 4, 0, 0)
+            if r:
+                wtr.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+        bw_c, bh_c = ceil_dims[ci]
+        for m in range(bw_c * bh_c):
+            r0, c0 = divmod(m, bw_c)
+            zz = blk_store[ci][r0 * grid_cols[ci] + c0]
+            vals = [int(zz[k]) for k in range(1, 64)]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush()
+                continue
+            flush()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for i, v in enumerate(vals):
+                if i > last_nz:
+                    eobrun += 1
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    put(wtr, enc_ac, 0xF0, 0, 0)
+                    run -= 16
+                s = abs(v).bit_length()
+                put(wtr, enc_ac, (run << 4) | s, v, s)
+                run = 0
+        flush()
+        out += wtr.finish()
+    return bytes(out) + b"\xff\xd9"
+
+
 _JPEG_SYNTH_SCHEMA = StructType(
     [
         StructField("id", LongType()),
@@ -1543,7 +1686,8 @@ def synth_jpeg_gray(df: DataFrame, id_col: str, seed_col: str,
 
 
 def synth_jpeg_420(df: DataFrame, id_col: str, seed_col: str,
-                   wb_col: str, hb_col: str) -> DataFrame:
+                   wb_col: str, hb_col: str,
+                   progressive: bool = False) -> DataFrame:
     """Deterministic 4:2:0 color JPEG generator: per row encode a
     (hb*8, wb*8) YCbCr image (wb, hb EVEN — 4:2:0 needs 16-multiple
     dims) whose luma 8x8 block (bx, by) is ``(seed + 5*bx + 11*by) %
@@ -1553,9 +1697,14 @@ def synth_jpeg_420(df: DataFrame, id_col: str, seed_col: str,
     all-ones quant make the subsampled round trip exact, so an oracle
     recomputes every decoded RGB value in closed form (the constants
     are chosen so no YCbCr→RGB conversion lands on an exact .5 —
-    rounding-mode-proof). Arrow-batched mapInPandas."""
+    rounding-mode-proof). ``progressive=True`` emits the SOF2
+    interleaved-DC + per-component-AC scan script instead of baseline;
+    spectral selection restores coefficients exactly, so both decode
+    to identical pixels. Arrow-batched mapInPandas."""
     import numpy as np
     import pandas as pd
+
+    enc = _encode_jpeg_420_progressive if progressive else _encode_jpeg_420
 
     def gen(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -1580,7 +1729,7 @@ def synth_jpeg_420(df: DataFrame, id_col: str, seed_col: str,
                     8, 1,
                 ).astype(np.float64)
                 ids.append(int(i))
-                payloads.append(_encode_jpeg_420(y, cb, cr))
+                payloads.append(enc(y, cb, cr))
                 ws.append(wb * 8)
                 hs.append(hb * 8)
             yield pd.DataFrame(

@@ -589,6 +589,83 @@ def mm_jpeg_420_subsampled_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_jpeg_prog_420_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, (doc_id * 23) % 256 AS seed,
+             2 + 2 * (doc_id % 2) AS wb, 2 + 2 * (doc_id % 3) AS hb
+      FROM documents WHERE doc_id < 48),
+    blocks AS (
+      SELECT g.doc_id, CAST(u.x AS INT) AS bx, CAST(v.y AS INT) AS by,
+             (g.seed + 5 * u.x + 11 * v.y) % 256 AS yv,
+             (3 * g.seed + 7 * (u.x // 2) + 13 * (v.y // 2)) % 256 AS cb,
+             (5 * g.seed + 3 * (u.x // 2) + 17 * (v.y // 2)) % 256 AS cr
+      FROM g, UNNEST(range(0, g.wb)) AS u(x), UNNEST(range(0, g.hb)) AS v(y)),
+    chans AS (
+      SELECT doc_id, bx, by, 0 AS ch,
+             LEAST(255, GREATEST(0, ROUND(yv + 1.402 * (cr - 128)))) AS val
+      FROM blocks
+      UNION ALL
+      SELECT doc_id, bx, by, 1,
+             LEAST(255, GREATEST(0, ROUND(
+               yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))))
+      FROM blocks
+      UNION ALL
+      SELECT doc_id, bx, by, 2,
+             LEAST(255, GREATEST(0, ROUND(yv + 1.772 * (cb - 128))))
+      FROM blocks)
+    SELECT doc_id, bx, by, CAST(ch AS INT) AS ch,
+           CAST(val AS DOUBLE) AS lo, CAST(val AS DOUBLE) AS hi,
+           CAST(64 AS BIGINT) AS n_px
+    FROM chans
+    """,
+    tags=("B15", "B11"),
+)
+def mm_jpeg_prog_420_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE + CHROMA-SUBSAMPLED JPEG decode end to end — the
+    combination the r7 guard blocked, now real: per document
+    synthesize an SOF2 4:2:0 stream (interleaved DC-first scan in MCU
+    order, then per-component full-band AC-first scans over each
+    component's OWN block raster with EOB runs —
+    operators.multimodal._encode_jpeg_420_progressive), decode through
+    the unified T.81 A.2 scan walk, and reduce per (luma block,
+    channel) JVM-side. Spectral selection restores coefficients
+    exactly, so the oracle is the SAME closed-form block constants as
+    mm_jpeg_420_subsampled_stats (tie-free seed multiplier 23): any
+    error in the progressive MCU geometry, the non-interleaved index
+    remap, or the EOB-run accounting breaks the hash."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        synth_jpeg_420,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 48).select(
+        "doc_id",
+        (F.col("doc_id") * 23 % 256).alias("seed"),
+        (2 + 2 * (F.col("doc_id") % 2)).cast("int").alias("wb"),
+        (2 + 2 * (F.col("doc_id") % 3)).cast("int").alias("hb"),
+    )
+    jp = synth_jpeg_420(d, "doc_id", "seed", "wb", "hb", progressive=True)
+    dec = decode_media(jp, "id")
+    px = dec.select(
+        F.col("id").alias("doc_id"),
+        F.col("shape")[1].alias("w"),
+        F.posexplode("data"),
+    )
+    idx = F.floor(F.col("pos") / 3)
+    return px.groupBy(
+        "doc_id",
+        F.floor((idx % F.col("w")) / 8).cast("int").alias("bx"),
+        F.floor(F.floor(idx / F.col("w")) / 8).cast("int").alias("by"),
+        (F.col("pos") % 3).cast("int").alias("ch"),
+    ).agg(
+        F.min("col").alias("lo"),
+        F.max("col").alias("hi"),
+        F.count(F.lit(1)).alias("n_px"),
+    )
+
+
+@register(
     "mm_wav_g711_decode_stats",
     oracle="""
     WITH g AS (

@@ -1041,3 +1041,70 @@ def test_gif_interlaced_roundtrip_odd_height():
     )
     assert shape == (h, w, 3)
     assert flat_i.tolist() == flat_p.tolist()
+
+
+def test_jpeg_progressive_420_combined_decode():
+    """PROGRESSIVE + SUBSAMPLED (the r7 guard, now implemented):
+    the SOF2 4:2:0 stream — interleaved DC-first scan in MCU order,
+    per-component full-band AC-first scans over each component's OWN
+    ceil-dims block raster — must decode identically to the baseline
+    4:2:0 stream of the same planes (spectral selection restores
+    coefficients exactly), and a non-multiple-of-16 frame exercises
+    the padded-grid ≠ ceil-dims index remap for real."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_420,
+        _encode_jpeg_420_progressive,
+    )
+
+    def mk(h, w, seed):
+        bx = (np.arange(w) // 8).reshape(1, -1)
+        by = (np.arange(h) // 8).reshape(-1, 1)
+        y = ((seed + 5 * bx + 11 * by) % 256).astype(float)
+        h2, w2 = -(-h // 2), -(-w // 2)
+        cx = (np.arange(w2) // 8).reshape(1, -1)
+        cy = (np.arange(h2) // 8).reshape(-1, 1)
+        cb = ((3 * seed + 7 * cx + 13 * cy) % 256).astype(float)
+        cr = ((5 * seed + 3 * cx + 17 * cy) % 256).astype(float)
+        return y, cb, cr
+
+    # 16-multiple frame: progressive == baseline bit-for-bit
+    y, cb, cr = mk(32, 48, 77)
+    s0, p0 = _decode_jpeg_pixels(_encode_jpeg_420(y, cb, cr))
+    s1, p1 = _decode_jpeg_pixels(_encode_jpeg_420_progressive(y, cb, cr))
+    assert s0 == s1 == (32, 48, 3)
+    assert np.array_equal(p0, p1)
+
+    # 24x40: MCU grid (2x3) pads past the Y ceil grid (3x5) — the
+    # non-interleaved AC walk must remap into the padded store; verify
+    # against the closed-form converted block constants
+    h, w, seed = 24, 40, 9
+    y, cb, cr = mk(h, w, seed)
+    s1, p1 = _decode_jpeg_pixels(_encode_jpeg_420_progressive(y, cb, cr))
+    assert s1 == (h, w, 3)
+    bx = (np.arange(w) // 8).reshape(1, -1)
+    by = (np.arange(h) // 8).reshape(-1, 1)
+    yv = (seed + 5 * bx + 11 * by) % 256
+    cxp = ((np.arange(w) // 2) // 8).reshape(1, -1)
+    cyp = ((np.arange(h) // 2) // 8).reshape(-1, 1)
+    cbv = (3 * seed + 7 * cxp + 13 * cyp) % 256
+    crv = (5 * seed + 3 * cxp + 17 * cyp) % 256
+    exp = np.clip(np.round(np.stack([
+        yv + 1.402 * (crv - 128.0),
+        yv - 0.344136 * (cbv - 128.0) - 0.714136 * (crv - 128.0),
+        yv + 1.772 * (cbv - 128.0),
+    ], axis=-1)), 0, 255)
+    assert np.array_equal(np.asarray(p1).reshape(h, w, 3), exp)
+
+    # random content within DCT integer-rounding tolerance
+    rng = np.random.default_rng(11)
+    y = rng.integers(0, 256, (32, 32)).astype(float)
+    cb = rng.integers(0, 256, (16, 16)).astype(float)
+    cr = rng.integers(0, 256, (16, 16)).astype(float)
+    sb, pb = _decode_jpeg_pixels(_encode_jpeg_420(y, cb, cr))
+    sp, pp = _decode_jpeg_pixels(_encode_jpeg_420_progressive(y, cb, cr))
+    assert sb == sp
+    assert np.array_equal(pb, pp), (
+        "spectral-selection progressive must restore the exact same "
+        "coefficients as baseline"
+    )
