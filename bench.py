@@ -140,6 +140,8 @@ HEADLINE = [
     "pipeline_incremental_dedup",
     "mm_jpeg_420_subsampled_stats",
     "mm_wav_g711_decode_stats",
+    # r8 additions
+    "atomic_index_read",
 ]
 
 

@@ -3,6 +3,15 @@
 compare against the DuckDB oracle with the strict local harness.
 
 Usage:  python tests/preflight_vanilla.py [sf_dir] [--out PREFLIGHT.json]
+            [--master MASTER]
+
+``--master local-cluster[4,8,8192]`` runs the identical sweep with
+REAL executor processes (separate JVMs, real serialization, real
+shuffle transport, python workers spawned by executors) — the
+distributed-execution rehearsal (VERDICT r7 next-round #1): Python
+DataSources under remote pickling, broadcasts over a real transport,
+Arrow pandas-UDF batches crossing process boundaries. PYTHONPATH is
+propagated to executor python workers via spark.executorEnv.
 
 Exits non-zero if any query fails; prints a one-line verdict per query
 and (with --out, default PREFLIGHT_r03.json at the repo root) writes a
@@ -35,21 +44,33 @@ from tests import harness
 def main() -> int:
     argv = sys.argv[1:]
     out_path = os.path.join(REPO, "PREFLIGHT_r03.json")
+    master = "local[32]"
     positional: list[str] = []
     i = 0
     while i < len(argv):
         if argv[i] == "--out" and i + 1 < len(argv):
             out_path = argv[i + 1]
             i += 2  # consume the value too — it is NOT the sf_dir
+        elif argv[i] == "--master" and i + 1 < len(argv):
+            master = argv[i + 1]
+            i += 2
         else:
             positional.append(argv[i])
             i += 1
     sf_dir = positional[0] if positional else "/root/testdata/sf0.01"
-    spark = (
-        SparkSession.builder.master("local[32]")
+    builder = (
+        SparkSession.builder.master(master)
         .appName("preflight-vanilla")
-        .getOrCreate()
     )
+    if master.startswith("local-cluster"):
+        # executor JVMs spawn their own python workers; they need the
+        # repo importable to unpickle DataSources/UDF closures that
+        # reference package modules
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+        )
+    spark = builder.getOrCreate()
     from stupp_exclusion_etl_spark.plans import REGISTRY, ordered_registry
 
     failures: dict[str, list[str]] = {}

@@ -51,6 +51,7 @@ BLURBS = {
     "atomic_skipping_read": "Stats-index read (r7): the scan's file list was pruned against per-file min/max BEFORE planning — the plan shows a scan over the few surviving range-clustered files plus the residual filter and one hash agg.",
     "atomic_changes_read": "Change feed (r7): full-outer null-safe compare of ONLY the files that entered/left the manifest — two bounded scans, one join, one agg; untouched files never appear.",
     "pipeline_incremental_dedup": "CDC-driven incremental dedup (r7): changed docs from the feed semi-join-restrict the band probe, so candidate work is O(changed x bucket); verify joins all equi-joins.",
+    "atomic_index_read": "Secondary-index read (r8): the IN probe pruned the file list via per-file BLOOMS on a non-clustered column BEFORE planning — the scan lists only files that may hold a probed value, plus the exact residual IN filter.",
 }
 
 
