@@ -82,14 +82,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     from stupp_exclusion_etl_spark.plans import REGISTRY
 
+    # force a distributed job first so executors register; the info
+    # list includes the driver entry, so executors = len - 1
+    spark.range(1 << 20).repartition(64).count()
     n_exec = len(
-        [
-            e
-            for e in spark.sparkContext._jsc.sc()
-            .statusTracker()
-            .getExecutorInfos()
-        ]
-    )
+        spark.sparkContext._jsc.sc().statusTracker().getExecutorInfos()
+    ) - 1
     results: dict[str, dict] = {}
     errors: dict[str, str] = {}
     t_all = time.time()
@@ -113,9 +111,9 @@ def main() -> int:
     # local[32] warm medians from the committed detail for context
     try:
         with open(os.path.join(REPO, "bench_detail.json")) as fh:
-            detail = json.load(fh)
+            warm = json.load(fh)["queries_warm"]
         for name, rec in results.items():
-            lw = (detail.get(name) or {}).get("warm")
+            lw = warm.get(name)
             if lw:
                 rec["local32_warm"] = lw
                 rec["ratio_vs_local32"] = round(rec["lc_warm"] / lw, 2)
