@@ -1,22 +1,29 @@
 #!/usr/bin/env python
 """Spill-path exercise (VERDICT r7 next-round #7): the sf10 headroom
 run recorded ZERO spill under a 48 GB heap — good, but it means the
-spill machinery itself had no evidence. This tool runs the heavy
-shuffle/sort queries at sf10 TWICE in separate processes — once with a
-deliberately small heap (default 8 GB, forcing sort/agg spills) and
-once with the comfortable 48 GB reference heap — and proves:
+spill machinery itself had no evidence. This tool runs each heavy
+shuffle/sort query at sf10 in its OWN process under a deliberately
+small heap (8 GB first; a query that genuinely cannot fit 32 local
+threads in 8 GB escalates to the next heap on the ladder, and the heap
+that completed is recorded), plus once under the comfortable 48 GB
+reference heap, and proves:
 
-- the small-heap run records NONZERO memory/disk spill bytes
+- the small-heap runs record NONZERO memory/disk spill bytes
   (UI REST per-stage metrics), i.e. the spill code path actually ran;
 - every query's result under spill is VALUE-IDENTICAL to the
   no-spill reference (order-independent fingerprint: count + sum of
   xxhash64 over all columns stringified — computed inside Spark, no
   driver-side collect of sf10 results).
 
+Per-query isolation matters: a JVM that OOMs under the small heap
+takes the whole session with it, so each (query, heap) attempt is a
+fresh subprocess and an OOM is that query's escalation, not the end
+of the evidence.
+
 Writes BENCH_SPILL_r{N}.json (env SPARK_GRAFT_ROUND, default 08).
 
 Usage: python tools/bench_spill.py [--sf-dir /tmp/scaled/sf10]
-       [--small-heap 8g] [--ref-heap 48g]
+       [--heaps 8g,12g,16g] [--ref-heap 48g]
 """
 
 from __future__ import annotations
@@ -45,117 +52,131 @@ SPILL_SET = [
 ]
 
 
-def run_tier(sf_dir: str, heap: str, out_json: str) -> None:
-    """Subprocess body: one session at `heap`, run the set, write
-    {query: {fingerprint, rows, secs, spill bytes}}."""
+def run_one(name: str, sf_dir: str, out_json: str) -> None:
+    """Subprocess body: one session (heap via SPARK_DRIVER_MEMORY),
+    one query → {fingerprint, rows, secs, spill bytes}."""
     from pyspark.sql import functions as F
 
     from stupp_exclusion_etl_spark.plans import REGISTRY
     from stupp_exclusion_etl_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-spill-{heap}", ui=True)
+    spark = get_spark(app_name=f"bench-spill-{name}", ui=True)
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
-
-    def stages() -> dict[int, dict]:
-        data = json.load(urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
-        ))
-        return {st["stageId"]: st for st in data}
-
-    out: dict[str, dict] = {}
-    for name in SPILL_SET:
-        import gc
-
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
-        before = stages()
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        # order-independent value fingerprint computed IN Spark
-        row = df.select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
-            ).alias("h"),
-        ).first()
-        secs = time.perf_counter() - t0
-        after = stages()
-        new = [st for sid, st in after.items() if sid not in before]
-        out[name] = {
-            "rows": int(row["n"]),
-            "fingerprint": int(row["h"] or 0),
-            "secs": round(secs, 1),
-            "mem_spill_bytes": sum(
-                st.get("memoryBytesSpilled", 0) for st in new
-            ),
-            "disk_spill_bytes": sum(
-                st.get("diskBytesSpilled", 0) for st in new
-            ),
-        }
-        print(f"  [{heap}] {name}: {out[name]}", flush=True)
+    t0 = time.perf_counter()
+    df = REGISTRY[name].fn(spark, sf_dir)
+    # order-independent value fingerprint computed IN Spark. The hash
+    # is folded mod 2^30 BEFORE summing: a raw sum of 64-bit xxhash64
+    # values overflows long after a few million rows (ANSI mode raises
+    # ARITHMETIC_OVERFLOW); mod-reduced terms keep the sum exact for
+    # up to 2^33 rows while staying multiset-sensitive (unlike
+    # bit_xor, which cancels duplicate rows in pairs).
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.pmod(
+                F.xxhash64(
+                    *[F.col(c).cast("string") for c in df.columns]
+                ),
+                F.lit(1 << 30),
+            )
+        ).alias("h"),
+    ).first()
+    secs = time.perf_counter() - t0
+    stages = json.load(urllib.request.urlopen(
+        f"{ui}/api/v1/applications/{app_id}/stages?status=complete"
+    ))
+    rec = {
+        "rows": int(row["n"]),
+        "fingerprint": int(row["h"] or 0),
+        "secs": round(secs, 1),
+        "mem_spill_bytes": sum(
+            st.get("memoryBytesSpilled", 0) for st in stages
+        ),
+        "disk_spill_bytes": sum(
+            st.get("diskBytesSpilled", 0) for st in stages
+        ),
+    }
     with open(out_json, "w") as fh:
-        json.dump(out, fh)
+        json.dump(rec, fh)
+    print(f"    {name}: {rec}", flush=True)
     spark.stop()
+
+
+def attempt(name: str, sf_dir: str, heap: str) -> dict | None:
+    tmp = tempfile.mktemp(suffix=".json")
+    env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--inner",
+         name, sf_dir, tmp],
+        env=env,
+    )
+    if r.returncode != 0 or not os.path.exists(tmp):
+        return None
+    with open(tmp) as fh:
+        rec = json.load(fh)
+    os.unlink(tmp)
+    return rec
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/scaled/sf10")
-    ap.add_argument("--small-heap", default="8g")
+    ap.add_argument("--heaps", default="8g,12g,16g")
     ap.add_argument("--ref-heap", default="48g")
-    ap.add_argument("--inner", nargs=3, metavar=("SF", "HEAP", "OUT"))
+    ap.add_argument("--inner", nargs=3, metavar=("QUERY", "SF", "OUT"))
     a = ap.parse_args()
     if a.inner:
-        run_tier(*a.inner)
+        run_one(*a.inner)
         return 0
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "08")
     out_path = os.path.join(REPO, f"BENCH_SPILL_r{rnd}.json")
-    tiers: dict[str, dict] = {}
-    for heap in (a.small_heap, a.ref_heap):
-        tmp = tempfile.mktemp(suffix=".json")
-        env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--inner",
-             a.sf_dir, heap, tmp],
-            env=env,
-        )
-        if r.returncode != 0:
-            print(f"tier {heap} failed rc={r.returncode}")
-            return 1
-        with open(tmp) as fh:
-            tiers[heap] = json.load(fh)
-        os.unlink(tmp)
-    small, ref = tiers[a.small_heap], tiers[a.ref_heap]
-    per_query = {}
+    ladder = a.heaps.split(",")
+    per_query: dict[str, dict] = {}
     total_spill = 0
     mismatches = []
     for name in SPILL_SET:
-        s, rf = small[name], ref[name]
+        small = None
+        used_heap = None
+        for heap in ladder:
+            print(f"[{heap}] {name} ...", flush=True)
+            small = attempt(name, a.sf_dir, heap)
+            if small is not None:
+                used_heap = heap
+                break
+            print(f"    {name} did not survive {heap}, escalating",
+                  flush=True)
+        print(f"[{a.ref_heap}] {name} (reference) ...", flush=True)
+        ref = attempt(name, a.sf_dir, a.ref_heap)
+        if small is None or ref is None:
+            mismatches.append(name)
+            per_query[name] = {"error": "tier failed", "heap": used_heap}
+            continue
         match = (
-            s["rows"] == rf["rows"]
-            and s["fingerprint"] == rf["fingerprint"]
+            small["rows"] == ref["rows"]
+            and small["fingerprint"] == ref["fingerprint"]
         )
         if not match:
             mismatches.append(name)
-        spill = s["mem_spill_bytes"] + s["disk_spill_bytes"]
+        spill = small["mem_spill_bytes"] + small["disk_spill_bytes"]
         total_spill += spill
         per_query[name] = {
-            "rows": s["rows"],
+            "rows": small["rows"],
+            "small_heap": used_heap,
             "values_match_no_spill_run": match,
-            "small_heap_secs": s["secs"],
-            "ref_heap_secs": rf["secs"],
-            "small_heap_mem_spill_bytes": s["mem_spill_bytes"],
-            "small_heap_disk_spill_bytes": s["disk_spill_bytes"],
+            "small_heap_secs": small["secs"],
+            "ref_heap_secs": ref["secs"],
+            "small_heap_mem_spill_bytes": small["mem_spill_bytes"],
+            "small_heap_disk_spill_bytes": small["disk_spill_bytes"],
             "ref_heap_spill_bytes": (
-                rf["mem_spill_bytes"] + rf["disk_spill_bytes"]
+                ref["mem_spill_bytes"] + ref["disk_spill_bytes"]
             ),
         }
     payload = {
         "metric": "spill_path_correctness",
         "sf_dir": a.sf_dir,
-        "small_heap": a.small_heap,
+        "heap_ladder": ladder,
         "ref_heap": a.ref_heap,
         "total_small_heap_spill_bytes": total_spill,
         "spill_exercised": total_spill > 0,
