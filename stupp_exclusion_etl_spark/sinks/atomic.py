@@ -1133,10 +1133,17 @@ class AtomicParquetTable:
         """Files that MAY contain one of the batch's cluster-key
         values, judged by the manifest's per-file [min,max] on the
         first cluster column — the Delta-style file-pruned MERGE
-        rewrite set. Sound because the complement is proven: a file
-        whose range excludes every batch value cannot hold a batch key
-        (stats-missing files are always candidates). None ⇒ can't
-        prune (no usable stats/encoding); caller falls back."""
+        rewrite set — AND, when the key column is also a declared
+        ``index_by`` column, by the per-file bloom: table-wide range
+        disjointness DEGRADES across commits (new batches' ranges
+        overlap old files until compact() re-clusters), but blooms
+        stay sharp, so a point batch keeps rewriting only the files
+        that actually may hold its keys. Sound because the complement
+        is proven both ways: a file whose range excludes every batch
+        value, or whose bloom proves every batch value absent, cannot
+        hold a batch key (stats/bloom-missing files are always
+        candidates). None ⇒ can't prune (no usable stats/encoding);
+        caller falls back."""
         import bisect
 
         k0 = self.cluster_by[0]
@@ -1153,18 +1160,39 @@ class AtomicParquetTable:
         if any(v is None for v in enc):
             return None  # unencodable value (e.g. oversized string)
         enc.sort()
+        # bloom probe positions precomputed once per batch; disabled
+        # when any value is un-bloomable (it could be anywhere) or the
+        # batch is large (probe cost is values x files; big batches
+        # barely prune anyway — ranges still apply)
+        pos_lists = None
+        if k0 in self.index_by and len(batch_col_vals) <= 4096:
+            pos_lists = [_bloom_positions(v) for v in batch_col_vals]
+            if any(p is None for p in pos_lists):
+                pos_lists = None
+        import base64
+
         out: dict[str, set[str]] = {}
         for part, files in man["partitions"].items():
             for f in files:
-                st = (stats.get(f, {}).get("cols") or {}).get(k0)
+                fstat = stats.get(f, {})
+                st = (fstat.get("cols") or {}).get(k0)
                 lo = st.get("min") if st else None
                 hi = st.get("max") if st else None
-                if lo is None or hi is None:
-                    out.setdefault(part, set()).add(f)
-                    continue
-                i = bisect.bisect_left(enc, lo)
-                if i < len(enc) and enc[i] <= hi:
-                    out.setdefault(part, set()).add(f)
+                if lo is not None and hi is not None:
+                    i = bisect.bisect_left(enc, lo)
+                    if not (i < len(enc) and enc[i] <= hi):
+                        continue  # range proves no batch key here
+                b64 = (fstat.get("bloom") or {}).get(k0)
+                if pos_lists is not None and b64 is not None:
+                    bits = base64.b64decode(b64)
+                    if not any(
+                        all(
+                            bits[p // 8] & (1 << (p % 8)) for p in pos
+                        )
+                        for pos in pos_lists
+                    ):
+                        continue  # bloom proves every batch key absent
+                out.setdefault(part, set()).add(f)
         return out
 
     def _probe_candidates(

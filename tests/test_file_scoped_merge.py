@@ -244,3 +244,65 @@ def test_file_scoped_merge_keeps_widened_schema(spark, table):
     # an empty-prune read (no file matches) keeps the union schema
     empty = table.read(where=[("k", "=", 10_000_000)])
     assert "note" in empty.columns
+
+
+def test_bloom_tightens_candidates_after_range_degradation(spark, tmp_path):
+    """Key-column blooms sharpen the file-scoped rewrite set where
+    range stats have degraded: commit interleaved batches so EVERY
+    file's [min,max] spans ~the whole key domain (ranges alone can't
+    prune), then point-upsert one key — with index_by on the key the
+    candidate set must shrink to just the files that may actually hold
+    it, and the merge result must stay exact."""
+
+    def build(index_by):
+        t = AtomicParquetTable(
+            spark, str(tmp_path / f"t_{bool(index_by)}"), keys=["k"],
+            cluster_by=["k"], cluster_files=1, index_by=index_by,
+        )
+        # four commits with interleaved key residues: file i holds
+        # keys k % 4 == i over the full 0..400 domain, so every file's
+        # range is ~[i, 396+i] — ranges overlap completely
+        for i in range(4):
+            t.upsert(
+                _mk(spark, [(k, float(k), "a", 0)
+                            for k in range(400) if k % 4 == i]),
+                [F.col("ts").desc()],
+            )
+        return t
+
+    t_idx = build(["k"])
+    before = _files(t_idx)
+    assert len(before) == 4
+    man = t_idx.snapshot()
+    # range stats alone keep every file for key 101...
+    spans = [
+        (man["stats"][f]["cols"]["k"]["min"],
+         man["stats"][f]["cols"]["k"]["max"]) for f in before
+    ]
+    assert all(lo <= 101 <= hi for lo, hi in spans), (
+        "fixture must make ranges useless"
+    )
+    # ...but the bloom-tightened candidate probe keeps only the file
+    # that actually holds residue 1
+    cand = t_idx._candidate_files(man, [101])
+    n_cand = sum(len(fs) for fs in cand.values())
+    assert n_cand == 1, f"bloom should single out 1 file, got {n_cand}"
+    t_idx.upsert(_mk(spark, [(101, -1.0, "upd", 1)]), [F.col("ts").desc()])
+    after = _files(t_idx)
+    assert len(set(before) - set(after)) == 1, (
+        "point upsert must retire exactly the one file holding the key"
+    )
+    r = t_idx.read()
+    assert r.count() == 400
+    assert r.filter(F.col("k") == 101).first().v == -1.0
+    # control: without the index, every interleaved batch's key range
+    # overlapped every prior file, so each upsert re-merged and
+    # rewrote EVERYTHING — the table collapses to one file per commit
+    # (full write amplification). The bloom is what kept the indexed
+    # table append-only (4 residue-pure files) under the same load.
+    t_plain = build(None)
+    assert len(_files(t_plain)) == 1
+    # and the control's single file still matches values exactly
+    assert sorted(
+        r.k for r in t_plain.read().filter(F.col("k") < 8).collect()
+    ) == list(range(8))
