@@ -927,3 +927,111 @@ def stream_atomic_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.sum("value")).alias("sum_last_value"),
         )
     )
+
+
+@register(
+    "stream_atomic_changes",
+    # Full oracle: the stream subscribes at the base version and
+    # availableNow drains everything up to the final commit in one
+    # offset range, so the received rows ARE the net v0->head feed —
+    # the same batch algebra as atomic_changes_read, but served by the
+    # REGISTERED streaming connector (partition-planned
+    # DataSourceStreamReader: the driver only plans key-range-disjoint
+    # file groups from manifest stats; rows are read and diffed inside
+    # Spark tasks).
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 6),
+    b2 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 BETWEEN 4 AND 8),
+    final AS (
+      SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS k,
+             COALESCE(n.o_totalprice, o.o_totalprice) AS p
+      FROM b1 o FULL JOIN b2 n ON n.o_orderkey = o.o_orderkey),
+    kept AS (SELECT * FROM final WHERE k % 7 <> 0),
+    feed AS (
+      SELECT k, p, 'insert' AS ct FROM kept
+      WHERE k NOT IN (SELECT o_orderkey FROM b1)
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, 'delete' FROM b1
+      WHERE o_orderkey NOT IN (SELECT k FROM kept)
+      UNION ALL
+      SELECT f.k, f.p, 'update' FROM kept f
+      JOIN b1 o ON o.o_orderkey = f.k
+      JOIN b2 n ON n.o_orderkey = f.k)
+    SELECT ct AS change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(p), 2) AS total
+    FROM feed GROUP BY ct
+    """,
+    tags=("B14", "A14", "C16"),
+)
+def stream_atomic_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC consumption THROUGH the registered
+    ``atomic_changes`` connector (sources/changes_stream.py, r8
+    partition-planned reader): base orders batch, an overlapping
+    re-priced upsert, a keyed delete — then a ``readStream`` from the
+    base version drained with availableNow into a parquet sink, and
+    the RECEIVED change rows aggregated by type. Proves the whole
+    streaming path the driver can see: offset planning from manifest
+    versions, key-range-disjoint partition planning from per-file
+    stats, executor-side file diffs, and the exactly-once drain —
+    value-equal to the pure batch feed algebra. Money sums rounded to
+    2 (same convention as atomic_changes_read)."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+    from stupp_exclusion_etl_spark.sources.changes_stream import (
+        register_changes_stream,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    root = tempfile.mkdtemp(prefix="atomic_cs_")
+    t = AtomicParquetTable(
+        spark,
+        root + "/t",
+        keys=["o_orderkey"],
+        cluster_by=["o_orderkey"],
+        cluster_files=8,
+    )
+    t.upsert(
+        o.filter(k % 10 < 6).withColumn("ts", F.lit(0)),
+        [F.col("ts").desc()],
+    )
+    v0 = t.current_version()
+    t.upsert(
+        o.filter((k % 10 >= 4) & (k % 10 <= 8))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+        .withColumn("ts", F.lit(1)),
+        [F.col("ts").desc()],
+    )
+    t.delete_keys(o.filter(k % 7 == 0).select("o_orderkey"))
+    register_changes_stream(spark)
+    out = root + "/out"
+    q = (
+        spark.readStream.format("atomic_changes")
+        .option("path", t.path)
+        .option("keys", "o_orderkey")
+        .option("from_version", str(v0))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", root + "/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

@@ -28,6 +28,10 @@ SKIP = (
     "stream_stateful_user_sessions",
     "stream_tumbling_micro_batch",
     "stream_atomic_upsert",
+    # runs a real streaming drain at build time; the returned batch
+    # frame's plan is just a parquet scan of the sink — not worth
+    # pinning, and the drain is too slow for the snapshot sweep
+    "stream_atomic_changes",
 )
 
 SNAPSHOT_PATH = "tests/plan_snapshots.json"
