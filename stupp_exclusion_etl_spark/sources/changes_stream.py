@@ -126,19 +126,53 @@ def _manifest(path: str, version: int) -> dict:
         return json.load(fh)
 
 
-def _read_rows(path: str, files, cols: list[str]):
+def _partition_values(rel_path: str) -> dict[str, str | None]:
+    """Hive partition-dir values parsed from a file's manifest-relative
+    path (``event_type=click/part-...parquet``): percent-unescaped the
+    way Spark's writer escaped them; __HIVE_DEFAULT_PARTITION__ ⇒ NULL.
+    Empty for unpartitioned tables (no '=' dir segments)."""
+    from urllib.parse import unquote
+
+    out: dict[str, str | None] = {}
+    for seg in rel_path.split("/")[:-1]:
+        name, eq, raw = seg.partition("=")
+        if eq:
+            out[name] = (
+                None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+            )
+    return out
+
+
+def _read_rows(path: str, files, cols: list[str], types: list[str]):
     """pandas frame over a bounded file set, aligned to ``cols``
-    (missing columns — schema evolution — become None)."""
+    (missing columns — schema evolution — become None). Partition-dir
+    VIRTUAL columns are not stored in the files: they are parsed from
+    each file's Hive path segments and filled as constants, coerced to
+    the declared schema type — so partitioned CDC tables stream the
+    same way unpartitioned ones do."""
     import pandas as pd
     import pyarrow.parquet as pq
 
+    type_of = dict(zip(cols, types))
     frames = []
     for f in sorted(files):
         t = pq.read_table(os.path.join(path, _DATA_DIR, f))
         pdf = t.to_pandas()
-        # partition-dir virtual columns are not in the files; changes()
-        # on partitioned tables goes through the Spark API — this
-        # connector targets unpartitioned (key-clustered) CDC tables
+        for name, raw in _partition_values(f).items():
+            if name in pdf.columns or name not in type_of:
+                continue
+            typ = type_of[name]
+            if raw is None:
+                val = None
+            elif "int" in typ or typ in ("long", "short", "byte"):
+                val = int(raw)
+            elif typ in ("double", "float"):
+                val = float(raw)
+            elif typ == "boolean":
+                val = raw == "true"
+            else:
+                val = raw
+            pdf[name] = val
         frames.append(pdf)
     if not frames:
         return pd.DataFrame({c: [] for c in cols})
@@ -155,8 +189,8 @@ def _diff_files(path: str, keys: list[str], cols: list[str],
     file sets — the per-partition pandas twin of
     AtomicParquetTable.changes. Deterministic (key-sorted) so a
     checkpoint replay reproduces the batch bit-for-bit."""
-    old = _read_rows(path, files_old, cols)
-    new = _read_rows(path, files_new, cols)
+    old = _read_rows(path, files_old, cols, types)
+    new = _read_rows(path, files_new, cols, types)
     merged = new.merge(
         old, on=keys, how="outer", suffixes=("", "__old"),
         indicator=True,

@@ -298,3 +298,51 @@ def test_rows_are_produced_inside_tasks_not_on_driver(spark, tmp_path):
     assert len({pid for _, pid in probes}) >= 2, (
         "two distant key ranges must be served by distinct tasks"
     )
+
+
+def test_partitioned_table_streams_with_virtual_columns(spark, tmp_path):
+    """Partitioned CDC tables stream too (r8): partition-dir VIRTUAL
+    columns are parsed from each file's Hive path on the executors and
+    coerced to the declared type — including a key that MOVES
+    partitions (its old and new rows live under different dirs but
+    must still meet in one partition's diff and report one update),
+    NULL partitions, and percent-escaped values."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "pt"), keys=["k"],
+        partition_by=["etype"],
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, etype string, v double, ts int"
+    )
+    t.upsert(
+        mk([(k, ["click", "view", None, "a=b c"][k % 4], float(k), 0)
+            for k in range(40)]),
+        [F.col("ts").desc()],
+    )
+    v0 = t.current_version()
+    # k=1 moves partitions view -> click; k=2 (NULL partition) updates
+    # in place; k=100 inserts into the escaped partition
+    t.upsert(
+        mk([(1, "click", -1.0, 1), (2, None, -2.0, 1),
+            (100, "a=b c", 100.0, 1)]),
+        [F.col("ts").desc()],
+    )
+    t.delete_keys(spark.createDataFrame([(3,)], "k int"))
+    r = AtomicChangesStreamReader({"path": t.path, "keys": "k"})
+    # current-manifest column order: partition cols read back LAST
+    # after the first partition-scoped rewrite (k, v, ts, etype)
+    assert r.cols == ["k", "v", "ts", "etype"]
+    rows = _batch(r, {"version": v0}, r.latestOffset())
+    assert rows == [
+        (1, -1.0, 1, "click", "update"),
+        (2, -2.0, 1, None, "update"),
+        (3, 3.0, 0, "a=b c", "delete"),
+        (100, 100.0, 1, "a=b c", "insert"),
+    ]
+    # and the stream feed equals the Spark-API changes() on the same
+    # versions (cross-implementation differential)
+    api = sorted(
+        (row.k, row.v, row.ts, row.etype, row._change_type)
+        for row in t.changes(v0).collect()
+    )
+    assert rows == api
