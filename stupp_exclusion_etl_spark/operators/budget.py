@@ -57,6 +57,13 @@ _EXPR_ID = re.compile(r"#\d+L?")
 #: session-global counter too; the `lambda ` prefix keeps this from
 #: touching real column names that end in _<digits>
 _LAMBDA_VAR = re.compile(r"(?<=lambda )([A-Za-z]+)_\d+#")
+#: in-memory leaf relations whose plan string HIDES their contents
+#: ("LogicalRDD [id#3L], false" prints identically for different
+#: data); a plan containing one is not a pure function of input files,
+#: so it must never be cached — two createDataFrame inputs with
+#: different rows would otherwise share a fingerprint and return a
+#: stale estimate
+_INMEM_LEAF = re.compile(r"\b(LocalRelation|LogicalRDD)\b")
 
 
 def _local_path(uri: str) -> str | None:
@@ -98,9 +105,11 @@ def _files_fingerprint(df: DataFrame) -> tuple | None:
 
 def _plan_fingerprint(df: DataFrame) -> str | None:
     try:
-        s = _EXPR_ID.sub(
-            "#", df._jdf.queryExecution().analyzed().toString()
-        )
+        raw = df._jdf.queryExecution().analyzed().toString()
+        if _INMEM_LEAF.search(raw):
+            # the plan string omits in-memory rows — uncacheable
+            return None
+        s = _EXPR_ID.sub("#", raw)
         return _LAMBDA_VAR.sub(r"\1_#", s)
     except Exception:
         return None

@@ -88,15 +88,39 @@ def _ddl(df: DataFrame) -> str:
     return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
 
 
+#: numeric widening lattice for _union_ddl — index order is Spark's
+#: TypeCoercion promotion chain; a merged type only replaces the
+#: parent's when it is STRICTLY wider on this chain
+_WIDENING_ORDER = ["tinyint", "smallint", "int", "bigint",
+                   "float", "double"]
+
+
+def _wider_ddl_type(parent_t: str, new_t: str) -> str:
+    """The wider of two simpleString types under numeric widening;
+    for non-numeric or cross-family pairs the new type wins (matching
+    the pre-existing evolution behavior for e.g. int→string casts the
+    writer already validated)."""
+    if parent_t == new_t:
+        return parent_t
+    try:
+        pi = _WIDENING_ORDER.index(parent_t)
+        ni = _WIDENING_ORDER.index(new_t)
+    except ValueError:
+        return new_t
+    return _WIDENING_ORDER[max(pi, ni)]
+
+
 def _union_ddl(parent_ddl: str, new_ddl: str) -> str:
     """Schema union for a FILE-scoped commit: the merged frame only saw
     the candidate files + batch, so if every candidate predates a
     schema widening, committing ``_ddl(merged)`` alone would silently
     NARROW the manifest schema while untouched live files still carry
     the wider one (empty-prune reads and the CDC stream would then
-    drop those columns). Parent column order is kept (with the merged
-    frame's type where both carry the column — evolution may widen a
-    type), genuinely new columns append — mirroring how the
+    drop those columns). Parent column order is kept; where both
+    schemas carry a column the WIDER numeric type wins (a merged frame
+    built only from pre-widening int files must not narrow a bigint
+    manifest column back — the same drift class, for types instead of
+    presence), genuinely new columns append — mirroring how the
     partition-scoped path inherits the full-table schema by unioning
     with ``self.read()``."""
     from pyspark.sql import types as T
@@ -104,12 +128,21 @@ def _union_ddl(parent_ddl: str, new_ddl: str) -> str:
     pf = list(T.StructType.fromDDL(parent_ddl)) if parent_ddl else []
     nf = list(T.StructType.fromDDL(new_ddl)) if new_ddl else []
     new_by_name = {f.name: f for f in nf}
-    fields = [new_by_name.get(f.name, f) for f in pf]
+    fields = []
+    for f in pf:
+        n = new_by_name.get(f.name)
+        if n is None:
+            fields.append((f.name, f.dataType.simpleString()))
+        else:
+            fields.append((f.name, _wider_ddl_type(
+                f.dataType.simpleString(), n.dataType.simpleString()
+            )))
     have = {f.name for f in pf}
-    fields += [f for f in nf if f.name not in have]
-    return ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in fields
-    )
+    fields += [
+        (f.name, f.dataType.simpleString())
+        for f in nf if f.name not in have
+    ]
+    return ", ".join(f"{name} {t}" for name, t in fields)
 
 
 # ----------------------------------------------------------------------
@@ -698,23 +731,31 @@ class AtomicParquetTable:
         return max(versions) if versions else None
 
     def _manifest(self, version: int) -> dict:
+        name = f"v{version:012d}.json"
         try:
             return json.loads(
                 _read_text(
                     self.spark,
-                    f"{self.path}/{MANIFEST_DIR}/v{version:012d}.json",
+                    f"{self.path}/{MANIFEST_DIR}/{name}",
                 )
             )
         except Exception as e:
+            names = _list_names(
+                self.spark, f"{self.path}/{MANIFEST_DIR}"
+            )
+            if name in names:
+                # The manifest file EXISTS — this is corruption or a
+                # transient I/O failure, not routine retention; calling
+                # it "expired" would steer operators/retry logic into
+                # discarding a recoverable snapshot. Surface it as-is.
+                raise
             retained = sorted(
                 int(n[1:-5])
-                for n in _list_names(
-                    self.spark, f"{self.path}/{MANIFEST_DIR}"
-                )
+                for n in names
                 if n.startswith("v") and n.endswith(".json")
             )
             raise VersionExpiredError(
-                f"manifest v{version} not readable at {self.path} — "
+                f"manifest v{version} absent at {self.path} — "
                 f"expired by gc() or never committed; retained "
                 f"versions: {retained}"
             ) from e
@@ -756,14 +797,17 @@ class AtomicParquetTable:
         if not rel:
             df = self.spark.createDataFrame([], man["schema_ddl"])
         else:
-            # mergeSchema: untouched partitions carry files written
-            # under older schemas; a widened batch (new columns) must
-            # read as the union with nulls for the old files —
-            # snapshot-level schema evolution, like a table format's
+            # explicit manifest schema, NOT footer mergeSchema:
+            # untouched partitions carry files written under older
+            # schemas — missing columns null-fill, and numerically
+            # WIDENED columns (int->bigint after _union_ddl evolution)
+            # promote per-file, which footer merging refuses outright
+            # (Spark 4 parquet readers support widening promotion
+            # under a declared read schema)
             df = (
                 self.spark.read
+                .schema(man["schema_ddl"])
                 .option("basePath", f"{self.path}/{DATA_DIR}")
-                .option("mergeSchema", "true")
                 .parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in rel])
             )
         for pred in where or ():
@@ -1254,8 +1298,8 @@ class AtomicParquetTable:
         if cand_paths:
             overlap = (
                 self.spark.read
+                .schema(man["schema_ddl"])
                 .option("basePath", f"{self.path}/{DATA_DIR}")
-                .option("mergeSchema", "true")
                 .parquet(*cand_paths)
             )
             merged = keep_latest(
@@ -1300,8 +1344,8 @@ class AtomicParquetTable:
         ]
         overlap = (
             self.spark.read
+            .schema(man["schema_ddl"])
             .option("basePath", f"{self.path}/{DATA_DIR}")
-            .option("mergeSchema", "true")
             .parquet(*cand_paths)
         )
         kept = overlap.join(F.broadcast(batch_keys), self.keys, "left_anti")
@@ -1384,8 +1428,8 @@ class AtomicParquetTable:
         if not files:
             return False
         other = (
-            self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
-            .option("mergeSchema", "true")
+            self.spark.read.schema(man["schema_ddl"])
+            .option("basePath", f"{self.path}/{DATA_DIR}")
             .parquet(*files)
             .select(*self.keys)
         )

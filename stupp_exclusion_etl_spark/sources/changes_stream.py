@@ -170,6 +170,15 @@ def _read_rows(path: str, files, cols: list[str], types: list[str]):
                 val = float(raw)
             elif typ == "boolean":
                 val = raw == "true"
+            elif typ == "date":
+                import datetime as _dt
+
+                val = _dt.date.fromisoformat(raw)
+            elif typ.startswith("timestamp"):
+                # Spark writes partition timestamps as
+                # "YYYY-MM-DD HH%3AMM%3ASS[.ffffff]"; raw arrives
+                # percent-unescaped from _partition_values
+                val = pd.Timestamp(raw)
             else:
                 val = raw
             pdf[name] = val

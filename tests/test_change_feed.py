@@ -244,3 +244,35 @@ def test_gc_time_travel_contract(spark, table):
         (r.k, r._change_type) for r in table.changes(v1, v2).collect()
     )
     assert feed == [(6, "update")]
+
+
+def test_corrupt_manifest_is_not_reported_as_expired(spark, table):
+    """ADVICE r8: a manifest that EXISTS but fails to parse (corruption,
+    interrupted write, I/O fault) must surface as the real error — not
+    VersionExpiredError, which retry/cleanup logic keyed on that type
+    could treat as routine retention and discard a recoverable
+    snapshot. Only a genuinely ABSENT manifest means expired."""
+    import os
+
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        MANIFEST_DIR,
+        VersionExpiredError,
+    )
+
+    v = table.current_version()
+    mpath = os.path.join(table.path, MANIFEST_DIR, f"v{v:012d}.json")
+    good = open(mpath).read()
+    try:
+        with open(mpath, "w") as fh:
+            fh.write(good[: len(good) // 2])  # truncated mid-write
+        with pytest.raises(Exception) as ei:
+            table._manifest(v)
+        assert not isinstance(ei.value, VersionExpiredError), (
+            "corruption misdiagnosed as routine gc retention"
+        )
+    finally:
+        with open(mpath, "w") as fh:
+            fh.write(good)
+    # and the absent case still maps to VersionExpiredError
+    with pytest.raises(VersionExpiredError, match="retained"):
+        table._manifest(v + 999)

@@ -346,3 +346,62 @@ def test_partitioned_table_streams_with_virtual_columns(spark, tmp_path):
         for row in t.changes(v0).collect()
     )
     assert rows == api
+
+
+def test_date_and_timestamp_partition_columns_stream(spark, tmp_path):
+    """Date/timestamp partition columns — the most common partitioning
+    scheme — coerce from their Hive path encoding ('2024-01-02',
+    '2024-01-02 03%3A04%3A05') to real date/datetime values in the
+    executor-side reader, and the feed stays equal to the Spark-API
+    changes() differential (ADVICE r8: these previously filled as raw
+    strings and broke batch construction)."""
+    import datetime as dt
+
+    d0, d1 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "dt"), keys=["k"], partition_by=["day"],
+    )
+    mk = lambda rows: spark.createDataFrame(
+        rows, "k int, day date, v double, ts int"
+    )
+    t.upsert(
+        mk([(k, d0 if k % 2 else d1, float(k), 0) for k in range(10)]),
+        [F.col("ts").desc()],
+    )
+    v0 = t.current_version()
+    # k=1 moves partitions d0 -> d1; k=2 updates in place
+    t.upsert(
+        mk([(1, d1, -1.0, 1), (2, d1, -2.0, 1)]), [F.col("ts").desc()]
+    )
+    r = AtomicChangesStreamReader({"path": t.path, "keys": "k"})
+    rows = _batch(r, {"version": v0}, r.latestOffset())
+    assert rows == [
+        (1, -1.0, 1, d1, "update"),
+        (2, -2.0, 1, d1, "update"),
+    ]
+    assert all(isinstance(row[3], dt.date) for row in rows)
+    api = sorted(
+        (row.k, row.v, row.ts, row.day, row._change_type)
+        for row in t.changes(v0).collect()
+    )
+    assert rows == api
+
+    # timestamp partition values carry percent-escaped colons
+    ts0 = dt.datetime(2024, 1, 2, 3, 4, 5)
+    t2 = AtomicParquetTable(
+        spark, str(tmp_path / "tt"), keys=["k"],
+        partition_by=["stamp"],
+    )
+    mk2 = lambda rows: spark.createDataFrame(
+        rows, "k int, stamp timestamp, v double, ts int"
+    )
+    t2.upsert(
+        mk2([(k, ts0, float(k), 0) for k in range(4)]),
+        [F.col("ts").desc()],
+    )
+    v0 = t2.current_version()
+    t2.upsert(mk2([(1, ts0, -1.0, 1)]), [F.col("ts").desc()])
+    r2 = AtomicChangesStreamReader({"path": t2.path, "keys": "k"})
+    rows2 = _batch(r2, {"version": v0}, r2.latestOffset())
+    assert rows2 == [(1, -1.0, 1, ts0, "update")]
+    assert isinstance(rows2[0][3], dt.datetime)

@@ -227,6 +227,36 @@ def test_estimate_cache_hits_and_invalidates(spark, tmp_path):
     assert calls["n"] == 5
 
 
+def test_estimate_cache_skips_hybrid_inmem_plans(spark, tmp_path):
+    """A frame that MIXES a file-backed scan with an in-memory relation
+    (createDataFrame union/join) has non-empty inputFiles() but a plan
+    string that hides the in-memory rows ('LogicalRDD [id#3L], false'
+    prints identically for different data) — it must never cache, or
+    two different in-memory inputs would share a stale estimate."""
+    from stupp_exclusion_etl_spark.operators import budget
+
+    p = str(tmp_path / "hyb")
+    spark.range(10).selectExpr("id", "id * 2 as v").write.parquet(p)
+    base = spark.read.parquet(p)
+
+    results = []
+
+    hy1 = base.union(
+        spark.createDataFrame([(100, 200)], "id long, v long")
+    )
+    hy2 = base.union(
+        spark.createDataFrame([(100, 200), (101, 202)], "id long, v long")
+    )
+    assert budget._plan_fingerprint(hy1) is None, (
+        "in-memory leaf plans must be uncacheable"
+    )
+    budget.cached_estimate("h", (hy1,), lambda: results.append(1) or 1)
+    budget.cached_estimate("h", (hy2,), lambda: results.append(2) or 2)
+    assert results == [1, 2], (
+        "different in-memory inputs must each recompute"
+    )
+
+
 def test_guarded_query_estimates_once_across_calls(spark, tmp_path):
     """End-to-end: two calls of the guarded operator over the same
     parquet input run the pair-estimate aggregate exactly once — the

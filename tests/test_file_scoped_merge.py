@@ -306,3 +306,61 @@ def test_bloom_tightens_candidates_after_range_degradation(spark, tmp_path):
     assert sorted(
         r.k for r in t_plain.read().filter(F.col("k") < 8).collect()
     ) == list(range(8))
+
+
+def test_union_ddl_widens_types_never_narrows():
+    """ADVICE r8: a file-scoped merge whose candidates+batch all
+    predate a type widening (int→bigint) must not narrow the manifest
+    type back while untouched bigint files remain live — the widening
+    lattice keeps the wider of parent vs merged per column."""
+    from stupp_exclusion_etl_spark.sinks.atomic import _union_ddl
+
+    # merged narrower than parent: parent's wider type wins
+    assert _union_ddl("k int, v bigint", "k int, v int") == \
+        "k int, v bigint"
+    assert _union_ddl("k int, v double", "k int, v float") == \
+        "k int, v double"
+    # merged wider: widening proceeds
+    assert _union_ddl("k int, v int", "k int, v bigint") == \
+        "k int, v bigint"
+    # cross-family evolution: the new (writer-validated) type wins
+    assert _union_ddl("k int, v int", "k int, v string") == \
+        "k int, v string"
+    # parent column order kept, new columns append
+    assert _union_ddl(
+        "k int, v double", "note string, k int, v float"
+    ) == "k int, v double, note string"
+
+
+def test_file_scoped_merge_keeps_widened_type(spark, tmp_path):
+    """Integration twin of the _union_ddl unit test: widen v int→bigint
+    in one key range, then merge a far-away int-only batch whose
+    candidate files all predate the widening — the manifest must stay
+    bigint and reads must see the wide value intact."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "tw"), keys=["k"],
+        cluster_by=["k"], cluster_files=8,
+    )
+    mk_i = lambda rows: spark.createDataFrame(rows, "k int, v int, ts int")
+    t.upsert(
+        mk_i([(k, k, 0) for k in range(1000)]), [F.col("ts").desc()]
+    )
+    big = 5_000_000_000  # does not fit int
+    t.upsert(
+        spark.createDataFrame(
+            [(15, big, 1)], "k int, v bigint, ts int"
+        ),
+        [F.col("ts").desc()],
+    )
+    assert "v bigint" in t.snapshot()["schema_ddl"]
+    # far-away int batch: candidates are pre-widening int files
+    t.upsert(
+        mk_i([(k, -2, 2) for k in range(900, 910)]),
+        [F.col("ts").desc()],
+    )
+    assert "v bigint" in t.snapshot()["schema_ddl"], (
+        "file-scoped commit narrowed bigint back to int"
+    )
+    r = t.read()
+    assert dict(r.dtypes)["v"] == "bigint"
+    assert r.filter(F.col("k") == 15).collect()[0].v == big
