@@ -115,11 +115,11 @@ def _plan_fingerprint(df: DataFrame) -> str | None:
         return None
 
 
-def cached_estimate(tag: str, dfs: tuple, compute) -> int:
-    """Memoized driver-side cardinality estimate: returns
-    ``compute()`` (an int), cached per (tag, plan, input-file)
-    fingerprint of every frame in ``dfs``. Uncacheable inputs fall
-    through to a fresh compute."""
+def cached_estimate(tag: str, dfs: tuple, compute):
+    """Memoized driver-side estimate artifact (a cardinality int, a
+    bounded sample list, ...): returns ``compute()``, cached per
+    (tag, plan, input-file) fingerprint of every frame in ``dfs``.
+    Uncacheable inputs fall through to a fresh compute."""
     key_parts = [tag]
     for d in dfs:
         fp, pp = _files_fingerprint(d), _plan_fingerprint(d)

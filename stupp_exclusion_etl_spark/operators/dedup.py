@@ -333,6 +333,7 @@ def embedding_neardup_pairs(
     max_pairs: int | None = None,
     on_exceed: str = "raise",
     dim: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within buckets (e.g. an LSH or
     cluster-label bucket) — the bucketed equi-join keeps this linear in
@@ -355,7 +356,17 @@ def embedding_neardup_pairs(
     bit with prob 1−θ/π (≥ 0.9 per bit at cosine ≥ 0.95), and pairs
     that land in different sub-buckets are missed — exactly the LSH
     recall trade every bounded near-dedup at scale makes. Below the
-    budget the plan is byte-identical to the unguarded one."""
+    budget the plan is byte-identical to the unguarded one.
+
+    Every reroute now ESTIMATES its pair recall on a bounded
+    deterministic sample (operators.recall) and surfaces it via
+    warnings + recall.last_reroute_info("embedding_neardup_pairs") —
+    high-entropy embeddings can no longer silently lose ~90% of true
+    pairs unannounced. ``recall_target`` additionally escalates within
+    the same budget via OR-amplified independent sub-bucket tables
+    (T tables of b bits each: work T·est/2^b stays under budget,
+    recall 1-(1-s^b)^T grows; a pair is kept if it collides in ANY
+    table, deduplicated before scoring)."""
     from stupp_exclusion_etl_spark.functions.vectors import dot, norm2
 
     e = df.select(
@@ -364,6 +375,7 @@ def embedding_neardup_pairs(
         bucket_col.alias("bk"),
         norm2(F.col(vec_col)).alias("n"),
     )
+    dedup_pairs = False
     if max_pairs is not None:
         from stupp_exclusion_etl_spark.operators.budget import (
             cached_estimate,
@@ -390,28 +402,63 @@ def embedding_neardup_pairs(
                     f"are missed), or use the ANN family "
                     f"(operators.similarity) for top-k semantics."
                 )
-            import math
-
+            from stupp_exclusion_etl_spark.operators import recall as rc
             from stupp_exclusion_etl_spark.operators.similarity import (
                 lsh_assign_buckets,
             )
 
-            n_bits = max(1, math.ceil(math.log2(est / max_pairs)))
             if dim is None:
                 dim = len(e.select("v").first()[0])
-            e = lsh_assign_buckets(e, "v", dim, n_planes=n_bits)
-            e = e.withColumn(
-                "bk",
-                F.concat_ws(
-                    "#", F.col("bk").cast("string"),
-                    F.col("lsh_bucket").cast("string"),
-                ),
-            ).drop("lsh_bucket")
+            sample = cached_estimate(
+                "neardup_sample:512", (e,),
+                lambda: rc.sample_vectors(e, "id", "v", 512),
+            )
+            cfg = rc.choose_neardup_config(
+                sample, threshold, est, max_pairs, recall_target
+            )
+            rc.record_reroute(
+                "embedding_neardup_pairs",
+                {**cfg, "est_pairs": est}, recall_target,
+            )
+            n_bits, n_tables = cfg["n_bits"], cfg["n_tables"]
+            if n_tables == 1:
+                e = lsh_assign_buckets(e, "v", dim, n_planes=n_bits)
+                e = e.withColumn(
+                    "bk",
+                    F.concat_ws(
+                        "#", F.col("bk").cast("string"),
+                        F.col("lsh_bucket").cast("string"),
+                    ),
+                ).drop("lsh_bucket")
+            else:
+                # OR-amplification: T independent sub-bucket tables —
+                # each row explodes to one "{table}#{bucket}" value per
+                # table; a pair is a candidate if it collides in ANY
+                # table (duplicates across tables dropped pre-scoring)
+                dedup_pairs = True
+                for t in range(n_tables):
+                    e = lsh_assign_buckets(
+                        e, "v", dim, n_planes=n_bits,
+                        plane_offset=t * n_bits,
+                    ).withColumnRenamed("lsh_bucket", f"__b{t}")
+                e = e.withColumn(
+                    "bk",
+                    F.explode(F.array(*[
+                        F.concat_ws(
+                            "#", F.col("bk").cast("string"),
+                            F.lit(str(t)),
+                            F.col(f"__b{t}").cast("string"),
+                        )
+                        for t in range(n_tables)
+                    ])),
+                ).drop(*[f"__b{t}" for t in range(n_tables)])
     a = e.select(F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1"), "bk")
     b = e.select(F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2"), "bk")
+    pairs = a.join(b, "bk").filter(F.col("id1") < F.col("id2"))
+    if dedup_pairs:
+        pairs = pairs.dropDuplicates(["id1", "id2"])
     return (
-        a.join(b, "bk")
-        .filter(F.col("id1") < F.col("id2"))
+        pairs
         .withColumn(
             # try_divide: zero vectors score NULL (never >= threshold)
             # instead of throwing ANSI DIVIDE_BY_ZERO.

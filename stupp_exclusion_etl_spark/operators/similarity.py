@@ -110,12 +110,20 @@ def hyperplane(dim: int, plane_idx: int) -> Column:
 
 
 def lsh_assign_buckets(
-    vectors: DataFrame, vec_col: str, dim: int, n_planes: int = 8
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    plane_offset: int = 0,
 ) -> DataFrame:
-    """Sign-of-projection LSH bucket id in [0, 2^n_planes)."""
+    """Sign-of-projection LSH bucket id in [0, 2^n_planes).
+    ``plane_offset`` selects an independent hash table (table t uses
+    planes t·n_planes..t·n_planes+n_planes-1) for OR-amplified
+    multi-table probing; the default 0 is the single-table assignment
+    every existing plan pins."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        proj = dot(F.col(vec_col), hyperplane(dim, p))
+        proj = dot(F.col(vec_col), hyperplane(dim, plane_offset + p))
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return vectors.withColumn("lsh_bucket", bucket)
 
@@ -215,6 +223,7 @@ def knn_join(
     max_comparisons: int | None = None,
     on_exceed: str = "raise",
     dim: int | None = None,
+    recall_target: float | None = None,
 ) -> DataFrame:
     """Batch k-NN join: every query row gets its k nearest vectors by
     cosine — the retrieval-eval / hard-negative-mining shape (millions
@@ -241,7 +250,17 @@ def knn_join(
     neighbors (the standard ANN recall trade; a vector matches a
     query at most once because the probed buckets are distinct).
     Below the budget the plan is byte-identical to the unguarded
-    one."""
+    one.
+
+    Every reroute now ESTIMATES its recall on a bounded deterministic
+    sample (operators.recall) and surfaces it via warnings +
+    recall.last_reroute_info("knn_join") — low-locality data can no
+    longer silently return near-empty answers. ``recall_target``
+    additionally escalates within the same budget: wider multi-probe
+    radii and OR-amplified independent hash tables (T tables of p
+    planes each; work est·T·probes/2^p stays under budget, recall
+    1-(1-s^p)^T grows), choosing the cheapest config whose estimated
+    recall clears the target, else the best feasible."""
     from pyspark.sql.window import Window
 
     qn = _with_qnorm(queries, q_vec_col)
@@ -272,30 +291,68 @@ def knn_join(
                     f"(approximate), or use ann_topk_lsh / ivf_topk "
                     f"per query."
                 )
-            n_planes = next(
-                (
-                    p
-                    for p in range(1, 17)
-                    if est * (1 + p) / (1 << p) <= max_comparisons
-                ),
-                16,
-            )
+            from stupp_exclusion_etl_spark.operators import recall as rc
+
             if dim is None:
                 dim = len(vectors.select(vec_col).first()[0])
-            vb = lsh_assign_buckets(vectors, vec_col, dim, n_planes)
-            qb = lsh_assign_buckets(qn, q_vec_col, dim, n_planes)
-            probes = [F.col("lsh_bucket")] + [
-                F.col("lsh_bucket").bitwiseXOR(1 << p) for p in range(n_planes)
-            ]
-            qprobes = qb.select(
-                F.col(q_id_col), F.col(q_vec_col), F.col("__qn"),
-                F.explode(F.array(*probes)).alias("__qbucket"),
+            corpus_sample = cached_estimate(
+                "knn_sample_corpus:512", (vectors,),
+                lambda: rc.sample_vectors(vectors, id_col, vec_col, 512),
             )
-            pairs = vb.join(
-                F.broadcast(qprobes),
-                F.col("lsh_bucket") == F.col("__qbucket"),
-                "inner",
+            query_sample = cached_estimate(
+                "knn_sample_queries:64", (queries,),
+                lambda: rc.sample_vectors(queries, q_id_col, q_vec_col, 64),
             )
+            cfg = rc.choose_knn_config(
+                corpus_sample, query_sample, k, est, max_comparisons,
+                recall_target, exclude_self,
+            )
+            rc.record_reroute(
+                "knn_join", {**cfg, "est_comparisons": est},
+                recall_target,
+            )
+            n_planes, radius = cfg["n_planes"], cfg["radius"]
+            n_tables = cfg["n_tables"]
+            cands = []
+            for t in range(n_tables):
+                vb = lsh_assign_buckets(
+                    vectors, vec_col, dim, n_planes,
+                    plane_offset=t * n_planes,
+                )
+                qb = lsh_assign_buckets(
+                    qn, q_vec_col, dim, n_planes,
+                    plane_offset=t * n_planes,
+                )
+                probes = [F.col("lsh_bucket")]
+                if radius >= 1:
+                    probes += [
+                        F.col("lsh_bucket").bitwiseXOR(1 << p)
+                        for p in range(n_planes)
+                    ]
+                if radius >= 2:
+                    probes += [
+                        F.col("lsh_bucket").bitwiseXOR((1 << p) | (1 << r2))
+                        for p in range(n_planes)
+                        for r2 in range(p + 1, n_planes)
+                    ]
+                qprobes = qb.select(
+                    F.col(q_id_col), F.col(q_vec_col), F.col("__qn"),
+                    F.explode(F.array(*probes)).alias("__qbucket"),
+                )
+                cands.append(
+                    vb.join(
+                        F.broadcast(qprobes),
+                        F.col("lsh_bucket") == F.col("__qbucket"),
+                        "inner",
+                    )
+                )
+            pairs = cands[0]
+            for extra in cands[1:]:
+                pairs = pairs.unionByName(extra)
+            if n_tables > 1:
+                # a (query, vector) pair can collide in several tables;
+                # within one table the probed buckets are distinct
+                pairs = pairs.dropDuplicates([q_id_col, id_col])
             return _knn_rank(pairs, k, id_col, vec_col, q_id_col, q_vec_col,
                              n_salts, exclude_self)
     pairs = vectors.crossJoin(F.broadcast(qn))

