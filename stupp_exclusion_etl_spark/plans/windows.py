@@ -433,6 +433,75 @@ def atomic_index_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "atomic_probe_join",
+    oracle="""
+    SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           ROUND(o.o_totalprice, 4) AS total,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (1, 2, 3, 4, 5, 6, 7, 32, 33, 4000000)
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+    tags=("A12", "A16", "C16"),
+)
+def atomic_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats join planning (VERDICT r8 task #3): a keyed IN
+    probe into the atomic table is joined against the full lineitem
+    fact. The probe's output is PROVABLY ≤ 10 rows (snapshot keys are
+    unique), but its kept files' bytes are what static Spark sees —
+    read() instead derives bound_rows × measured bytes/row from the
+    manifest and hints broadcast, so the fact side never shuffles (at
+    100 TB: a point-probe enrichment join over millions of live files
+    becomes a metadata decision + a broadcast, the reference's
+    GSI-lookup-then-join shape). One absent key (4000000) exercises
+    the prove-absent prune. Plan pinned broadcast in
+    tests/test_data_skipping.py; the oracle is the plain join."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    t = AtomicParquetTable(
+        spark,
+        tempfile.mkdtemp(prefix="atomic_p_"),
+        keys=["o_orderkey"],
+        cluster_by=["o_orderkey"],
+        cluster_files=8,
+    )
+    t.upsert(o, [F.col("o_orderkey")])
+    probe = t.read(
+        where=[(
+            "o_orderkey", "in",
+            [1, 2, 3, 4, 5, 6, 7, 32, 33, 4000000],
+        )]
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(probe, li["l_orderkey"] == probe["o_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+        )
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total"),
+            "n_lines",
+            "revenue",
+        )
+    )
+
+
+@register(
     "atomic_changes_read",
     oracle="""
     WITH b1 AS (

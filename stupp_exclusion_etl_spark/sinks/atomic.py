@@ -624,6 +624,21 @@ def _rows_by_rel(rows, rel_files: list[str]) -> dict:
     return by_suffix
 
 
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+                "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+                "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_byte_conf(v) -> int:
+    """Spark byte-size conf values: plain ints ("10485760", "-1") or
+    suffixed ("10MB", "512k")."""
+    s = str(v).strip().lower()
+    for suf in sorted(_BYTE_SUFFIX, key=len, reverse=True):
+        if s.endswith(suf) and s[: -len(suf)].strip("-").isdigit():
+            return int(s[: -len(suf)]) * _BYTE_SUFFIX[suf]
+    return int(s)
+
+
 def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
     """(col, op[, value]) → (col, op, [values]). `in` takes an
     iterable; null ops take no value."""
@@ -812,6 +827,73 @@ class AtomicParquetTable:
             )
         for pred in where or ():
             df = df.filter(_predicate_column(pred))
+        if where and rel:
+            df = self._maybe_broadcast_hint(df, man, rel, where)
+        return df
+
+    def _keyed_row_bound(self, where: list[tuple]) -> int | None:
+        """PROVABLE output-row bound for a keyed probe read, or None:
+        when every table key column is constrained by an =/IN
+        predicate, the snapshot (keys unique after keep-latest) can
+        yield at most prod(|values per key|) rows — regardless of how
+        many bytes the kept files hold."""
+        if not self.keys:
+            return None
+        counts = {}
+        for pred in where:
+            col, op, vals = _normalize_predicate(pred)
+            if col in self.keys and op in ("=", "in"):
+                n = len(vals)
+                counts[col] = min(counts.get(col, n), n)
+        if set(counts) != set(self.keys):
+            return None
+        bound = 1
+        for n in counts.values():
+            bound *= n
+        return bound
+
+    def _maybe_broadcast_hint(
+        self, df: DataFrame, man: dict, rel: list[str],
+        where: list[tuple],
+    ) -> DataFrame:
+        """Manifest-stats join planning (VERDICT r8 task #3): Spark's
+        static broadcast decision sees only the kept files' BYTES, so
+        a keyed point/IN probe into wide files (> threshold bytes, a
+        handful of matching rows) plans a shuffle join. The manifest
+        knows better: the keyed row bound (exact, from key uniqueness)
+        × the kept files' measured bytes-per-row is a sound size
+        estimate, and when it clears the session's own
+        autoBroadcastJoinThreshold the read is hinted broadcast — a
+        pruned probe of 3 files out of 10k then broadcasts instead of
+        shuffling. Metadata-scale only: consulted exclusively for
+        keyed probes whose prune already cut the file list (≤ 64
+        files), and the hint never changes results, only the join
+        strategy."""
+        bound = self._keyed_row_bound(where)
+        if bound is None or len(rel) > 64:
+            return df
+        try:
+            thr = self.spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            thr_b = _parse_byte_conf(thr)
+        except Exception:
+            return df
+        if thr_b <= 0:  # broadcast disabled by the user: respect it
+            return df
+        stats = man.get("stats", {})
+        rows = 0
+        for f in rel:
+            r = (stats.get(f) or {}).get("rows")
+            if r is None:
+                return df  # pre-stats manifest: no sound estimate
+            rows += r
+        if rows == 0:
+            return df
+        nbytes = 0
+        for f in rel:
+            fs, p, _jvm = _fs(self.spark, f"{self.path}/{DATA_DIR}/{f}")
+            nbytes += fs.getFileStatus(p).getLen()
+        if bound * (nbytes / rows) <= thr_b:
+            df = df.hint("broadcast")
         return df
 
     def _prune_files(

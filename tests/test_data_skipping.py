@@ -543,3 +543,67 @@ def test_bloom_carried_forward_and_rebuilt(spark, bloomed):
     assert all("bloom" in man3["stats"][f] for f in live3)
     rep = t.skipping_report([("attr", "=", "Clerk#999999")])
     assert rep["files_kept"] == 0
+
+
+def test_keyed_probe_read_broadcasts_from_manifest_bound(spark, tmp_path):
+    """Manifest-stats join planning (VERDICT r8 task #3): a keyed =/IN
+    probe can yield at most prod(|values|) rows (snapshot keys are
+    unique), so even when the kept files' BYTES exceed the broadcast
+    threshold — where static Spark plans a shuffle join — read() hints
+    broadcast from bound_rows x measured bytes/row. Values stay
+    oracle-equal; only the join strategy changes."""
+    from tests.plan_guard import compiled_plan
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "probe"), keys=["k"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    pay = "x" * 400
+    t.upsert(
+        spark.createDataFrame(
+            [(k, float(k), pay + str(k), 0) for k in range(4000)],
+            "k int, v double, s string, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    big = spark.range(200_000).select(
+        (F.col("id") % 4000).cast("int").alias("k"),
+        F.col("id").alias("x"),
+    )
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # every kept file (~1000 wide rows) is far above this
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "8KB")
+        probe = t.read(where=[("k", "in", (5, 6, 7))])
+        plan = compiled_plan(big.join(probe, "k"))
+        assert "BroadcastHashJoin" in plan, plan
+        # control: the same files WITHOUT the keyed bound (non-key
+        # range predicate) must not be hinted — static Spark's
+        # bytes-based estimate stands, and it says shuffle
+        rng = t.read(where=[("v", "<", 3000.0)])
+        ctrl = compiled_plan(big.join(rng, "k"))
+        assert "BroadcastHashJoin" not in ctrl, ctrl
+        assert "SortMergeJoin" in ctrl, ctrl
+        # a probe bigger than the threshold allows must NOT be hinted:
+        # 3000 keys x ~430 B/row >> 8 KB
+        wide = t.read(where=[("k", "in", tuple(range(3000)))])
+        wplan = compiled_plan(big.join(wide, "k"))
+        assert "BroadcastHashJoin" not in wplan, wplan
+        # correctness: hinted probe result values are exact
+        got = sorted(
+            (r.k, r.x)
+            for r in big.join(probe, "k").select("k", "x").collect()
+        )
+        want = sorted(
+            (k, x) for x in range(200_000)
+            if (k := x % 4000) in (5, 6, 7)
+        )
+        assert got == want
+        # broadcast disabled (-1): respected, no hint
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        off = compiled_plan(
+            big.join(t.read(where=[("k", "=", 5)]), "k")
+        )
+        assert "BroadcastHashJoin" not in off, off
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
