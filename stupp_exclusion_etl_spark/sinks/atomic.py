@@ -698,6 +698,7 @@ class AtomicParquetTable:
         cluster_order: str = "range",
         index_by: list[str] | None = None,
         hooks: dict[str, Callable[[], None]] | None = None,
+        auto_compact: dict | None = None,
     ) -> None:
         if partition_by and set(partition_by) & set(keys):
             # partition cols may overlap keys in general; only forbid
@@ -733,6 +734,22 @@ class AtomicParquetTable:
         # Only string/integral columns participate (others are
         # silently skipped — no stats, no pruning, never wrong).
         self.index_by = index_by or []
+        # opportunistic small-file compaction after each commit: keys
+        # `max_files_per_partition` (trigger) and `target_file_mb`
+        # (rewrite sizing). None (default) keeps compaction manual.
+        self.auto_compact = None
+        if auto_compact is not None:
+            unknown = set(auto_compact) - {
+                "max_files_per_partition", "target_file_mb"
+            }
+            if unknown:
+                raise ValueError(f"auto_compact keys: {sorted(unknown)}")
+            self.auto_compact = {
+                "max_files_per_partition": auto_compact.get(
+                    "max_files_per_partition", 16
+                ),
+                "target_file_mb": auto_compact.get("target_file_mb", 128),
+            }
         self.hooks = hooks or {}
 
     # -- snapshot resolution ------------------------------------------
@@ -1555,10 +1572,19 @@ class AtomicParquetTable:
         rp = set() if replaced_files is not None else touched_dirs
         while True:
             try:
-                return self._commit(
+                v = self._commit(
                     parent, by_part, rp, schema_ddl, batch_id,
                     replaced_files,
                 )
+                if self.auto_compact is not None:
+                    # opportunistic housekeeping AFTER the data commit:
+                    # a metadata-only count check per commit, a real
+                    # rewrite only when a partition breaches the cap.
+                    # The batch's own version is still returned — the
+                    # compaction (if any) is a separate, empty-feed
+                    # version on top.
+                    self.maybe_compact(**self.auto_compact)
+                return v
             except ConcurrentWriteError:
                 if retries <= 0:
                     raise
@@ -2020,6 +2046,41 @@ class AtomicParquetTable:
 
     # -- maintenance --------------------------------------------------
 
+    def maybe_compact(
+        self,
+        target_file_mb: int = 128,
+        max_files_per_partition: int = 16,
+    ) -> int | None:
+        """Size/file-count-tiered compaction policy (VERDICT r8 task
+        #4 — the 100 TB small-file story): a metadata-only check of
+        the current manifest's per-partition live-file counts; only
+        when some partition exceeds ``max_files_per_partition`` does a
+        real ``compact(target_file_mb)`` rewrite run. CDC-heavy
+        workloads (file-scoped appends carry untouched files forward
+        and add one per commit) therefore keep a bounded live-file
+        count and fresh range stats without anyone scheduling
+        OPTIMIZE. Time travel and the change feed's
+        compaction-invisibility are compact()'s own contract and are
+        unchanged. Returns the compaction's version, or None when
+        nothing breached the cap (no FS call at all in that case) or
+        a concurrent writer won the race (housekeeping is best-effort;
+        the next commit re-triggers). A partition of many
+        ABOVE-target files never rewrites — compact() only shrinks
+        file counts, so the count trigger cannot loop on it."""
+        man = self.snapshot()
+        if man is None:
+            return None
+        if not any(
+            len(fl) > max_files_per_partition
+            for fl in man["partitions"].values()
+        ):
+            return None
+        try:
+            v = self.compact(target_bytes_per_file=target_file_mb << 20)
+        except ConcurrentWriteError:
+            return None
+        return v if v != man["version"] else None
+
     def compact(self, target_bytes_per_file: int = 128 * 1024 * 1024) -> int:
         """Atomic small-file compaction (OPTIMIZE): rewrite every
         partition whose live-file count exceeds what its bytes justify
@@ -2062,7 +2123,8 @@ class AtomicParquetTable:
             f"{self.path}/{DATA_DIR}/{f}" for fl in needs.values() for f in fl
         ]
         df = (
-            self.spark.read.option("basePath", f"{self.path}/{DATA_DIR}")
+            self.spark.read.schema(man["schema_ddl"])
+            .option("basePath", f"{self.path}/{DATA_DIR}")
             .parquet(*files)
         )
         if self.cluster_by:
