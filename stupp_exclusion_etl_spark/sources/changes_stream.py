@@ -349,12 +349,22 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         a, b = start["version"], end["version"]
         if b is None or b <= a:
             return []
+        # from_version=-1: bootstrap subscription — diff against the
+        # EMPTY baseline, so the first micro-batch serves the whole
+        # snapshot as inserts and the stream tails from there (Delta
+        # CDF's startingVersion=0 shape). Still partition-planned: the
+        # snapshot's files group by key range like any other batch.
+        man_a = (
+            {"partitions": {}, "stats": {}}
+            if a < 0
+            else _manifest(self.path, a)
+        )
         return [
             ChangesPartition(
                 self.path, self.keys, self.cols, self.types, fo, fn
             )
             for fo, fn in _plan_groups(
-                _manifest(self.path, a),
+                man_a,
                 _manifest(self.path, b),
                 self.keys[0],
                 self.max_partitions,

@@ -32,6 +32,9 @@ SKIP = (
     # frame's plan is just a parquet scan of the sink — not worth
     # pinning, and the drain is too slow for the snapshot sweep
     "stream_atomic_changes",
+    # two full drains + state-table protocol at build time (the CDC →
+    # incremental-dedup capstone); returned frame is a state-table scan
+    "stream_incremental_dedup",
 )
 
 SNAPSHOT_PATH = "tests/plan_snapshots.json"

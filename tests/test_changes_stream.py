@@ -405,3 +405,88 @@ def test_date_and_timestamp_partition_columns_stream(spark, tmp_path):
     rows2 = _batch(r2, {"version": v0}, r2.latestOffset())
     assert rows2 == [(1, -1.0, 1, ts0, "update")]
     assert isinstance(rows2[0][3], dt.datetime)
+
+
+def test_incremental_dedup_stream_capstone(spark, tmp_path):
+    """CDC → near-dedup as ONE continuous job (VERDICT r8 task #7):
+    a foreachBatch consumer of the partitioned CDC source maintains
+    MinHash/LSH pair state across micro-batches — bootstrap snapshot,
+    then inserts, updates (incl. update-to-empty), deletes — with
+    checkpoint restarts between drains (each run() is a restart), and
+    the final state is EQUAL to a from-scratch recompute over the
+    final corpus. Replay of an applied batch is a no-op."""
+    from stupp_exclusion_etl_spark.streaming.incremental_dedup import (
+        IncrementalNearDedup,
+    )
+
+    root = str(tmp_path)
+    docs = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, ts int"
+    )
+    base = [
+        (i, f"the quick brown fox jumps over dog number {i} " * 3, 0)
+        for i in range(20)
+    ] + [
+        (100, "alpha beta gamma delta epsilon zeta eta theta", 0),
+        (101, "alpha beta gamma delta epsilon zeta eta theta", 0),
+    ]
+    src = AtomicParquetTable(spark, root + "/src", keys=["doc_id"])
+    src.upsert(docs(base), [F.col("ts").desc()])
+
+    job = IncrementalNearDedup(spark, root + "/src", root + "/state")
+    job.run(root + "/ck")  # drain 1: bootstrap snapshot as inserts
+    s1 = {(r.id1, r.id2) for r in job.state().collect()}
+    assert (100, 101) in s1
+
+    # drain 2 (checkpoint restart): insert a new near-dup, update a
+    # doc onto another's text, delete one of the identical pair
+    src.upsert(
+        docs([
+            (102, "alpha beta gamma delta epsilon zeta eta theta", 1),
+            (5, "the quick brown fox jumps over dog number 7 " * 3, 1),
+        ]),
+        [F.col("ts").desc()],
+    )
+    src.delete_keys(spark.createDataFrame([(101,)], "doc_id long"))
+    job.run(root + "/ck")
+    s2 = {(r.id1, r.id2) for r in job.state().collect()}
+    assert (100, 102) in s2 and (5, 7) in s2
+    assert not any(101 in p for p in s2), "deleted doc left pairs"
+
+    # drain 3: update-to-empty must retire the doc's pairs and bands
+    src.upsert(docs([(102, "", 2)]), [F.col("ts").desc()])
+    job.run(root + "/ck")
+    s3 = {(r.id1, r.id2) for r in job.state().collect()}
+    assert not any(102 in p for p in s3)
+    assert job.bands.read().filter(F.col("doc_id") == 102).count() == 0
+
+    # final state == from-scratch recompute over the final corpus
+    # (fresh source + fresh job, one bootstrap drain)
+    src2 = AtomicParquetTable(spark, root + "/src2", keys=["doc_id"])
+    src2.upsert(
+        src.read().select("doc_id", "text").withColumn("ts", F.lit(0)),
+        [F.col("ts").desc()],
+    )
+    ref = IncrementalNearDedup(spark, root + "/src2", root + "/state2")
+    ref.run(root + "/ck2")
+    want = sorted(
+        (r.id1, r.id2, r.jaccard) for r in ref.state().collect()
+    )
+    got = sorted(
+        (r.id1, r.id2, r.jaccard) for r in job.state().collect()
+    )
+    assert got == want, "incremental state diverged from recompute"
+
+    # replay idempotency: re-applying the last micro-batch by hand
+    # (same batch_id the sink recorded) must change nothing
+    last_bid = job.pairs._manifest(
+        job.pairs.current_version()
+    )["batch_id"]
+    replay = spark.createDataFrame(
+        [(102, "", "update")],
+        "doc_id long, text string, _change_type string",
+    )
+    pv, bv = job.pairs.current_version(), job.bands.current_version()
+    job.process_batch(replay, last_bid)
+    assert job.pairs.current_version() == pv
+    assert job.bands.current_version() == bv
