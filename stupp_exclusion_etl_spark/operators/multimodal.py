@@ -1234,22 +1234,26 @@ def _encode_jpeg_gray(px, quant=None, restart_interval: int = 0,
     return head + bytes(body) + wtr.finish() + b"\xff\xd9"  # EOI
 
 
-def _encode_jpeg_420(y, cb, cr, quant=None) -> bytes:
-    """Encode YCbCr 4:2:0 baseline JPEG (Y sampled 2x2, chroma 1x1 at
-    quarter resolution; h, w multiples of 16): real MCU interleaving —
-    four Y blocks then one Cb and one Cr per MCU, per-component DC
-    prediction, shared all-ones default quant. Test-vector twin of the
-    subsampled decode path."""
+def _encode_jpeg_420(y, cb, cr, quant=None, samp=(2, 2)) -> bytes:
+    """Encode YCbCr subsampled baseline JPEG (Y sampled ``samp`` =
+    (hh, vv), chroma 1x1; default 2x2 = 4:2:0, (2, 1) = 4:2:2,
+    (1, 2) = 4:4:0; h, w multiples of 8*vv / 8*hh): real MCU
+    interleaving — hh*vv Y blocks then one Cb and one Cr per MCU,
+    per-component DC prediction, shared all-ones default quant.
+    Test-vector twin of the subsampled decode path."""
     import numpy as np
 
+    hh, vv = samp
     y = np.asarray(y, dtype=np.float64)
     cb = np.asarray(cb, dtype=np.float64)
     cr = np.asarray(cr, dtype=np.float64)
     h, w = y.shape
-    if h % 16 or w % 16:
-        raise ValueError("4:2:0 encoder requires multiples of 16")
-    if cb.shape != (h // 2, w // 2) or cr.shape != (h // 2, w // 2):
-        raise ValueError("chroma planes must be quarter resolution")
+    if h % (8 * vv) or w % (8 * hh):
+        raise ValueError(
+            f"{samp} encoder requires h % {8 * vv} == 0, w % {8 * hh} == 0"
+        )
+    if cb.shape != (h // vv, w // hh) or cr.shape != (h // vv, w // hh):
+        raise ValueError("chroma planes must be 1/vv x 1/hh resolution")
     q = np.ones((8, 8)) if quant is None else np.asarray(quant, dtype=np.float64)
     enc_dc, enc_ac = _jpeg_enc_tables()
     a_mat = _dct8_matrix()
@@ -1260,7 +1264,8 @@ def _encode_jpeg_420(y, cb, cr, quant=None) -> bytes:
     head += _jpeg_seg(
         0xC0,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+        + b"\x03" + bytes([1, (hh << 4) | vv, 0])
+        + b"\x02\x11\x00" + b"\x03\x11\x00",
     )
     head += _jpeg_seg(
         0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
@@ -1305,12 +1310,13 @@ def _encode_jpeg_420(y, cb, cr, quant=None) -> bytes:
         return int(zz[0])
 
     preds = [0, 0, 0]
-    for my in range(h // 16):
-        for mx in range(w // 16):
-            for by in range(2):
-                for bx in range(2):
+    for my in range(h // (8 * vv)):
+        for mx in range(w // (8 * hh)):
+            for by in range(vv):
+                for bx in range(hh):
                     preds[0] = enc_block(
-                        y, my * 16 + by * 8, mx * 16 + bx * 8, preds[0]
+                        y, (my * vv + by) * 8, (mx * hh + bx) * 8,
+                        preds[0],
                     )
             preds[1] = enc_block(cb, my * 8, mx * 8, preds[1])
             preds[2] = enc_block(cr, my * 8, mx * 8, preds[2])
@@ -1483,7 +1489,8 @@ def _encode_jpeg_gray_progressive(px, quant=None) -> bytes:
     return bytes(out) + b"\xff\xd9"  # EOI
 
 
-def _encode_jpeg_420_progressive(y, cb, cr, quant=None) -> bytes:
+def _encode_jpeg_420_progressive(y, cb, cr, quant=None,
+                                 samp=(2, 2)) -> bytes:
     """Encode YCbCr 4:2:0 PROGRESSIVE (SOF2) JPEG — the combined
     geometry the r7 guard blocked: scan 1 is the interleaved DC-first
     scan in MCU order (four Y DC diffs then Cb, Cr per MCU, Al=0);
@@ -1491,39 +1498,42 @@ def _encode_jpeg_420_progressive(y, cb, cr, quant=None) -> bytes:
     [1,63] at Al=0, each walking that component's OWN ceil-dims block
     raster (T.81 A.2.2) with EOBn run accumulation. Spectral selection
     only (no successive approximation), so coefficients are restored
-    exactly and the decode must equal the baseline 4:2:0 decode of the
-    same planes. Accepts any h, w multiples of 8 (chroma planes at
-    ceil-half resolution): when h or w is not a multiple of 16 the
-    padded MCU grid is LARGER than the AC scans' ceil-dims rasters,
-    exercising the decoder's non-interleaved index remap for real."""
+    exactly and the decode must equal the baseline decode of the same
+    planes. ``samp`` = Y's (hh, vv): 2x2 = 4:2:0 (default), (2, 1) =
+    4:2:2, (1, 2) = 4:4:0. Accepts any h, w multiples of 8 (chroma
+    planes at ceil-1/vv x ceil-1/hh resolution): when h or w is not a
+    multiple of the MCU span the padded MCU grid is LARGER than the AC
+    scans' ceil-dims rasters, exercising the decoder's non-interleaved
+    index remap for real."""
     import numpy as np
 
+    hh, vv = samp
     y = np.asarray(y, dtype=np.float64)
     cb = np.asarray(cb, dtype=np.float64)
     cr = np.asarray(cr, dtype=np.float64)
     h, w = y.shape
     if h % 8 or w % 8:
-        raise ValueError("progressive 4:2:0 encoder needs 8-multiples")
-    h2, w2 = -(-h // 2), -(-w // 2)
+        raise ValueError("progressive subsampled encoder needs 8-multiples")
+    h2, w2 = -(-h // vv), -(-w // hh)
     if cb.shape != (h2, w2) or cr.shape != (h2, w2):
-        raise ValueError("chroma planes must be ceil-half resolution")
+        raise ValueError("chroma planes must be ceil-1/vv x 1/hh resolution")
     q = np.ones((8, 8)) if quant is None else np.asarray(
         quant, dtype=np.float64
     )
-    mcx, mcy = -(-w // 16), -(-h // 16)
+    mcx, mcy = -(-w // (8 * hh)), -(-h // (8 * vv))
 
     def pad_to(plane, rows, cols):
         ph, pw = plane.shape
         return np.pad(plane, ((0, rows - ph), (0, cols - pw)), "edge")
 
     # padded block stores (the decoder's grids); ceil-dims per comp
-    yp = pad_to(y, mcy * 16, mcx * 16)
+    yp = pad_to(y, mcy * 8 * vv, mcx * 8 * hh)
     cbp = pad_to(cb, mcy * 8, mcx * 8)
     crp = pad_to(cr, mcy * 8, mcx * 8)
     blk_store = [
         _jpeg_quantized_blocks(p, q) for p in (yp, cbp, crp)
     ]
-    grid_cols = [mcx * 2, mcx, mcx]
+    grid_cols = [mcx * hh, mcx, mcx]
     ceil_dims = [
         (-(-w // 8), -(-h // 8)), (-(-w2 // 8), -(-h2 // 8)),
         (-(-w2 // 8), -(-h2 // 8)),
@@ -1544,7 +1554,8 @@ def _encode_jpeg_420_progressive(y, cb, cr, quant=None) -> bytes:
     head += _jpeg_seg(
         0xC2,
         b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00",
+        + b"\x03" + bytes([1, (hh << 4) | vv, 0])
+        + b"\x02\x11\x00" + b"\x03\x11\x00",
     )
     head += _jpeg_seg(
         0xC4, b"\x00" + bytes(_JPEG_STD_DC_BITS) + bytes(_JPEG_STD_DC_VALS)
@@ -1576,9 +1587,11 @@ def _encode_jpeg_420_progressive(y, cb, cr, quant=None) -> bytes:
 
     for my in range(mcy):
         for mx in range(mcx):
-            for by in range(2):
-                for bx in range(2):
-                    put_dc(0, (my * 2 + by) * grid_cols[0] + mx * 2 + bx)
+            for by in range(vv):
+                for bx in range(hh):
+                    put_dc(
+                        0, (my * vv + by) * grid_cols[0] + mx * hh + bx
+                    )
             put_dc(1, my * grid_cols[1] + mx)
             put_dc(2, my * grid_cols[2] + mx)
     out += wtr.finish()
