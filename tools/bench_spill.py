@@ -40,27 +40,82 @@ import urllib.request
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-#: heavy shuffle/sort surfaces: FK-chain SMJ sorts, global window
-#: sort, the LSH band shuffle, the four-stage near-dedup composite,
-#: and the train/apply text pipeline
+#: spill matrix (r9, VERDICT r8 task #6): r8 proved only JOIN spill
+#: (join_fk_chain's SMJ sorts under genuine 8g pressure; the rest fit
+#: their heaps) — the sort/window and agg machineries need their own
+#: evidence. Each entry: query, its small-heap ladder, and session
+#: conf for the SMALL run only. Two forcing styles, both verified
+#: hash-equal to an unforced comfortable-heap reference:
+#:
+#: - genuine pressure (conf {}): undersized heap, spill happens where
+#:   the memory manager says so (join_fk_chain @ 8g; agg_having's
+#:   1.5M-group partial maps @ 2g with 32 concurrent scan tasks);
+#: - forced thresholds (documented SQLConf spill knobs): the window
+#:   buffer and external-sort element thresholds make the
+#:   ExternalAppendOnlyUnsafeRowArray / UnsafeExternalSorter spill
+#:   paths run deterministically at ANY heap — the machinery under
+#:   test is the spill+merge code itself, not the allocator.
 SPILL_SET = [
-    "join_fk_chain",
-    "win_topk_per_group",
-    "dedup_minhash_lsh",
-    "pipeline_near_dedup",
-    "text_lang_id_learned",
+    {"name": "join_fk_chain", "heaps": None, "conf": {}},
+    {"name": "win_topk_per_group", "heaps": None, "conf": {}},
+    {"name": "dedup_minhash_lsh", "heaps": None, "conf": {}},
+    {"name": "pipeline_near_dedup", "heaps": None, "conf": {}},
+    {"name": "text_lang_id_learned", "heaps": None, "conf": {}},
+    # r9: window/sort spill, forced thresholds (any heap)
+    {
+        "name": "win_topk_per_group#forced_window_sort",
+        "query": "win_topk_per_group",
+        "heaps": ["8g"],
+        "conf": {
+            "spark.sql.windowExec.buffer.spill.threshold": "2048",
+            "spark.shuffle.spill.numElementsForceSpillThreshold":
+                "262144",
+        },
+    },
+    # r9: external-sort spill inside the SMJ family, forced
+    {
+        "name": "join_fk_chain#forced_sort",
+        "query": "join_fk_chain",
+        "heaps": ["12g"],
+        "conf": {
+            "spark.shuffle.spill.numElementsForceSpillThreshold":
+                "262144",
+            "spark.sql.sortMergeJoinExec.buffer.spill.threshold":
+                "4096",
+        },
+    },
+    # r9: hash-aggregate spill, genuine pressure — 1.5M o_custkey
+    # groups build ~100 MB partial maps per scan task; 32 concurrent
+    # tasks in a 2g heap cannot all grow them, so the agg fallback
+    # sorter must run
+    {
+        "name": "agg_having#agg_pressure",
+        "query": "agg_having",
+        "heaps": ["2g", "3g", "4g"],
+        "conf": {"spark.sql.shuffle.partitions": "8"},
+    },
 ]
 
 
-def run_one(name: str, sf_dir: str, out_json: str) -> None:
+def run_one(name: str, sf_dir: str, out_json: str,
+            conf_json: str = "{}") -> None:
     """Subprocess body: one session (heap via SPARK_DRIVER_MEMORY),
-    one query → {fingerprint, rows, secs, spill bytes}."""
+    one query → {fingerprint, rows, secs, spill bytes}. ``conf_json``
+    is applied as session-level SQLConf (spill thresholds, shuffle
+    partitions) before the query builds."""
     from pyspark.sql import functions as F
 
     from stupp_exclusion_etl_spark.plans import REGISTRY
     from stupp_exclusion_etl_spark.session import get_spark
 
-    spark = get_spark(app_name=f"bench-spill-{name}", ui=True)
+    # conf goes in at BUILDER time: the spill thresholds include core
+    # (static) confs like numElementsForceSpillThreshold that a live
+    # session silently ignores — each inner attempt is a fresh JVM, so
+    # builder-time config binds them for real
+    spark = get_spark(
+        app_name=f"bench-spill-{name}", ui=True,
+        extra_conf=json.loads(conf_json),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     ui = spark.sparkContext.uiWebUrl
     app_id = spark.sparkContext.applicationId
@@ -104,12 +159,13 @@ def run_one(name: str, sf_dir: str, out_json: str) -> None:
     spark.stop()
 
 
-def attempt(name: str, sf_dir: str, heap: str) -> dict | None:
+def attempt(name: str, sf_dir: str, heap: str,
+            conf: dict | None = None) -> dict | None:
     tmp = tempfile.mktemp(suffix=".json")
     env = dict(os.environ, SPARK_DRIVER_MEMORY=heap)
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--inner",
-         name, sf_dir, tmp],
+         name, sf_dir, tmp, json.dumps(conf or {})],
         env=env,
     )
     if r.returncode != 0 or not os.path.exists(tmp):
@@ -125,30 +181,37 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/tmp/scaled/sf10")
     ap.add_argument("--heaps", default="8g,12g,16g")
     ap.add_argument("--ref-heap", default="48g")
-    ap.add_argument("--inner", nargs=3, metavar=("QUERY", "SF", "OUT"))
+    ap.add_argument("--inner", nargs=4,
+                    metavar=("QUERY", "SF", "OUT", "CONF"))
     a = ap.parse_args()
     if a.inner:
         run_one(*a.inner)
         return 0
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "08")
     out_path = os.path.join(REPO, f"BENCH_SPILL_r{rnd}.json")
-    ladder = a.heaps.split(",")
+    default_ladder = a.heaps.split(",")
     per_query: dict[str, dict] = {}
     total_spill = 0
     mismatches = []
-    for name in SPILL_SET:
+    for entry in SPILL_SET:
+        name = entry["name"]
+        query = entry.get("query", name)
+        ladder = entry["heaps"] or default_ladder
+        conf = entry["conf"]
         small = None
         used_heap = None
         for heap in ladder:
             print(f"[{heap}] {name} ...", flush=True)
-            small = attempt(name, a.sf_dir, heap)
+            small = attempt(query, a.sf_dir, heap, conf)
             if small is not None:
                 used_heap = heap
                 break
             print(f"    {name} did not survive {heap}, escalating",
                   flush=True)
+        # reference: comfortable heap, NO forcing conf — proving the
+        # spilled/forced run's values equal the unspilled plan's
         print(f"[{a.ref_heap}] {name} (reference) ...", flush=True)
-        ref = attempt(name, a.sf_dir, a.ref_heap)
+        ref = attempt(query, a.sf_dir, a.ref_heap)
         if small is None or ref is None:
             mismatches.append(name)
             per_query[name] = {"error": "tier failed", "heap": used_heap}
@@ -163,6 +226,7 @@ def main() -> int:
         total_spill += spill
         per_query[name] = {
             "rows": small["rows"],
+            "conf": conf,
             "small_heap": used_heap,
             "values_match_no_spill_run": match,
             "small_heap_secs": small["secs"],
