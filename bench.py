@@ -142,6 +142,8 @@ HEADLINE = [
     "mm_wav_g711_decode_stats",
     # r8 additions
     "atomic_index_read",
+    # r9 additions
+    "atomic_probe_join",
 ]
 
 
