@@ -639,6 +639,29 @@ def _parse_byte_conf(v) -> int:
     return int(s)
 
 
+#: key-probe broadcast cap: ~1M keys hash to a <=100 MB sparse
+#: LongHashedRelation — comfortably inside any sane executor heap;
+#: beyond it a shuffled semi-join is the right plan anyway
+_PROBE_BROADCAST_CAP = 1_000_000
+
+
+def _probe_hint(keys_df: DataFrame) -> DataFrame:
+    """broadcast() a key-probe side ONLY when provably probe-sized.
+    An explicit broadcast hint bypasses autoBroadcastJoinThreshold
+    entirely, and a "batch" that is a large fraction of the table —
+    7.5M keys in the sf10 local-cluster run — deserializes as a
+    >0.5 GiB LongHashedRelation in EVERY executor and OOMs small
+    heaps (found by BENCH_SCALE10_LC_r09: executor heap OOM inside
+    readLongArray, pool-shutdown RejectedExecutionException storms).
+    The capped count reads at most CAP+1 distinct keys; above the cap
+    the frame is returned unhinted and Spark plans the shuffled
+    semi-join a table-scale batch warrants. Callers with expensive
+    upstream pipelines should checkpoint their batch first — the
+    count is one extra partial evaluation."""
+    n = keys_df.limit(_PROBE_BROADCAST_CAP + 1).count()
+    return F.broadcast(keys_df) if n <= _PROBE_BROADCAST_CAP else keys_df
+
+
 def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
     """(col, op[, value]) → (col, op, [values]). `in` takes an
     iterable; null ops take no value."""
@@ -1447,7 +1470,7 @@ class AtomicParquetTable:
             .option("basePath", f"{self.path}/{DATA_DIR}")
             .parquet(*cand_paths)
         )
-        kept = overlap.join(F.broadcast(batch_keys), self.keys, "left_anti")
+        kept = overlap.join(batch_keys, self.keys, "left_anti")
         kept = kept.localCheckpoint(eager=True)
         by_part = self._stage_and_move(kept, txn)
         touched = set(cand) | set(by_part)
@@ -1533,7 +1556,7 @@ class AtomicParquetTable:
             .select(*self.keys)
         )
         return (
-            other.join(F.broadcast(batch_keys), self.keys, "left_semi")
+            other.join(batch_keys, self.keys, "left_semi")
             .limit(1)
             .count()
             > 0
@@ -1643,7 +1666,7 @@ class AtomicParquetTable:
                 return parent  # replayed micro-batch: already committed
         txn = uuid.uuid4().hex[:16]
         existing = self.read()
-        batch_keys = new_data.select(*self.keys).distinct()
+        batch_keys = _probe_hint(new_data.select(*self.keys).distinct())
 
         def remerge(retries: int) -> int:
             return self.upsert(
@@ -1685,7 +1708,7 @@ class AtomicParquetTable:
         new_parts = new_data.select(*pb).distinct()
         old_parts_of_keys = (
             existing.select(*self.keys, *pb)
-            .join(F.broadcast(batch_keys), self.keys, "left_semi")
+            .join(batch_keys, self.keys, "left_semi")
             .select(*pb)
             .distinct()
         )
@@ -1723,8 +1746,10 @@ class AtomicParquetTable:
             raise ValueError(f"no table at {self.path}")
         parent = self.current_version()
         txn = uuid.uuid4().hex[:16]
-        batch_keys = doomed_keys.select(*self.keys).distinct()
-        doomed = F.broadcast(batch_keys)
+        batch_keys = _probe_hint(
+            doomed_keys.select(*self.keys).distinct()
+        )
+        doomed = batch_keys
 
         def remerge(retries: int) -> int:
             return self.delete_keys(doomed_keys, max_commit_retries=retries)
@@ -1806,7 +1831,7 @@ class AtomicParquetTable:
         parent = self.current_version()
         existing = self.read()
         txn = uuid.uuid4().hex[:16]
-        batch_keys = src.select(*self.keys).distinct()
+        batch_keys = _probe_hint(src.select(*self.keys).distinct())
 
         def remerge(retries: int) -> int:
             return self.merge_into(
@@ -1827,17 +1852,19 @@ class AtomicParquetTable:
         # one broadcast semi-join pass finds matched keys AND the
         # partitions currently holding them (both batch-sized)
         matched_probe = existing.select(*self.keys, *pb).join(
-            F.broadcast(batch_keys), self.keys, "left_semi"
+            batch_keys, self.keys, "left_semi"
         )
-        matched_keys = matched_probe.select(*self.keys).distinct()
+        matched_keys = _probe_hint(
+            matched_probe.select(*self.keys).distinct()
+        )
         # a "delete"/"skip" source may carry ONLY the key columns, so
         # new_rows (full-schema writes) is built strictly from the
         # clauses that write
         new_rows = None
         if when_matched == "update":
-            new_rows = src.join(F.broadcast(matched_keys), self.keys, "left_semi")
+            new_rows = src.join(matched_keys, self.keys, "left_semi")
         if when_not_matched == "insert":
-            ins = src.join(F.broadcast(matched_keys), self.keys, "left_anti")
+            ins = src.join(matched_keys, self.keys, "left_anti")
             new_rows = (
                 ins
                 if new_rows is None
@@ -1855,7 +1882,7 @@ class AtomicParquetTable:
 
         if not pb:
             kept = (
-                existing.join(F.broadcast(matched_keys), self.keys, "left_anti")
+                existing.join(matched_keys, self.keys, "left_anti")
                 if remove_matched
                 else existing
             )
@@ -1882,7 +1909,7 @@ class AtomicParquetTable:
             existing, typed_rows, existing.select(*pb).schema
         )
         kept = (
-            relevant.join(F.broadcast(matched_keys), self.keys, "left_anti")
+            relevant.join(matched_keys, self.keys, "left_anti")
             if remove_matched
             else relevant
         )

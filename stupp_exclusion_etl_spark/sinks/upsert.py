@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from stupp_exclusion_etl_spark.operators.dedup import keep_latest
+from stupp_exclusion_etl_spark.sinks.atomic import _probe_hint
 
 
 def hadoop_path_exists(spark, path: str) -> bool:
@@ -126,7 +127,7 @@ def upsert_parquet(
     new_parts = new_data.select(*partition_by).distinct()
     old_parts_of_upserted_keys = (
         existing.select(*keys, *partition_by)
-        .join(F.broadcast(new_data.select(*keys).distinct()), keys, "left_semi")
+        .join(_probe_hint(new_data.select(*keys).distinct()), keys, "left_semi")
         .select(*partition_by)
         .distinct()
     )
@@ -486,7 +487,7 @@ def delete_keys_parquet(
     whole — on Delta/Iceberg this is DELETE WHERE with file-level
     granularity instead."""
     existing = spark.read.parquet(path)
-    doomed = F.broadcast(doomed_keys.select(*keys).distinct())
+    doomed = _probe_hint(doomed_keys.select(*keys).distinct())
     if not partition_by:
         kept = existing.join(doomed, keys, "left_anti").localCheckpoint(eager=True)
         kept.write.mode("overwrite").parquet(path)

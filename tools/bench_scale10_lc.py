@@ -81,8 +81,15 @@ def _session(exec_mb: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Spark's DEFAULT 10 MB broadcast threshold, NOT the 64 MB the
+        # local[32] bench uses: the first sweep of this tool inherited
+        # 64 MB and the three atomic/near-dedup queries OOM'd their
+        # 8-16 GiB executors deserializing a ~60 MB-serialized
+        # 15M-row LongHashedRelation (>1 GiB on-heap) — the textbook
+        # reason the threshold must scale with EXECUTOR heap, not
+        # driver convenience. Root-caused per VERDICT r8 task #1.
         .config(
-            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            "spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)
         )
         .config("spark.ui.enabled", "true")
         .getOrCreate()
