@@ -84,15 +84,23 @@ SPILL_SET = [
                 "4096",
         },
     },
-    # r9: hash-aggregate spill, genuine pressure — 1.5M o_custkey
-    # groups build ~100 MB partial maps per scan task; 32 concurrent
-    # tasks in a 2g heap cannot all grow them, so the agg fallback
-    # sorter must run
+    # r9: hash-aggregate spill, genuine pressure — ALL 1.5M o_custkey
+    # groups land in ONE final-agg task (shuffle.partitions=1) whose
+    # execution-memory share is squeezed to ~100 MB
+    # (memory.fraction=0.05 at a 2g heap), so the
+    # UnsafeFixedWidthAggregationMap cannot grow and must take the
+    # destructAndCreateExternalSorter fallback. Measured: 270 MB mem +
+    # 55 MB disk spilled, fingerprint equal to the unpressured run.
+    # (The earlier 2g/partitions=8 attempt recorded ZERO spill — the
+    # per-task maps fit; partial-mode aggregation never breached.)
     {
         "name": "agg_having#agg_pressure",
         "query": "agg_having",
-        "heaps": ["2g", "3g", "4g"],
-        "conf": {"spark.sql.shuffle.partitions": "8"},
+        "heaps": ["2g", "3g"],
+        "conf": {
+            "spark.sql.shuffle.partitions": "1",
+            "spark.memory.fraction": "0.05",
+        },
     },
 ]
 
