@@ -409,12 +409,18 @@ def embedding_neardup_pairs(
 
             if dim is None:
                 dim = len(e.select("v").first()[0])
-            sample = cached_estimate(
-                "neardup_sample:512", (e,),
-                lambda: rc.sample_vectors(e, "id", "v", 512),
-            )
-            cfg = rc.choose_neardup_config(
-                sample, threshold, est, max_pairs, recall_target
+            # the whole config decision is memoized, not just the
+            # sample collect: the numpy recall estimate (~100 ms on a
+            # 512-vector sample) would otherwise run on EVERY call of
+            # a warm query — the same standing tax the r7 bench gate
+            # flagged for the cardinality estimate
+            cfg = cached_estimate(
+                f"neardup_cfg:{threshold}:{max_pairs}:{recall_target}",
+                (e,),
+                lambda: rc.choose_neardup_config(
+                    rc.sample_vectors(e, "id", "v", 512),
+                    threshold, est, max_pairs, recall_target,
+                ),
             )
             rc.record_reroute(
                 "embedding_neardup_pairs",

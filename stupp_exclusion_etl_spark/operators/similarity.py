@@ -295,17 +295,18 @@ def knn_join(
 
             if dim is None:
                 dim = len(vectors.select(vec_col).first()[0])
-            corpus_sample = cached_estimate(
-                "knn_sample_corpus:512", (vectors,),
-                lambda: rc.sample_vectors(vectors, id_col, vec_col, 512),
-            )
-            query_sample = cached_estimate(
-                "knn_sample_queries:64", (queries,),
-                lambda: rc.sample_vectors(queries, q_id_col, q_vec_col, 64),
-            )
-            cfg = rc.choose_knn_config(
-                corpus_sample, query_sample, k, est, max_comparisons,
-                recall_target, exclude_self,
+            # memoize the WHOLE config decision (sample collects +
+            # numpy recall estimate), not its pieces — the estimate
+            # would otherwise re-run per warm call (r7 gate lesson)
+            cfg = cached_estimate(
+                f"knn_cfg:{k}:{max_comparisons}:{recall_target}:"
+                f"{exclude_self}",
+                (vectors, queries),
+                lambda: rc.choose_knn_config(
+                    rc.sample_vectors(vectors, id_col, vec_col, 512),
+                    rc.sample_vectors(queries, q_id_col, q_vec_col, 64),
+                    k, est, max_comparisons, recall_target, exclude_self,
+                ),
             )
             rc.record_reroute(
                 "knn_join", {**cfg, "est_comparisons": est},

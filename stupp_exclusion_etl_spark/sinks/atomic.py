@@ -657,9 +657,29 @@ def _probe_hint(keys_df: DataFrame) -> DataFrame:
     the frame is returned unhinted and Spark plans the shuffled
     semi-join a table-scale batch warrants. Callers with expensive
     upstream pipelines should checkpoint their batch first — the
-    count is one extra partial evaluation."""
-    n = keys_df.limit(_PROBE_BROADCAST_CAP + 1).count()
-    return F.broadcast(keys_df) if n <= _PROBE_BROADCAST_CAP else keys_df
+    count is one extra partial evaluation. The count is memoized per
+    (plan, input-files) fingerprint so repeated probes over the same
+    immutable batch (warm reruns, retry loops) pay it once — the same
+    treatment the r7 gate demanded for the cost-guard estimates."""
+    from stupp_exclusion_etl_spark.operators.budget import (
+        cached_estimate,
+    )
+
+    return F.broadcast(keys_df) if _probe_small(keys_df) else keys_df
+
+
+def _probe_small(keys_df: DataFrame) -> bool:
+    """True iff the key frame is provably under the broadcast cap
+    (memoized capped count — see _probe_hint)."""
+    from stupp_exclusion_etl_spark.operators.budget import (
+        cached_estimate,
+    )
+
+    n = cached_estimate(
+        "probe_broadcast_cap", (keys_df,),
+        lambda: keys_df.limit(_PROBE_BROADCAST_CAP + 1).count(),
+    )
+    return n <= _PROBE_BROADCAST_CAP
 
 
 def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
@@ -1831,7 +1851,13 @@ class AtomicParquetTable:
         parent = self.current_version()
         existing = self.read()
         txn = uuid.uuid4().hex[:16]
-        batch_keys = _probe_hint(src.select(*self.keys).distinct())
+        # one memoized probe count decides BOTH hints: matched_keys is
+        # a subset of batch_keys, so counting the (join-derived, hence
+        # uncacheable) matched side would re-evaluate the semi-join
+        # for nothing
+        bk_raw = src.select(*self.keys).distinct()
+        probe_small = _probe_small(bk_raw)
+        batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
 
         def remerge(retries: int) -> int:
             return self.merge_into(
@@ -1854,9 +1880,8 @@ class AtomicParquetTable:
         matched_probe = existing.select(*self.keys, *pb).join(
             batch_keys, self.keys, "left_semi"
         )
-        matched_keys = _probe_hint(
-            matched_probe.select(*self.keys).distinct()
-        )
+        mk_raw = matched_probe.select(*self.keys).distinct()
+        matched_keys = F.broadcast(mk_raw) if probe_small else mk_raw
         # a "delete"/"skip" source may carry ONLY the key columns, so
         # new_rows (full-schema writes) is built strictly from the
         # clauses that write
