@@ -52,6 +52,7 @@ BLURBS = {
     "atomic_changes_read": "Change feed (r7): full-outer null-safe compare of ONLY the files that entered/left the manifest — two bounded scans, one join, one agg; untouched files never appear.",
     "pipeline_incremental_dedup": "CDC-driven incremental dedup (r7): changed docs from the feed semi-join-restrict the band probe, so candidate work is O(changed x bucket); verify joins all equi-joins.",
     "atomic_index_read": "Secondary-index read (r8): the IN probe pruned the file list via per-file BLOOMS on a non-clustered column BEFORE planning — the scan lists only files that may hold a probed value, plus the exact residual IN filter.",
+    "atomic_probe_join": "Manifest-bound broadcast (r9): the keyed IN probe is provably ≤10 rows (snapshot keys unique), so read() hints broadcast from bound×bytes/row — BroadcastHashJoin with the lineitem fact never shuffled, where the bytes-based static estimate would pick SMJ.",
 }
 
 
