@@ -775,3 +775,49 @@ def test_maybe_compact_below_cap_is_metadata_only(spark, tmp_path):
             spark, str(tmp_path / "bad"), keys=["k"],
             auto_compact={"max_files": 3},
         )
+
+
+def test_probe_broadcast_hint_is_bounded(spark, tmp_path, monkeypatch):
+    """The sf10 local-cluster OOM fix (BENCH_SCALE10_LC_r09): batch-key
+    probes broadcast ONLY when provably under the cap — an explicit
+    hint bypasses autoBroadcastJoinThreshold, and a table-scale batch
+    deserialized as a LongHashedRelation in every executor. Above the
+    (monkeypatched) cap the semi-join must plan WITHOUT a broadcast
+    hint; below it the hint stays (small probes must not regress to
+    shuffles)."""
+    from stupp_exclusion_etl_spark.sinks import atomic as am
+    from tests.plan_guard import compiled_plan
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "cap"), keys=["k"],
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, float(i)) for i in range(500)], "k int, v double"
+        ).withColumn("ts", F.lit(0)),
+        [F.col("ts").desc()],
+    )
+    existing = t.read()
+
+    monkeypatch.setattr(am, "_PROBE_BROADCAST_CAP", 10)
+    big = spark.range(100).select(F.col("id").cast("int").alias("k"))
+    small = spark.range(5).select(F.col("id").cast("int").alias("k"))
+    # auto-broadcast off: ONLY the hint can produce a broadcast join,
+    # so hint presence/absence is directly visible in the strategy
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan_big = compiled_plan(
+            existing.join(am._probe_hint(big), ["k"], "left_semi")
+        )
+        assert "BroadcastHashJoin" not in plan_big, plan_big
+        plan_small = compiled_plan(
+            existing.join(am._probe_hint(small), ["k"], "left_semi")
+        )
+        assert "BroadcastHashJoin" in plan_small, plan_small
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    # end-to-end: an over-cap delete still lands the right values
+    t.delete_keys(big)
+    assert t.read().count() == 400
+    assert t.read().filter(F.col("k") < 100).count() == 0
