@@ -334,6 +334,7 @@ def embedding_neardup_pairs(
     on_exceed: str = "raise",
     dim: int | None = None,
     recall_target: float | None = None,
+    budget_escalation: float | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs within buckets (e.g. an LSH or
     cluster-label bucket) — the bucketed equi-join keeps this linear in
@@ -366,7 +367,13 @@ def embedding_neardup_pairs(
     the same budget via OR-amplified independent sub-bucket tables
     (T tables of b bits each: work T·est/2^b stays under budget,
     recall 1-(1-s^b)^T grows; a pair is kept if it collides in ANY
-    table, deduplicated before scoring)."""
+    table, deduplicated before scoring). ``budget_escalation`` (opt-in,
+    only meaningful with ``recall_target``): when no in-budget config's
+    ESTIMATED recall clears the target, permit configs spending up to
+    N× max_pairs — fewer sub-bucket bits, more pairs kept — still
+    decided by the same sample estimate, with the actual multiple
+    reported as ``budget_multiplier`` in the warning and
+    last_reroute_info."""
     from stupp_exclusion_etl_spark.functions.vectors import dot, norm2
 
     e = df.select(
@@ -415,11 +422,13 @@ def embedding_neardup_pairs(
             # a warm query — the same standing tax the r7 bench gate
             # flagged for the cardinality estimate
             cfg = cached_estimate(
-                f"neardup_cfg:{threshold}:{max_pairs}:{recall_target}",
+                f"neardup_cfg:{threshold}:{max_pairs}:{recall_target}:"
+                f"{budget_escalation}",
                 (e,),
                 lambda: rc.choose_neardup_config(
                     rc.sample_vectors(e, "id", "v", 512),
                     threshold, est, max_pairs, recall_target,
+                    budget_escalation,
                 ),
             )
             rc.record_reroute(

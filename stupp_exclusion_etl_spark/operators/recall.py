@@ -128,15 +128,36 @@ def estimate_neardup_recall(
     return float(survive[qual].mean()), n_qual
 
 
+#: table-count ladder for the neardup sub-bucket reroute. Deep
+#: OR-amplification matters on low-locality data: table-survival is
+#: strongly CORRELATED across same-size tables (a pair just under the
+#: threshold angle fails everywhere), so 3 tables of b bits barely
+#: beat 1 — but many tables of MORE bits each (same candidate work
+#: T·est/2^b) decorrelate: measured on the adversarial fixture,
+#: {1×4b: 0.24, 3×5b: 0.45, 12×7b: 0.62, 24×8b: 0.75} pair recall at
+#: ~identical pair budgets. Capped at 24: per-row indexing cost (T·b
+#: plane dots + T-way explode) is linear in T and unmodeled by the
+#: pair budget — 24 keeps it two orders below the quadratic term at
+#: the scales the guard triggers.
+_NEARDUP_TABLES = (1, 2, 3, 4, 6, 8, 12, 16, 24)
+
+
 def neardup_configs(est: int, max_pairs: int) -> list[tuple[int, int]]:
     """Feasible (n_bits, n_tables) ladder: expected candidate work
-    ~ T·est/2^bits <= max_pairs for T in 1,2,4,8. T=1 reproduces the
-    pre-escalation single-table config exactly."""
+    ~ T·est/2^bits <= max_pairs, T ascending from _NEARDUP_TABLES.
+    T=1 first — it reproduces the pre-escalation single-table config
+    exactly."""
     out = []
-    for t in (1, 2, 4, 8):
+    for t in _NEARDUP_TABLES:
         b = max(1, math.ceil(math.log2(t * est / max_pairs)))
         if b <= 30:
             out.append((b, t))
+    if not out:
+        # est/max_pairs > 2^30: even a single table needs more than 30
+        # bucket bits to hit the budget. Clamp at the 30-bit ceiling
+        # (2^30 buckets) like knn_configs' 16-plane fallback — the work
+        # bound degrades gracefully instead of the reroute crashing.
+        out = [(30, 1)]
     return out
 
 
@@ -146,33 +167,61 @@ def choose_neardup_config(
     est: int,
     max_pairs: int,
     recall_target: float | None,
+    budget_escalation: float | None = None,
 ) -> dict:
     """Pick (n_bits, n_tables): without a target, the single-table
     minimum-bits config (byte-identical plan to the unescalated path);
     with a target, the cheapest feasible config whose estimated recall
     clears it, else the feasible argmax. Falls back to the analytic
     1-(1-s^b)^T model (s = per-bit survival at the threshold angle)
-    when the sample has too few qualifying pairs."""
+    when the sample has too few qualifying pairs.
+
+    ``budget_escalation`` (opt-in, VERDICT r9 task #3): when NO
+    in-budget config's estimated recall clears the target, permit
+    configs whose expected work runs up to ``budget_escalation ×
+    max_pairs`` — fewer sub-bucket bits, more surviving pairs. The
+    SAME sample estimate decides; the chosen config reports its actual
+    work multiple as ``budget_multiplier`` so the warning states what
+    the caller paid. In-budget configs are always preferred: the
+    escalated tier is only scanned after the whole in-budget ladder
+    missed the target."""
+    s = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
     configs = neardup_configs(est, max_pairs)
     base = configs[0]
     if recall_target is None:
         r, n_qual = estimate_neardup_recall(sample, threshold, *base)
         return {"n_bits": base[0], "n_tables": base[1],
                 "recall_est": r, "sample_pairs": n_qual,
-                "escalated": False}
-    s = 1.0 - math.acos(min(1.0, max(-1.0, threshold))) / math.pi
+                "escalated": False, "budget_multiplier": 1.0}
+    tiers = [configs]
+    if budget_escalation is not None and budget_escalation > 1:
+        seen = set(configs)
+        tiers.append([
+            c
+            for c in neardup_configs(
+                est, int(max_pairs * budget_escalation)
+            )
+            if c not in seen
+        ])
     best = None
-    for b, t in configs:
-        r, n_qual = estimate_neardup_recall(sample, threshold, b, t)
-        analytic = 1.0 - (1.0 - s**b) ** t
-        eff = r if r is not None else analytic
-        cand = {"n_bits": b, "n_tables": t, "recall_est": r,
-                "recall_analytic": round(analytic, 4),
-                "sample_pairs": n_qual, "escalated": t > 1}
-        if eff >= recall_target:
-            return cand
-        if best is None or eff > best[0]:
-            best = (eff, cand)
+    for tier_i, tier in enumerate(tiers):
+        for b, t in tier:
+            r, n_qual = estimate_neardup_recall(sample, threshold, b, t)
+            analytic = 1.0 - (1.0 - s**b) ** t
+            eff = r if r is not None else analytic
+            mult = (
+                1.0 if tier_i == 0
+                else round(max(1.0, t * est / 2**b / max_pairs), 2)
+            )
+            cand = {"n_bits": b, "n_tables": t, "recall_est": r,
+                    "recall_analytic": round(analytic, 4),
+                    "sample_pairs": n_qual,
+                    "escalated": t > 1 or tier_i > 0,
+                    "budget_multiplier": mult}
+            if eff >= recall_target:
+                return cand
+            if best is None or eff > best[0]:
+                best = (eff, cand)
     return best[1]
 
 
@@ -269,7 +318,12 @@ def choose_knn_config(
     max_comparisons: int,
     recall_target: float | None,
     exclude_self: bool,
+    budget_escalation: float | None = None,
 ) -> dict:
+    """See choose_neardup_config — same contract, kNN config space
+    (planes × multi-probe radius × tables). ``budget_escalation``
+    admits configs up to N× max_comparisons only after every in-budget
+    config's estimated recall missed the target."""
     configs = knn_configs(est, max_comparisons)
     base = configs[0]
     if recall_target is None:
@@ -278,20 +332,41 @@ def choose_knn_config(
             base["radius"], base["n_tables"], exclude_self,
         )
         return {**base, "recall_est": r, "sample_pairs": npairs,
-                "escalated": False}
+                "escalated": False, "budget_multiplier": 1.0}
+    tiers = [configs]
+    if budget_escalation is not None and budget_escalation > 1:
+        seen = {tuple(sorted(c.items())) for c in configs}
+        tiers.append([
+            c
+            for c in knn_configs(
+                est, int(max_comparisons * budget_escalation)
+            )
+            if tuple(sorted(c.items())) not in seen
+        ])
     best = None
-    for cfg in configs:
-        r, npairs = estimate_knn_recall(
-            corpus_sample, query_sample, k, cfg["n_planes"],
-            cfg["radius"], cfg["n_tables"], exclude_self,
-        )
-        cand = {**cfg, "recall_est": r, "sample_pairs": npairs,
-                "escalated": cfg["n_tables"] > 1 or cfg["radius"] > 1}
-        eff = r if r is not None else 0.0
-        if r is not None and r >= recall_target:
-            return cand
-        if best is None or eff > best[0]:
-            best = (eff, cand)
+    for tier_i, tier in enumerate(tiers):
+        for cfg in tier:
+            r, npairs = estimate_knn_recall(
+                corpus_sample, query_sample, k, cfg["n_planes"],
+                cfg["radius"], cfg["n_tables"], exclude_self,
+            )
+            mult = 1.0
+            if tier_i > 0:
+                work = (
+                    est * cfg["n_tables"]
+                    * _n_probes(cfg["n_planes"], cfg["radius"])
+                    / (1 << cfg["n_planes"])
+                )
+                mult = round(max(1.0, work / max_comparisons), 2)
+            cand = {**cfg, "recall_est": r, "sample_pairs": npairs,
+                    "escalated": cfg["n_tables"] > 1
+                    or cfg["radius"] > 1 or tier_i > 0,
+                    "budget_multiplier": mult}
+            eff = r if r is not None else 0.0
+            if r is not None and r >= recall_target:
+                return cand
+            if best is None or eff > best[0]:
+                best = (eff, cand)
     return best[1]
 
 
@@ -309,11 +384,18 @@ def record_reroute(op: str, info: dict, recall_target: float | None) -> None:
             stacklevel=3,
         )
     elif recall_target is not None and r < recall_target:
+        mult = info.get("budget_multiplier", 1.0) or 1.0
+        spent = (
+            f"even at {mult:.1f}x the budget (budget_escalation), "
+            if mult > 1
+            else ""
+        )
         warnings.warn(
-            f"{op}: over budget — best feasible LSH config {info} has "
-            f"estimated recall {r:.2f} < target {recall_target:.2f}. "
-            f"Raise the budget for more recall; results are "
-            f"incomplete to roughly this degree.",
+            f"{op}: over budget — {spent}best feasible LSH config "
+            f"{info} has estimated recall {r:.2f} < target "
+            f"{recall_target:.2f}. Raise the budget or pass "
+            f"budget_escalation=N to permit up to N× more work; "
+            f"results are incomplete to roughly this degree.",
             stacklevel=3,
         )
     elif r < 0.5:

@@ -224,6 +224,7 @@ def knn_join(
     on_exceed: str = "raise",
     dim: int | None = None,
     recall_target: float | None = None,
+    budget_escalation: float | None = None,
 ) -> DataFrame:
     """Batch k-NN join: every query row gets its k nearest vectors by
     cosine — the retrieval-eval / hard-negative-mining shape (millions
@@ -260,7 +261,12 @@ def knn_join(
     radii and OR-amplified independent hash tables (T tables of p
     planes each; work est·T·probes/2^p stays under budget, recall
     1-(1-s^p)^T grows), choosing the cheapest config whose estimated
-    recall clears the target, else the best feasible."""
+    recall clears the target, else the best feasible.
+    ``budget_escalation`` (opt-in, only meaningful with
+    ``recall_target``): when no in-budget config's estimated recall
+    clears the target, permit configs spending up to N×
+    max_comparisons — decided by the same sample estimate, actual
+    multiple reported as ``budget_multiplier``."""
     from pyspark.sql.window import Window
 
     qn = _with_qnorm(queries, q_vec_col)
@@ -300,12 +306,13 @@ def knn_join(
             # would otherwise re-run per warm call (r7 gate lesson)
             cfg = cached_estimate(
                 f"knn_cfg:{k}:{max_comparisons}:{recall_target}:"
-                f"{exclude_self}",
+                f"{exclude_self}:{budget_escalation}",
                 (vectors, queries),
                 lambda: rc.choose_knn_config(
                     rc.sample_vectors(vectors, id_col, vec_col, 512),
                     rc.sample_vectors(queries, q_id_col, q_vec_col, 64),
                     k, est, max_comparisons, recall_target, exclude_self,
+                    budget_escalation,
                 ),
             )
             rc.record_reroute(

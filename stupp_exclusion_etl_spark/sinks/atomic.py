@@ -57,7 +57,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
+import warnings
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame
@@ -95,18 +97,36 @@ _WIDENING_ORDER = ["tinyint", "smallint", "int", "bigint",
                    "float", "double"]
 
 
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
+_FRACTIONAL = {"float", "double"}
+
+
 def _wider_ddl_type(parent_t: str, new_t: str) -> str:
     """The wider of two simpleString types under numeric widening;
     for non-numeric or cross-family pairs the new type wins (matching
     the pre-existing evolution behavior for e.g. int→string casts the
-    writer already validated)."""
+    writer already validated). Two lossy corners are closed
+    explicitly: an integral×fractional pair promotes to DOUBLE (a
+    bigint merged against a float batch must not adopt float's 24-bit
+    mantissa), and a decimal×decimal pair widens to cover both sides'
+    integer digits and scale (never narrowing precision/scale to
+    whichever side committed last)."""
     if parent_t == new_t:
         return parent_t
+    pd_, nd_ = _DECIMAL_RE.fullmatch(parent_t), _DECIMAL_RE.fullmatch(new_t)
+    if pd_ and nd_:
+        pp, ps = int(pd_.group(1)), int(pd_.group(2))
+        np_, ns = int(nd_.group(1)), int(nd_.group(2))
+        s = max(ps, ns)
+        p = min(38, max(pp - ps, np_ - ns) + s)
+        return f"decimal({p},{s})"
     try:
         pi = _WIDENING_ORDER.index(parent_t)
         ni = _WIDENING_ORDER.index(new_t)
     except ValueError:
         return new_t
+    if (parent_t in _FRACTIONAL) != (new_t in _FRACTIONAL):
+        return "double"
     return _WIDENING_ORDER[max(pi, ni)]
 
 
@@ -655,31 +675,39 @@ def _probe_hint(keys_df: DataFrame) -> DataFrame:
     readLongArray, pool-shutdown RejectedExecutionException storms).
     The capped count reads at most CAP+1 distinct keys; above the cap
     the frame is returned unhinted and Spark plans the shuffled
-    semi-join a table-scale batch warrants. Callers with expensive
-    upstream pipelines should checkpoint their batch first — the
-    count is one extra partial evaluation. The count is memoized per
+    semi-join a table-scale batch warrants. The count is memoized per
     (plan, input-files) fingerprint so repeated probes over the same
     immutable batch (warm reruns, retry loops) pay it once — the same
-    treatment the r7 gate demanded for the cost-guard estimates."""
+    treatment the r7 gate demanded for the cost-guard estimates. Key
+    frames whose plan is UNCACHEABLE (createDataFrame / join-derived
+    LogicalRDD leaves, where the fingerprint cannot see the rows) are
+    localCheckpointed first, so the capped count and every downstream
+    semi-join read the same materialized blocks — one evaluation of
+    the batch pipeline total, the same cost shape the pre-cap
+    unconditional-broadcast code had."""
+    keys_df, small = _probe_prepared(keys_df)
+    return F.broadcast(keys_df) if small else keys_df
+
+
+def _probe_prepared(keys_df: DataFrame) -> tuple[DataFrame, bool]:
+    """(possibly-checkpointed key frame, provably-under-cap flag) —
+    see _probe_hint. Always join against the RETURNED frame, never the
+    argument, or an uncacheable plan pays a second evaluation."""
     from stupp_exclusion_etl_spark.operators.budget import (
+        _files_fingerprint,
+        _plan_fingerprint,
         cached_estimate,
     )
 
-    return F.broadcast(keys_df) if _probe_small(keys_df) else keys_df
-
-
-def _probe_small(keys_df: DataFrame) -> bool:
-    """True iff the key frame is provably under the broadcast cap
-    (memoized capped count — see _probe_hint)."""
-    from stupp_exclusion_etl_spark.operators.budget import (
-        cached_estimate,
-    )
-
-    n = cached_estimate(
-        "probe_broadcast_cap", (keys_df,),
-        lambda: keys_df.limit(_PROBE_BROADCAST_CAP + 1).count(),
-    )
-    return n <= _PROBE_BROADCAST_CAP
+    if _plan_fingerprint(keys_df) is None or _files_fingerprint(keys_df) is None:
+        keys_df = keys_df.localCheckpoint(eager=True)
+        n = keys_df.limit(_PROBE_BROADCAST_CAP + 1).count()
+    else:
+        n = cached_estimate(
+            "probe_broadcast_cap", (keys_df,),
+            lambda: keys_df.limit(_PROBE_BROADCAST_CAP + 1).count(),
+        )
+    return keys_df, n <= _PROBE_BROADCAST_CAP
 
 
 def _normalize_predicate(pred: tuple) -> tuple[str, str, list]:
@@ -1625,8 +1653,21 @@ class AtomicParquetTable:
                     # rewrite only when a partition breaches the cap.
                     # The batch's own version is still returned — the
                     # compaction (if any) is a separate, empty-feed
-                    # version on top.
-                    self.maybe_compact(**self.auto_compact)
+                    # version on top. Best-effort by contract: the data
+                    # commit above already succeeded durably, so NO
+                    # housekeeping failure (FS fault, executor loss, a
+                    # concurrent writer) may propagate — a caller that
+                    # saw an exception here would believe the batch
+                    # failed and re-apply it.
+                    try:
+                        self.maybe_compact(**self.auto_compact)
+                    except Exception as e:  # noqa: BLE001
+                        warnings.warn(
+                            f"auto-compaction after commit v{v} failed "
+                            f"and was skipped (the data commit itself "
+                            f"succeeded): {e!r}",
+                            stacklevel=2,
+                        )
                 return v
             except ConcurrentWriteError:
                 if retries <= 0:
@@ -1855,8 +1896,9 @@ class AtomicParquetTable:
         # a subset of batch_keys, so counting the (join-derived, hence
         # uncacheable) matched side would re-evaluate the semi-join
         # for nothing
-        bk_raw = src.select(*self.keys).distinct()
-        probe_small = _probe_small(bk_raw)
+        bk_raw, probe_small = _probe_prepared(
+            src.select(*self.keys).distinct()
+        )
         batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
 
         def remerge(retries: int) -> int:

@@ -305,13 +305,19 @@ class ChangesPartition(InputPartition):
     whose rows one task reads and diffs. Self-contained (path, keys,
     schema ride along) so ``read`` needs no driver state."""
 
-    def __init__(self, path, keys, cols, types, files_old, files_new):
+    def __init__(self, path, keys, cols, types, files_old, files_new,
+                 end_version=None):
         self.path = path
         self.keys = keys
         self.cols = cols
         self.types = types
         self.files_old = files_old
         self.files_new = files_new
+        # batch END version, carried per-row when emit_end_version is
+        # on — a foreachBatch consumer needs it to time-travel-read
+        # the source at the snapshot the batch was planned from (a
+        # commit landing mid-drain otherwise skews verification)
+        self.end_version = end_version
 
 
 class AtomicChangesStreamReader(DataSourceStreamReader):
@@ -321,6 +327,10 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         self.from_version = options.get("from_version")
         self.max_partitions = int(
             options.get("max_partitions", _DEFAULT_MAX_PARTITIONS)
+        )
+        self.emit_end_version = (
+            str(options.get("emit_end_version", "false")).lower()
+            == "true"
         )
         cur = _current_version(self.path)
         if cur is None:
@@ -361,7 +371,8 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         )
         return [
             ChangesPartition(
-                self.path, self.keys, self.cols, self.types, fo, fn
+                self.path, self.keys, self.cols, self.types, fo, fn,
+                end_version=b if self.emit_end_version else None,
             )
             for fo, fn in _plan_groups(
                 man_a,
@@ -374,13 +385,16 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
     # -- row production (EXECUTORS: runs inside Spark tasks) ----------
 
     def read(self, partition: ChangesPartition):
-        return iter(
-            _diff_files(
-                partition.path, partition.keys, partition.cols,
-                partition.types, partition.files_old,
-                partition.files_new,
-            )
+        rows = _diff_files(
+            partition.path, partition.keys, partition.cols,
+            partition.types, partition.files_old,
+            partition.files_new,
         )
+        if partition.end_version is not None:
+            return iter(
+                (*r, partition.end_version) for r in rows
+            )
+        return iter(rows)
 
     def commit(self, end: dict) -> None:
         pass  # retention hook: production gates gc(keep_versions) here
@@ -403,7 +417,13 @@ class AtomicChangesDataSource(DataSource):
                 "commit a first batch before starting the stream"
             )
         man = _manifest(path, cur)
-        return man["schema_ddl"] + ", _change_type string"
+        ddl = man["schema_ddl"] + ", _change_type string"
+        if str(self.options.get("emit_end_version", "false")).lower() == "true":
+            # opt-in: the micro-batch's END version per row, so a
+            # foreachBatch consumer can time-travel-read the source at
+            # the exact snapshot this batch was diffed against
+            ddl += ", _end_version bigint"
+        return ddl
 
     def streamReader(self, schema):  # noqa: N802 — API name
         return AtomicChangesStreamReader(self.options)

@@ -104,6 +104,12 @@ class IncrementalNearDedup:
             last = self.pairs._manifest(pv).get("batch_id")
             if last is not None and batch_id <= last:
                 return
+        # the batch's END version: every verification read below time
+        # travels to the snapshot the band index was planned from — a
+        # source commit landing mid-drain must not leak newer texts
+        # into this batch's Jaccard checks (it gets its own batch)
+        vrow = batch_df.select("_end_version").first()
+        self._end_version = None if vrow is None else vrow[0]
         batch = batch_df.select(
             idc, txc, "_change_type"
         ).localCheckpoint(eager=True)
@@ -184,8 +190,11 @@ class IncrementalNearDedup:
             .distinct()
         )
 
-        # 4. exact shingle-set Jaccard over the current corpus texts
-        corpus = self.source.read().select(idc, txc)
+        # 4. exact shingle-set Jaccard over the corpus AT THE BATCH'S
+        # END VERSION (not HEAD — see _end_version above)
+        corpus = self.source.read(version=self._end_version).select(
+            idc, txc
+        )
         cand_ids = (
             cand.select(F.col("id1").alias(idc))
             .union(cand.select(F.col("id2").alias(idc)))
@@ -247,6 +256,7 @@ class IncrementalNearDedup:
             .option("path", self.source_path)
             .option("keys", self.id_col)
             .option("from_version", "-1")
+            .option("emit_end_version", "true")
             .load()
             .writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)

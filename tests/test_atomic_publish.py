@@ -777,6 +777,71 @@ def test_maybe_compact_below_cap_is_metadata_only(spark, tmp_path):
         )
 
 
+def test_auto_compact_failure_never_masks_commit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: auto-compaction runs AFTER the data commit succeeds,
+    so a housekeeping failure (FS fault, executor loss) must surface
+    as a warning, never an exception — a caller that saw one would
+    believe the durably-committed batch failed and re-apply it."""
+    import warnings as w
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "bf"), keys=["k"],
+        auto_compact={"max_files_per_partition": 16},
+    )
+    monkeypatch.setattr(
+        AtomicParquetTable, "maybe_compact",
+        lambda self, **kw: (_ for _ in ()).throw(
+            RuntimeError("simulated FS fault")
+        ),
+    )
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        v = t.upsert(
+            spark.createDataFrame([(1, 1.0)], "k int, v double"),
+            [F.col("v").desc()],
+        )
+    assert v == 0 and t.current_version() == 0
+    assert t.read().count() == 1
+    assert any("auto-compaction" in str(c.message) for c in caught)
+
+
+def test_probe_prepared_checkpoints_uncacheable_plans(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: a createDataFrame/join-derived key frame has an
+    uncacheable plan fingerprint (LogicalRDD hides the rows), so the
+    capped probe count used to re-evaluate the batch pipeline on every
+    mutating call. _probe_prepared localCheckpoints such frames once —
+    the count and every downstream semi-join then read the same
+    materialized blocks — while file-backed frames keep the memoized
+    count with NO checkpoint materialization."""
+    from pyspark.sql.classic.dataframe import DataFrame as DF
+
+    from stupp_exclusion_etl_spark.sinks import atomic as am
+
+    calls = []
+    orig = DF.localCheckpoint
+    monkeypatch.setattr(
+        DF, "localCheckpoint",
+        lambda self, eager=True: (
+            calls.append(1), orig(self, eager=eager)
+        )[1],
+    )
+    mem = spark.createDataFrame([(i,) for i in range(7)], "k int")
+    out, small = am._probe_prepared(mem)
+    assert small
+    assert out is not mem and len(calls) == 1
+    assert out.count() == 7
+    # file-backed frames pass through untouched (memoized count path)
+    p = str(tmp_path / "keys.parquet")
+    mem.write.parquet(p)
+    fb = spark.read.parquet(p)
+    out2, small2 = am._probe_prepared(fb)
+    assert small2 and out2 is fb and len(calls) == 1
+
+
 def test_probe_broadcast_hint_is_bounded(spark, tmp_path, monkeypatch):
     """The sf10 local-cluster OOM fix (BENCH_SCALE10_LC_r09): batch-key
     probes broadcast ONLY when provably under the cap — an explicit

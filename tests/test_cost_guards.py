@@ -312,6 +312,39 @@ def test_rerouted_paths_recall_gate(spark):
     assert pair_r >= 0.9, f"sub-bucketed pair recall degraded: {pair_r}"
 
 
+def test_neardup_configs_never_empty():
+    """ADVICE r9: when est/max_pairs > 2^30 every ladder rung exceeds
+    the 30-bit ceiling and neardup_configs returned [], crashing
+    choose_neardup_config at configs[0] — exactly the quadratic-pair
+    regime the budget guard exists for. The ladder must clamp to
+    (30, 1) like knn_configs' 16-plane fallback."""
+    from stupp_exclusion_etl_spark.operators import recall as rc
+
+    assert rc.neardup_configs(2**40, 1) == [(30, 1)]
+    # a config therefore always exists for the chooser
+    cfg = rc.choose_neardup_config(
+        sample=[], threshold=0.9, est=2**40, max_pairs=1,
+        recall_target=None,
+    )
+    assert (cfg["n_bits"], cfg["n_tables"]) == (30, 1)
+    # and with a target, the analytic fallback ranks the single rung
+    cfg2 = rc.choose_neardup_config(
+        sample=[], threshold=0.9, est=2**40, max_pairs=1,
+        recall_target=0.99,
+    )
+    assert (cfg2["n_bits"], cfg2["n_tables"]) == (30, 1)
+    # normal regime unchanged: T=1 first, bits nondecreasing with T,
+    # every rung's expected candidate work within budget
+    ladder = rc.neardup_configs(10_000_000, 10_000)
+    assert ladder[0] == (10, 1)
+    assert all(
+        b2 >= b1 for (b1, _), (b2, _) in zip(ladder, ladder[1:])
+    )
+    assert all(
+        t * 10_000_000 / 2**b <= 10_000 for b, t in ladder
+    )
+
+
 def test_adversarial_reroute_estimates_and_escalation(spark):
     """The r8 silent-quality-cliff gate (VERDICT r8 wrong #1): on the
     ADVERSARIAL-random fixture — uniform vectors with no locality, the
@@ -363,3 +396,51 @@ def test_adversarial_reroute_estimates_and_escalation(spark):
     assert abs(ekinfo["recall_est"] - esc_kr) <= 0.15
     assert esc_kr > base_kr
     assert esc_kr >= 0.75, f"escalated knn recall@5 floor: {esc_kr}"
+
+
+def test_budget_escalation_opt_in(spark):
+    """VERDICT r9 task #3: within the fixed budget the adversarial
+    fixture tops out near the information-theoretic LSH ceiling
+    (~0.2 pair recall) — the warning says "raise the budget" but
+    nothing let the caller authorize that. budget_escalation=10 is
+    that knob: when the in-budget estimate misses recall_target, the
+    chooser may spend up to 10× the budget, decided by the SAME sample
+    estimator. Gates: measured AND estimated recall ≥ 0.5 on the
+    adversarial fixture, the report names the actual work multiple,
+    and the knob is inert when the in-budget ladder already clears the
+    target (clustered fixture: multiplier stays 1.0)."""
+    import warnings
+
+    import tools.recall_metrics as rm
+
+    rd = rm.random_vectors()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pr, n_exact, _, info = rm.neardup_recall(
+            spark, rd, threshold=0.5, recall_target=0.5,
+            budget_escalation=10.0,
+        )
+    assert n_exact > 0
+    assert info["escalated"] and info["budget_multiplier"] > 1.0
+    assert info["budget_multiplier"] <= 10.0
+    assert info["recall_est"] is not None and info["recall_est"] >= 0.5
+    assert pr >= 0.5, f"10x-escalated neardup pair recall: {pr}"
+    assert abs(info["recall_est"] - pr) <= 0.15
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        kr, _, kinfo = rm.knn_recall(
+            spark, rd, recall_target=0.9, budget_escalation=10.0
+        )
+    assert kinfo["budget_multiplier"] >= 1.0 <= 10.0
+    assert kr >= 0.5 and kinfo["recall_est"] >= 0.5
+    assert abs(kinfo["recall_est"] - kr) <= 0.15
+
+    # inert when in-budget already clears the target
+    cl = rm.clustered_vectors()
+    pr_cl, _, _, cinfo = rm.neardup_recall(
+        spark, cl, threshold=0.95, recall_target=0.9,
+        budget_escalation=10.0,
+    )
+    assert cinfo["budget_multiplier"] == 1.0
+    assert pr_cl >= 0.9

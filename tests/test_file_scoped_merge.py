@@ -332,6 +332,42 @@ def test_union_ddl_widens_types_never_narrows():
     ) == "k int, v double, note string"
 
 
+def test_union_ddl_integral_fractional_and_decimal(spark):
+    """ADVICE r9: integral×fractional merges must not adopt float's
+    24-bit mantissa (bigint values above 2^24 would silently round),
+    and decimal×decimal must widen to cover both sides' integer digits
+    and scale instead of letting the last writer narrow them."""
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        _union_ddl,
+        _wider_ddl_type,
+    )
+
+    # integral vs fractional → double, in both directions
+    assert _wider_ddl_type("bigint", "float") == "double"
+    assert _wider_ddl_type("float", "bigint") == "double"
+    assert _wider_ddl_type("int", "float") == "double"
+    assert _wider_ddl_type("double", "bigint") == "double"
+    # pure-family chains unchanged
+    assert _wider_ddl_type("int", "bigint") == "bigint"
+    assert _wider_ddl_type("float", "double") == "double"
+    # decimal pair: max integer digits + max scale, capped at 38
+    assert _wider_ddl_type("decimal(10,2)", "decimal(8,4)") == \
+        "decimal(12,4)"
+    assert _wider_ddl_type("decimal(8,4)", "decimal(10,2)") == \
+        "decimal(12,4)"
+    assert _wider_ddl_type("decimal(38,0)", "decimal(10,8)") == \
+        "decimal(38,8)"
+    # identical decimals stay put
+    assert _wider_ddl_type("decimal(10,2)", "decimal(10,2)") == \
+        "decimal(10,2)"
+    # through _union_ddl
+    assert _union_ddl("k int, v bigint", "k int, v float") == \
+        "k int, v double"
+    assert _union_ddl(
+        "k int, v decimal(10,2)", "k int, v decimal(8,4)"
+    ) == "k int, v decimal(12,4)"
+
+
 def test_file_scoped_merge_keeps_widened_type(spark, tmp_path):
     """Integration twin of the _union_ddl unit test: widen v int→bigint
     in one key range, then merge a far-away int-only batch whose

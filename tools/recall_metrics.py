@@ -68,7 +68,7 @@ def random_vectors(n=2000, dim=16):
 
 
 def knn_recall(spark, rows, k=5, max_comparisons=50_000,
-               recall_target=None):
+               recall_target=None, budget_escalation=None):
     """recall@k of the LSH-routed knn_join vs the exact answer on the
     same (vectors, queries); with recall_target, the ESCALATED route
     (multi-probe radius / OR-amplified tables within the same
@@ -102,6 +102,7 @@ def knn_recall(spark, rows, k=5, max_comparisons=50_000,
             vec, q, k=k, max_comparisons=max_comparisons,
             on_exceed="lsh", dim=len(rows[0][1]),
             recall_target=recall_target,
+            budget_escalation=budget_escalation,
         )
     )
     from stupp_exclusion_etl_spark.operators.recall import (
@@ -117,7 +118,7 @@ def knn_recall(spark, rows, k=5, max_comparisons=50_000,
 
 
 def neardup_recall(spark, rows, threshold, max_pairs=20_000,
-                   recall_target=None):
+                   recall_target=None, budget_escalation=None):
     """pair recall (and asserted precision=1.0) of the sub-bucketed
     embedding_neardup_pairs vs the exact within-bucket answer; with
     recall_target, the escalated multi-table route."""
@@ -148,6 +149,7 @@ def neardup_recall(spark, rows, threshold, max_pairs=20_000,
             df, "vec_id", "embedding", F.col("label"), threshold,
             max_pairs=max_pairs, on_exceed="subdivide",
             dim=len(rows[0][1]), recall_target=recall_target,
+            budget_escalation=budget_escalation,
         )
     )
     from stupp_exclusion_etl_spark.operators.recall import (
@@ -220,6 +222,24 @@ def main() -> None:
         esc["neardup_pair_recall"] = round(pr, 4)
         esc["neardup_reroute"] = _info(ni)
     out["adversarial_random_escalated"] = esc
+
+    # the BUDGET-escalated tier (VERDICT r9 task #3): the caller
+    # explicitly permits up to 10× the budget when the in-budget
+    # estimate misses the target — the same estimator decides, the
+    # chosen config reports its actual work multiple
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        r, n_cmp, ki = knn_recall(
+            spark, rd, recall_target=0.9, budget_escalation=10.0
+        )
+        besc = {"knn_recall_at_5": round(r, 4), "knn_reroute": _info(ki)}
+        pr, n_exact, est, ni = neardup_recall(
+            spark, rd, threshold=0.5, recall_target=0.5,
+            budget_escalation=10.0,
+        )
+        besc["neardup_pair_recall"] = round(pr, 4)
+        besc["neardup_reroute"] = _info(ni)
+    out["adversarial_random_budget_escalated_10x"] = besc
 
     with open(a.out, "w") as fh:
         json.dump(out, fh, indent=1, sort_keys=True)
