@@ -658,3 +658,111 @@ def atomic_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+@register(
+    "atomic_schema_evolution",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice, 1 AS batch
+      FROM orders WHERE o_orderkey % 10 < 6),
+    b2 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.05, 4) AS o_totalprice,
+             ROUND(o_totalprice * 0.1, 4) AS disc, 2 AS batch
+      FROM orders WHERE o_orderkey % 10 BETWEEN 4 AND 9),
+    merged AS (
+      SELECT COALESCE(b2.o_orderkey, b1.o_orderkey) AS k,
+             COALESCE(b2.o_totalprice, b1.o_totalprice) AS price,
+             b2.disc AS disc,
+             CASE WHEN b1.o_orderkey IS NULL THEN 'insert'
+                  WHEN b2.o_orderkey IS NULL THEN 'carry'
+                  ELSE 'update' END AS st
+      FROM b1 FULL JOIN b2 ON b1.o_orderkey = b2.o_orderkey)
+    SELECT 'v0' AS section, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           CAST(NULL AS BIGINT) AS disc_nulls,
+           CAST(NULL AS DOUBLE) AS disc_total
+    FROM b1
+    UNION ALL
+    SELECT 'head', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(price), 2),
+           CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(disc), 2)
+    FROM merged
+    UNION ALL
+    SELECT 'cdc_insert', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(price), 2),
+           CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(disc), 2)
+    FROM merged WHERE st = 'insert'
+    UNION ALL
+    SELECT 'cdc_update', CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(price), 2),
+           CAST(SUM(CASE WHEN disc IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           ROUND(SUM(disc), 2)
+    FROM merged WHERE st = 'update'
+    """,
+    tags=("A15", "A16", "C16"),
+)
+def atomic_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the atomic table's OWN upsert path (VERDICT
+    r9 task #5): batch 1 lands without the ``disc`` column, batch 2
+    adds it while re-pricing its overlap — the manifest schema widens
+    via _union_ddl, old files stay as-written. Verified in one hash:
+    (a) time travel to the pre-evolution snapshot reads the ORIGINAL
+    narrow schema/values; (b) the head read null-fills ``disc`` for
+    pre-evolution rows (declared-manifest-schema read, not footer
+    mergeSchema); (c) the CDC feed across the evolution boundary
+    aligns both schemas and classifies inserts vs updates correctly.
+    The oracle restates all three sections over a FULL JOIN of the two
+    batches. Money totals rounded to 2 (engine-order double sums).
+    Evolution rules documented at sinks/atomic.py::_union_ddl."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey")
+    b1 = o.filter(k % 10 < 6).withColumn("batch", F.lit(1))
+    b2 = (
+        o.filter((k % 10 >= 4) & (k % 10 <= 9))
+        .withColumn("disc", F.round(F.col("o_totalprice") * 0.1, 4))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.05, 4))
+        .withColumn("batch", F.lit(2))
+    )
+    t = AtomicParquetTable(
+        spark, tempfile.mkdtemp(prefix="atomic_se_"), keys=["o_orderkey"]
+    )
+    v0 = t.upsert(b1, [F.col("batch").desc()])
+    t.upsert(b2, [F.col("batch").desc()])
+
+    def section(name, df, has_disc):
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ]
+        if has_disc:
+            aggs += [
+                F.sum(F.col("disc").isNull().cast("long"))
+                .cast("long").alias("disc_nulls"),
+                F.round(F.sum("disc"), 2).alias("disc_total"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("long").alias("disc_nulls"),
+                F.lit(None).cast("double").alias("disc_total"),
+            ]
+        return df.agg(*aggs).select(F.lit(name).alias("section"), "*")
+
+    cdc = t.changes(v0, t.current_version())
+    return (
+        section("v0", t.read(version=v0), has_disc=False)
+        .unionByName(section("head", t.read(), has_disc=True))
+        .unionByName(section(
+            "cdc_insert", cdc.filter(F.col("_change_type") == "insert"),
+            has_disc=True,
+        ))
+        .unionByName(section(
+            "cdc_update", cdc.filter(F.col("_change_type") == "update"),
+            has_disc=True,
+        ))
+    )

@@ -770,6 +770,7 @@ class AtomicParquetTable:
         index_by: list[str] | None = None,
         hooks: dict[str, Callable[[], None]] | None = None,
         auto_compact: dict | None = None,
+        auto_gc: dict | None = None,
     ) -> None:
         if partition_by and set(partition_by) & set(keys):
             # partition cols may overlap keys in general; only forbid
@@ -820,6 +821,26 @@ class AtomicParquetTable:
                     "max_files_per_partition", 16
                 ),
                 "target_file_mb": auto_compact.get("target_file_mb", 128),
+            }
+        # retention-driven GC after each commit (the other half of the
+        # self-maintaining table: auto-compaction ACCRETES dead
+        # versions by design, so an unattended CDC workload needs the
+        # matching reaper). Keys: `keep_versions` (always retain the
+        # last K manifests), `keep_hours` (additionally retain any
+        # manifest younger than H hours — the time-travel/CDC window
+        # guarantee), `min_age_seconds` (gc's in-flight-writer guard,
+        # default 600). None (default) keeps gc manual.
+        self.auto_gc = None
+        if auto_gc is not None:
+            unknown = set(auto_gc) - {
+                "keep_versions", "keep_hours", "min_age_seconds"
+            }
+            if unknown:
+                raise ValueError(f"auto_gc keys: {sorted(unknown)}")
+            self.auto_gc = {
+                "keep_versions": auto_gc.get("keep_versions", 10),
+                "keep_hours": auto_gc.get("keep_hours"),
+                "min_age_seconds": auto_gc.get("min_age_seconds", 600.0),
             }
         self.hooks = hooks or {}
 
@@ -1668,6 +1689,19 @@ class AtomicParquetTable:
                             f"succeeded): {e!r}",
                             stacklevel=2,
                         )
+                if self.auto_gc is not None:
+                    # after compaction (which adds the freshest dead
+                    # version); same best-effort contract — retention
+                    # housekeeping must never mask a durable commit
+                    try:
+                        self.maybe_gc(**self.auto_gc)
+                    except Exception as e:  # noqa: BLE001
+                        warnings.warn(
+                            f"auto-gc after commit v{v} failed and was "
+                            f"skipped (the data commit itself "
+                            f"succeeded): {e!r}",
+                            stacklevel=2,
+                        )
                 return v
             except ConcurrentWriteError:
                 if retries <= 0:
@@ -2175,6 +2209,59 @@ class AtomicParquetTable:
             return None
         return v if v != man["version"] else None
 
+    def maybe_gc(
+        self,
+        keep_versions: int = 10,
+        keep_hours: float | None = None,
+        min_age_seconds: float = 600.0,
+    ) -> dict | None:
+        """Retention-driven GC policy (VERDICT r9 task #4 — completes
+        the self-maintaining table: auto-compaction accretes dead
+        versions by design, this reaps them unattended). Metadata-only
+        trigger: one manifest-directory listing; a real ``gc`` runs
+        only when at least one manifest falls outside BOTH retention
+        bounds (beyond the last ``keep_versions`` AND — when
+        ``keep_hours`` is set — older than that window; age is checked
+        with one getFileStatus per candidate, newest-first, so the
+        common all-young case stops at the first hit). Under the
+        trigger there is no recursive data listing at all. Cannot
+        loop: a run expires the excess manifests, so the next commits
+        re-trigger only after retention is exceeded again. Returns
+        gc's stats dict, or None when retention holds everything.
+
+        The gc-vs-time-travel contract is unchanged: versions within
+        retention stay byte-correct to read; expired versions raise
+        VersionExpiredError from read()/changes() — and
+        ``min_age_seconds`` (default 600) keeps in-flight concurrent
+        writers' staged files safe exactly as manual gc does."""
+        import time as _time
+
+        versions = sorted(
+            int(n[1:-5])
+            for n in _list_names(self.spark, f"{self.path}/{MANIFEST_DIR}")
+            if n.startswith("v") and n.endswith(".json")
+        )
+        excess = versions[:-keep_versions] if keep_versions else versions
+        if not excess:
+            return None
+        if keep_hours is not None:
+            fs, _p, jvm = _fs(self.spark, self.path)
+            age_cut = (_time.time() - keep_hours * 3600.0) * 1000.0
+            if not any(
+                fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{MANIFEST_DIR}/v{v:012d}.json"
+                    )
+                ).getModificationTime() <= age_cut
+                for v in reversed(excess)
+            ):
+                return None  # every excess manifest is inside the window
+        return self.gc(
+            keep_versions=keep_versions,
+            min_age_seconds=min_age_seconds,
+            keep_hours=keep_hours,
+        )
+
     def compact(self, target_bytes_per_file: int = 128 * 1024 * 1024) -> int:
         """Atomic small-file compaction (OPTIMIZE): rewrite every
         partition whose live-file count exceeds what its bytes justify
@@ -2280,7 +2367,10 @@ class AtomicParquetTable:
         )
 
     def gc(
-        self, keep_versions: int = 1, min_age_seconds: float = 600.0
+        self,
+        keep_versions: int = 1,
+        min_age_seconds: float = 600.0,
+        keep_hours: float | None = None,
     ) -> dict:
         """Remove data files referenced by NO retained manifest (crash
         orphans, files only older snapshots used) plus expired
@@ -2308,7 +2398,13 @@ class AtomicParquetTable:
         already planned before the expiry hits missing-file task
         failures (ignoreMissingFiles is off by default) — never a
         silent partial result. ``changes(since=expired)`` raises the
-        same VersionExpiredError."""
+        same VersionExpiredError.
+
+        ``keep_hours`` widens retention by AGE: any manifest younger
+        than H hours is retained even beyond ``keep_versions`` (the
+        union rule of Delta's logRetentionDuration) — a time-traveling
+        reader or CDC consumer then has a WINDOW guarantee a burst of
+        commits cannot silently shrink."""
         import time as _time
 
         versions = sorted(
@@ -2317,6 +2413,16 @@ class AtomicParquetTable:
             if n.startswith("v") and n.endswith(".json")
         )
         keep = set(versions[-keep_versions:]) if versions else set()
+        if keep_hours is not None and versions:
+            fs0, _p0, jvm0 = _fs(self.spark, self.path)
+            age_cut = (_time.time() - keep_hours * 3600.0) * 1000.0
+            for v in versions:
+                if v not in keep and fs0.getFileStatus(
+                    jvm0.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{MANIFEST_DIR}/v{v:012d}.json"
+                    )
+                ).getModificationTime() > age_cut:
+                    keep.add(v)
         live: set[str] = set()
         for v in keep:
             for files in self._manifest(v)["partitions"].values():

@@ -276,3 +276,77 @@ def test_corrupt_manifest_is_not_reported_as_expired(spark, table):
     # and the absent case still maps to VersionExpiredError
     with pytest.raises(VersionExpiredError, match="retained"):
         table._manifest(v + 999)
+
+
+def test_auto_gc_retention_policy(spark, tmp_path):
+    """VERDICT r9 task #4: with auto_gc (+ auto_compact, whose job is
+    to ACCRETE dead versions), an unattended commit stream keeps a
+    BOUNDED on-disk footprint: manifests trimmed to keep_versions,
+    orphaned data files reaped; time travel within retention stays
+    byte-correct; reads/changes over an expired range raise the typed
+    VersionExpiredError."""
+    import os
+
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        VersionExpiredError,
+    )
+
+    root = tmp_path / "ag"
+    t = AtomicParquetTable(
+        spark, str(root), keys=["k"], cluster_by=["k"],
+        cluster_files=2,
+        auto_compact={"max_files_per_partition": 4,
+                      "target_file_mb": 64},
+        auto_gc={"keep_versions": 4, "min_age_seconds": 0},
+    )
+    for i in range(12):
+        t.upsert(
+            _mk(spark, [(k, float(i), "a", i) for k in range(20)]),
+            [F.col("ts").desc()],
+        )
+    manifests = sorted(os.listdir(root / "_manifests"))
+    assert len(manifests) <= 4, manifests
+    # on-disk data files = exactly the union the retained manifests
+    # reference (orphans and expired-only files reaped)
+    retained = set()
+    head = t.current_version()
+    versions = sorted(
+        int(n[1:-5]) for n in manifests
+    )
+    for v in versions:
+        for fl in t._manifest(v)["partitions"].values():
+            retained.update(f.rsplit("/", 1)[-1] for f in fl)
+    on_disk = {
+        f
+        for _d, _s, fs in os.walk(root / "data")
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    assert on_disk == retained
+    # time travel within retention: byte-correct read of an old version
+    old_v = versions[0]
+    old = t.read(version=old_v)
+    assert old.count() == 20
+    # the final state is the last upsert's values
+    assert {r.v for r in t.read().collect()} == {11.0}
+    # expired versions fail LOUDLY with the typed error
+    with pytest.raises(VersionExpiredError, match="retained"):
+        t.read(version=0)
+    with pytest.raises(VersionExpiredError, match="retained"):
+        t.changes(0, head)
+    # age-window guarantee: keep_hours retains everything younger,
+    # overriding the version-count bound — nothing is expired
+    t2 = AtomicParquetTable(
+        spark, str(tmp_path / "ag2"), keys=["k"],
+        auto_gc={"keep_versions": 1, "keep_hours": 1.0,
+                 "min_age_seconds": 0},
+    )
+    for i in range(4):
+        t2.upsert(
+            _mk(spark, [(k, float(i), "a", i) for k in range(5)]),
+            [F.col("ts").desc()],
+        )
+    assert len(os.listdir(tmp_path / "ag2" / "_manifests")) == 4
+    assert t2.read(version=0).count() == 5
+    # and maybe_gc itself reports the no-op
+    assert t2.maybe_gc(keep_versions=1, keep_hours=1.0) is None
