@@ -332,6 +332,44 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
             str(options.get("emit_end_version", "false")).lower()
             == "true"
         )
+        # admission control (Kafka maxOffsetsPerTrigger / Delta
+        # maxFilesPerTrigger analog): cap each micro-batch at K source
+        # versions so a consumer catching up through a deep backlog —
+        # a writer's commit burst, a compaction storm, a bootstrap
+        # subscription over a big table — drains it as bounded,
+        # checkpointed increments instead of one monster batch whose
+        # state update must succeed wholesale. The pyspark DataSource
+        # API exposes no ReadLimit hook, so the cap is enforced by
+        # latestOffset() itself, anchored to the newest offset this
+        # reader has PLANNED (partitions()) — initially the
+        # subscription start (from_version, or the table head frozen
+        # at reader construction). The engine asks latestOffset BEFORE
+        # initialOffset, so the anchor cannot wait for the latter.
+        #
+        # Checkpoint-restart is the one case where the anchor can sit
+        # BEHIND the engine's committed offset (the API gives a
+        # restarted reader no start context): a capped offer at or
+        # below the committed offset is simply declined — no batch, no
+        # partitions() call. The ratchet below detects the decline
+        # (two latestOffset calls with no partitions() between, last
+        # offer strictly above the anchor) and re-offers K versions
+        # higher, so the stream provably cannot stall: each poll
+        # advances the offer by K until it clears the committed offset
+        # and batches resume, capped. A caught-up stream never
+        # ratchets (its offer equals the anchor).
+        mvpt = options.get("max_versions_per_trigger")
+        self.max_versions_per_trigger = None if mvpt is None else int(mvpt)
+        if (
+            self.max_versions_per_trigger is not None
+            and self.max_versions_per_trigger < 1
+        ):
+            raise ValueError(
+                "max_versions_per_trigger must be >= 1, got "
+                f"{self.max_versions_per_trigger}"
+            )
+        self._last_end: int | None = None
+        self._pending_offer: int | None = None
+        self._planned_since_offer = False
         cur = _current_version(self.path)
         if cur is None:
             raise ValueError(
@@ -342,21 +380,57 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         man = _manifest(self.path, cur)
         self.cols = _ddl_fields(man["schema_ddl"])
         self.types = _ddl_types(man["schema_ddl"])
+        # subscription start frozen at construction: the rate-cap
+        # anchor before any batch is planned, and what initialOffset
+        # serves (reading the head again THERE could race a writer
+        # past the first capped offer)
+        self._start_version = (
+            int(self.from_version) if self.from_version is not None else cur
+        )
 
     # -- offsets (driver, metadata-only) ------------------------------
 
     def initialOffset(self) -> dict:  # noqa: N802 — API name
-        if self.from_version is not None:
-            return {"version": int(self.from_version)}
-        return {"version": _current_version(self.path)}
+        return {"version": self._start_version}
 
     def latestOffset(self) -> dict:  # noqa: N802 — API name
-        return {"version": _current_version(self.path)}
+        head = _current_version(self.path)
+        if self.max_versions_per_trigger is None:
+            return {"version": head}
+        anchor = (
+            self._last_end
+            if self._last_end is not None
+            else self._start_version
+        )
+        if (
+            self._pending_offer is not None
+            and not self._planned_since_offer
+            and self._pending_offer > anchor
+        ):
+            # the engine declined the last offer without planning a
+            # batch ⇒ its committed offset (which the API hides from
+            # us — checkpoint restart) is at or past it; ratchet the
+            # anchor forward so the stream cannot stall behind a
+            # checkpoint this reader has never seen
+            anchor = self._pending_offer
+            self._last_end = anchor
+        offer = min(head, anchor + self.max_versions_per_trigger)
+        self._pending_offer = offer
+        self._planned_since_offer = False
+        return {"version": offer}
 
     # -- micro-batch planning (driver, metadata-only) ------------------
 
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
+        # rate-cap anchor: every planned batch (including a pending
+        # batch replayed after a checkpoint restart) re-establishes
+        # where the next capped latestOffset() counts from
+        self._planned_since_offer = True
+        if b is not None:
+            self._last_end = (
+                b if self._last_end is None else max(self._last_end, b)
+            )
         if b is None or b <= a:
             return []
         # from_version=-1: bootstrap subscription — diff against the
@@ -397,7 +471,15 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         return iter(rows)
 
     def commit(self, end: dict) -> None:
-        pass  # retention hook: production gates gc(keep_versions) here
+        # retention hook: production gates gc(keep_versions) here.
+        # Also a rate-cap anchor: after a checkpoint restart with no
+        # pending batch, the first completed batch's commit is the
+        # earliest point the API tells this reader where the stream is.
+        v = end.get("version") if isinstance(end, dict) else None
+        if v is not None:
+            self._last_end = (
+                v if self._last_end is None else max(self._last_end, v)
+            )
 
     def stop(self) -> None:
         pass

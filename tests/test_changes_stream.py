@@ -490,3 +490,162 @@ def test_incremental_dedup_stream_capstone(spark, tmp_path):
     job.process_batch(replay, last_bid)
     assert job.pairs.current_version() == pv
     assert job.bands.current_version() == bv
+
+
+def test_rate_cap_unit_walk(spark, table):
+    """max_versions_per_trigger bounds every planned batch to K source
+    versions: the offset walk drains a 6-commit backlog as ceil(6/2)=3
+    batches whose union equals the uncapped feed, and the cap never
+    stalls (each latestOffset strictly advances until head)."""
+    for i in range(6):
+        table.upsert(
+            _mk(spark, [(i, -float(i), f"u{i}", i + 1)]),
+            [F.col("ts").desc()],
+        )
+    head = table.current_version()
+    uncapped = _batch(_reader(table, from_version="0"),
+                      {"version": 0}, {"version": head})
+
+    r = _reader(table, from_version="0", max_versions_per_trigger="2")
+    off = r.initialOffset()
+    assert off == {"version": 0}
+    served, ends = [], []
+    while off["version"] < head:
+        nxt = r.latestOffset()
+        assert 0 < nxt["version"] - off["version"] <= 2
+        served += _batch(r, off, nxt)
+        ends.append(nxt["version"])
+        off = nxt
+    assert ends == [2, 4, 6]
+    # the capped drain is a partition of the uncapped feed's effect on
+    # DISTINCT versions; per-key rows may differ (a key updated twice
+    # lands once uncapped, twice across capped batches) — here each
+    # commit touches a distinct key, so the union must match exactly
+    assert sorted(served) == uncapped
+    # caught up: latestOffset pins to head, partitions() plans nothing
+    assert r.latestOffset() == {"version": head}
+    assert r.partitions(off, r.latestOffset()) == []
+
+
+def test_rate_cap_option_validation(spark, table):
+    with pytest.raises(ValueError, match="max_versions_per_trigger"):
+        _reader(table, max_versions_per_trigger="0")
+
+
+def test_rate_cap_end_to_end_bounded_batches(spark, table, tmp_path):
+    """Engine-level: a consumer subscribing from version 0 against a
+    6-commit backlog with max_versions_per_trigger=2 drains it as
+    multiple bounded micro-batches (every batch's _end_version steps
+    by <= 2), and the accumulated output equals the uncapped feed."""
+    register_changes_stream(spark)
+    for i in range(6):
+        table.upsert(
+            _mk(spark, [(i, -float(i), f"u{i}", i + 1)]),
+            [F.col("ts").desc()],
+        )
+    head = table.current_version()
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.format("atomic_changes")
+        .option("path", table.path)
+        .option("keys", "k")
+        .option("from_version", "0")
+        .option("max_versions_per_trigger", "2")
+        .option("emit_end_version", "true")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).collect()
+    ends = sorted({r._end_version for r in rows})
+    assert ends == [2, 4, 6], f"batch ends {ends} — cap not enforced"
+    got = sorted((r.k, r.v, r._change_type) for r in rows)
+    exp = sorted(
+        (x[0], x[1], x[-1])
+        for x in _batch(_reader(table, from_version="0"),
+                        {"version": 0}, {"version": head})
+    )
+    assert got == exp
+
+
+def test_rate_cap_checkpoint_restart_ratchets_not_stalls(
+    spark, table, tmp_path
+):
+    """The stall-proof restart contract: a restarted capped reader has
+    no start context (the API hides the checkpoint), so its first
+    offers can sit at or below the committed offset — the ratchet must
+    advance them until batches resume, never re-serving the already-
+    committed range and never stalling. Drain 4 commits capped at 2,
+    stop, add 4 more, restart on the same checkpoint: the second run
+    must deliver exactly the new commits' changes, still in bounded
+    batches."""
+    register_changes_stream(spark)
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run(n_expected_rows):
+        q = (
+            spark.readStream.format("atomic_changes")
+            .option("path", table.path)
+            .option("keys", "k")
+            .option("from_version", "0")
+            .option("max_versions_per_trigger", "2")
+            .option("emit_end_version", "true")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            deadline = 120
+            import time as _t
+            t0 = _t.time()
+            while _t.time() - t0 < deadline:
+                q.processAllAvailable()
+                n = spark.read.parquet(out).count()
+                if n >= n_expected_rows:
+                    break
+            else:
+                raise AssertionError("stalled: expected rows never arrived")
+        finally:
+            q.stop()
+
+    for i in range(4):
+        table.upsert(
+            _mk(spark, [(i, -float(i), f"a{i}", i + 1)]),
+            [F.col("ts").desc()],
+        )
+    run(4)
+    first = sorted((r.k, r.v) for r in spark.read.parquet(out).collect())
+    assert first == [(0, -0.0), (1, -1.0), (2, -2.0), (3, -3.0)]
+
+    for i in range(4):
+        table.upsert(
+            _mk(spark, [(100 + i, float(i), f"b{i}", 10 + i)]),
+            [F.col("ts").desc()],
+        )
+    run(8)
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r.k, r.v, r._change_type) for r in rows)
+    assert got == [
+        (0, -0.0, "update"), (1, -1.0, "update"),
+        (2, -2.0, "update"), (3, -3.0, "update"),
+        (100, 0.0, "insert"), (101, 1.0, "insert"),
+        (102, 2.0, "insert"), (103, 3.0, "insert"),
+    ], "restart re-served or lost changes"
+    # second run stayed bounded too: its batch ends step by <= 2
+    second_ends = sorted(
+        {r._end_version for r in rows if r._end_version > 4}
+    )
+    assert second_ends == [6, 8], second_ends
