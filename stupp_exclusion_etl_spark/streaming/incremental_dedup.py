@@ -71,6 +71,7 @@ class IncrementalNearDedup:
         band_size: int = 3,
         shingle_k: int = 3,
         threshold: float = 0.4,
+        max_versions_per_trigger: int | None = None,
     ) -> None:
         self.spark = spark
         self.source_path = source_path
@@ -80,6 +81,12 @@ class IncrementalNearDedup:
         self.band_size = band_size
         self.shingle_k = shingle_k
         self.threshold = threshold
+        # admission control passed through to the atomic_changes
+        # source: bounds every maintenance micro-batch at K source
+        # versions, so a consumer resuming after a long gap (or the
+        # from_version=-1 bootstrap itself) pays bounded, individually
+        # checkpointed state updates instead of one monster batch
+        self.max_versions_per_trigger = max_versions_per_trigger
         self.source = AtomicParquetTable(
             spark, source_path, keys=[id_col]
         )
@@ -251,22 +258,41 @@ class IncrementalNearDedup:
         )
 
         register_changes_stream(self.spark)
-        q = (
+        reader = (
             self.spark.readStream.format("atomic_changes")
             .option("path", self.source_path)
             .option("keys", self.id_col)
             .option("from_version", "-1")
             .option("emit_end_version", "true")
-            .load()
+        )
+        if self.max_versions_per_trigger is not None:
+            reader = reader.option(
+                "max_versions_per_trigger",
+                str(self.max_versions_per_trigger),
+            )
+        writer = (
+            reader.load()
             .writeStream.foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
         )
-        q.awaitTermination(timeout_sec)
-        if q.isActive:
+        if self.max_versions_per_trigger is None:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination(timeout_sec)
+            if q.isActive:
+                q.stop()
+                raise TimeoutError("incremental dedup drain timed out")
+            return
+        # capped drain: whether Trigger.AvailableNow keeps planning
+        # batches under admission control is wrapper-dependent for
+        # python sources, so the capped path uses processAllAvailable,
+        # which provably keeps planning bounded batches until the
+        # capped offer catches the table head (tests assert the full
+        # drain AND the per-batch bound)
+        q = writer.trigger(processingTime="0 seconds").start()
+        try:
+            q.processAllAvailable()
+        finally:
             q.stop()
-            raise TimeoutError("incremental dedup drain timed out")
 
     def state(self) -> DataFrame:
         """The maintained near-dup pairs (id1 < id2, exact jaccard)."""

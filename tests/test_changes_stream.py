@@ -649,3 +649,60 @@ def test_rate_cap_checkpoint_restart_ratchets_not_stalls(
         {r._end_version for r in rows if r._end_version > 4}
     )
     assert second_ends == [6, 8], second_ends
+
+
+def test_incremental_dedup_capped_drain_matches_uncapped(spark, tmp_path):
+    """max_versions_per_trigger plumbed through the continuous
+    maintenance job: a 4-commit backlog behind the bootstrap drains as
+    multiple bounded micro-batches (cap 2 ⇒ 3 batches for versions
+    -1..4), and the final pair state is EQUAL to an uncapped
+    from-scratch job over the same corpus."""
+    from stupp_exclusion_etl_spark.streaming.incremental_dedup import (
+        IncrementalNearDedup,
+    )
+
+    root = str(tmp_path)
+    docs = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, text string, ts int"
+    )
+    src = AtomicParquetTable(spark, root + "/src", keys=["doc_id"])
+    src.upsert(
+        docs([
+            (i, f"the quick brown fox jumps over dog number {i} " * 3, 0)
+            for i in range(10)
+        ]),
+        [F.col("ts").desc()],
+    )  # v0
+    src.upsert(
+        docs([(100, "alpha beta gamma delta epsilon zeta eta", 1)]),
+        [F.col("ts").desc()],
+    )  # v1
+    src.upsert(
+        docs([(101, "alpha beta gamma delta epsilon zeta eta", 1)]),
+        [F.col("ts").desc()],
+    )  # v2: near-dup of 100
+    src.upsert(
+        docs([(3, "the quick brown fox jumps over dog number 4 " * 3, 1)]),
+        [F.col("ts").desc()],
+    )  # v3: 3 becomes near-dup of 4
+    src.delete_keys(spark.createDataFrame([(7,)], "doc_id long"))  # v4
+
+    job = IncrementalNearDedup(
+        spark, root + "/src", root + "/state", max_versions_per_trigger=2
+    )
+    seen_bids = []
+    orig = job.process_batch
+    job.process_batch = lambda df, bid: (seen_bids.append(bid), orig(df, bid))[1]
+    job.run(root + "/ck")
+    assert len(seen_bids) == 3, (
+        f"cap 2 over versions -1..4 must drain as 3 batches, "
+        f"got {len(seen_bids)}"
+    )
+
+    ref = IncrementalNearDedup(spark, root + "/src", root + "/state2")
+    ref.run(root + "/ck2")
+    got = sorted((r.id1, r.id2, r.jaccard) for r in job.state().collect())
+    want = sorted((r.id1, r.id2, r.jaccard) for r in ref.state().collect())
+    assert got == want and (100, 101, 1.0) in [
+        (a, b, round(j, 2)) for a, b, j in got
+    ], "capped incremental state diverged from the uncapped drain"
