@@ -144,6 +144,8 @@ HEADLINE = [
     "atomic_index_read",
     # r9 additions
     "atomic_probe_join",
+    # r10 additions
+    "atomic_schema_evolution",
 ]
 
 
