@@ -129,8 +129,18 @@ def _assert_read_equals(df, expected: dict[int, dict], ctx: str) -> None:
             "cluster_files": 2,
             "index_by": ["v"],
         },
+        {  # the self-maintaining table: housekeeping fires after every
+           # commit (tiny compaction trigger, 8-version retention) and
+           # must stay invisible to the model's semantics
+            "cluster_by": ["k"],
+            "cluster_files": 2,
+            "auto_compact": {
+                "max_files_per_partition": 2, "target_file_mb": 1
+            },
+            "auto_gc": {"keep_versions": 8, "min_age_seconds": 0},
+        },
     ],
-    ids=["flat", "partitioned_clustered_indexed"],
+    ids=["flat", "partitioned_clustered_indexed", "auto_maintained"],
 )
 def test_random_walk_matches_model(spark, tmp_path, cfg):
     rng = random.Random(20260815)
@@ -138,7 +148,7 @@ def test_random_walk_matches_model(spark, tmp_path, cfg):
         spark, str(tmp_path / "t"), keys=["k"], **cfg
     )
     model = Model()
-    cols = ["k", "v", "ts"] + (["p"] if cfg else [])
+    cols = ["k", "v", "ts"] + (["p"] if "partition_by" in cfg else [])
     ts_counter = [0]
 
     def next_ts() -> int:
@@ -186,6 +196,20 @@ def test_random_walk_matches_model(spark, tmp_path, cfg):
         )
         model.merge(src, matched, not_matched)
 
+    def retained_versions() -> list[int]:
+        """Versions whose manifest is still on disk (auto_gc in the
+        `auto_maintained` config expires old ones DURING the walk)."""
+        from stupp_exclusion_etl_spark.sinks.atomic import (
+            MANIFEST_DIR,
+            _list_names,
+        )
+
+        return sorted(
+            int(n[1:-5])
+            for n in _list_names(spark, f"{tbl.path}/{MANIFEST_DIR}")
+            if n.startswith("v") and n.endswith(".json")
+        )
+
     # -- the walk: random ops with forced-coverage steps ---------------
     op_upsert()  # table must exist before delete/merge
     checkpoint_after = {}
@@ -202,7 +226,9 @@ def test_random_walk_matches_model(spark, tmp_path, cfg):
             )
             checkpoint_after["post_compact"] = v
         elif step == 14:
-            target = rng.choice(sorted(model.snapshots))
+            # restore target must still be retained (auto_gc expires)
+            live = sorted(set(model.snapshots) & set(retained_versions()))
+            target = rng.choice(live)
             v = tbl.restore(target)
             model.rows = {
                 k: dict(r) for k, r in model.snapshots[target].items()
@@ -213,17 +239,23 @@ def test_random_walk_matches_model(spark, tmp_path, cfg):
         model.freeze(v)
         _assert_read_equals(tbl.read(), model.rows, f"step {step} (v{v})")
 
-    # -- time travel: every version replays its recorded snapshot ------
-    for v in sorted(model.snapshots):
+    # -- time travel: every RETAINED version replays its snapshot ------
+    retained_now = set(retained_versions())
+    for v in sorted(set(model.snapshots) & retained_now):
         _assert_read_equals(
             tbl.read(version=v), model.snapshots[v], f"time travel v{v}"
         )
 
     # -- change feed equals the model's semantic diff ------------------
-    versions = sorted(model.snapshots)
+    versions = sorted(set(model.snapshots) & retained_now)
+    assert len(versions) >= 4, "walk left too few retained versions"
     pairs = [(versions[0], versions[-1])]
     pairs += [tuple(sorted(rng.sample(versions, 2))) for _ in range(5)]
-    if "post_compact" in checkpoint_after:
+    if (
+        "post_compact" in checkpoint_after
+        and {*checkpoint_after.values()} <= retained_now
+        and checkpoint_after["pre_compact"] in model.snapshots
+    ):
         pairs.append(
             (checkpoint_after["pre_compact"], checkpoint_after["post_compact"])
         )
@@ -249,19 +281,24 @@ def test_random_walk_matches_model(spark, tmp_path, cfg):
                     f"got {d[c]!r} exp {carried.get(c)!r}"
                 )
     # a compaction-only interval is a pure physical rewrite: empty feed
-    if "post_compact" in checkpoint_after:
+    if (
+        "post_compact" in checkpoint_after
+        and {*checkpoint_after.values()} <= retained_now
+    ):
         a = checkpoint_after["pre_compact"]
         b = checkpoint_after["post_compact"]
         if a != b:
             assert tbl.changes(a, b).count() == 0
 
-    # -- retention: gc expires old manifests with the typed error ------
+    # -- retention: expired manifests raise the typed error ------------
     head = tbl.current_version()
-    tbl.gc(keep_versions=3, min_age_seconds=0)
-    retained = [v for v in sorted(model.snapshots) if v > head - 3]
-    expired = [v for v in sorted(model.snapshots) if v <= head - 3]
+    if tbl.auto_gc is None:
+        tbl.gc(keep_versions=3, min_age_seconds=0)
+    # (the auto_maintained config has been gc'ing after every commit)
+    post_gc = set(retained_versions())
+    expired = sorted(set(model.snapshots) - post_gc)
     assert expired, "walk too short to exercise gc expiry"
-    for v in retained:
+    for v in sorted(set(model.snapshots) & post_gc):
         _assert_read_equals(
             tbl.read(version=v), model.snapshots[v], f"post-gc v{v}"
         )
