@@ -888,18 +888,66 @@ class AtomicParquetTable:
         v = self.current_version()
         return None if v is None else self._manifest(v)
 
+    def _commit_time_ms(self, version: int) -> int:
+        """Commit time of a retained version: the manifest's in-commit
+        timestamp, or (pre-feature manifests) the manifest file's FS
+        modification time."""
+        ts = self._manifest(version).get("committed_at_ms")
+        if ts is not None:
+            return ts
+        fs, _p, jvm = _fs(self.spark, self.path)
+        return fs.getFileStatus(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{self.path}/{MANIFEST_DIR}/v{version:012d}.json"
+            )
+        ).getModificationTime()
+
+    def version_at(self, timestamp_ms: int) -> int:
+        """TIMESTAMP AS OF resolution (Delta's timestampAsOf): the
+        newest retained version committed at or before the instant.
+        In-commit timestamps are strictly increasing (clamped to
+        parent+1ms at commit), so the answer is unambiguous even
+        across wall-clock steps. Raises VersionExpiredError when the
+        instant predates the oldest RETAINED commit — time-travel by
+        timestamp honors exactly the same gc() retention contract as
+        time-travel by version."""
+        versions = sorted(
+            int(n[1:-5])
+            for n in _list_names(self.spark, f"{self.path}/{MANIFEST_DIR}")
+            if n.startswith("v") and n.endswith(".json")
+        )
+        if not versions:
+            raise ValueError(f"no table at {self.path}")
+        best = None
+        for v in versions:
+            if self._commit_time_ms(v) <= timestamp_ms:
+                best = v  # timestamps increase with version: keep going
+            else:
+                break
+        if best is None:
+            raise VersionExpiredError(
+                f"timestamp {timestamp_ms} predates the oldest retained "
+                f"commit of {self.path} (v{versions[0]} at "
+                f"{self._commit_time_ms(versions[0])}) — expired by gc() "
+                f"or before table creation"
+            )
+        return best
+
     def read(
         self,
         version: int | None = None,
         where: list[tuple] | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame | None:
         """DataFrame over exactly the live files of a snapshot — the
-        latest by default, or a retained older `version` (time travel:
-        any manifest gc() hasn't expired is readable, since data files
-        are immutable and GC only deletes unreferenced ones). None
-        before the first commit. basePath keeps partition-column
-        parsing/pruning; the explicit file list keeps orphans and
-        in-flight writers invisible.
+        latest by default, a retained older `version`, or the version
+        current at ``as_of_timestamp_ms`` (TIMESTAMP AS OF — resolved
+        via version_at; mutually exclusive with `version`). Time
+        travel: any manifest gc() hasn't expired is readable, since
+        data files are immutable and GC only deletes unreferenced
+        ones. None before the first commit. basePath keeps
+        partition-column parsing/pruning; the explicit file list keeps
+        orphans and in-flight writers invisible.
 
         ``where`` — an AND-list of ``(col, op, value)`` with op in
         ``=, <, <=, >, >=, in, is_null, not_null`` — prunes the file
@@ -908,6 +956,12 @@ class AtomicParquetTable:
         file), then applies the same predicates as a real Spark filter
         so results are exact even where stats couldn't prune. Files
         without stats (pre-stats manifests) are never skipped."""
+        if as_of_timestamp_ms is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version= or as_of_timestamp_ms=, not both"
+                )
+            version = self.version_at(as_of_timestamp_ms)
         man = self.snapshot() if version is None else self._manifest(version)
         if man is None:
             return None
@@ -1174,8 +1228,8 @@ class AtomicParquetTable:
         rf = replaced_files or {}
         partitions: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
-        if parent is not None:
-            pman = self._manifest(parent)
+        pman = None if parent is None else self._manifest(parent)
+        if pman is not None:
             pstats = pman.get("stats", {})
             for part, files in pman["partitions"].items():
                 if part in replaced_parts:
@@ -1204,14 +1258,24 @@ class AtomicParquetTable:
         # commits like compact/delete, so a replay after maintenance is
         # still recognized). max() so a rebase onto a head that already
         # advanced the marker can never regress it.
-        prev_bid = (
-            self._manifest(parent).get("batch_id") if parent is not None else None
-        )
+        prev_bid = None if pman is None else pman.get("batch_id")
         bid = (
             prev_bid
             if batch_id is None
             else (batch_id if prev_bid is None else max(batch_id, prev_bid))
         )
+        # in-commit timestamp (Delta's inCommitTimestamps idea): the
+        # authoritative commit time rides IN the manifest, clamped to
+        # parent+1ms so the sequence is strictly increasing even if
+        # the wall clock steps backwards — what makes timestamp time
+        # travel (version_at / read(as_of_timestamp_ms=)) well-defined.
+        import time as _time
+
+        now_ms = int(_time.time() * 1000)
+        if pman is not None:
+            pts = pman.get("committed_at_ms")
+            if pts is not None:
+                now_ms = max(now_ms, pts + 1)
         manifest = {
             "version": version,
             "parent": parent,
@@ -1220,6 +1284,7 @@ class AtomicParquetTable:
             "partitions": partitions,
             "stats": stats,
             "batch_id": bid,
+            "committed_at_ms": now_ms,
         }
         self._fire("before_commit")
         _write_text_atomic(
@@ -2048,6 +2113,7 @@ class AtomicParquetTable:
             out.append({
                 "version": v,
                 "parent": parent,
+                "committed_at_ms": man.get("committed_at_ms"),
                 "batch_id": man.get("batch_id"),
                 "n_partitions": len(man["partitions"]),
                 "n_files": sum(

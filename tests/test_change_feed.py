@@ -350,3 +350,61 @@ def test_auto_gc_retention_policy(spark, tmp_path):
     assert t2.read(version=0).count() == 5
     # and maybe_gc itself reports the no-op
     assert t2.maybe_gc(keep_versions=1, keep_hours=1.0) is None
+
+
+def test_timestamp_time_travel(spark, table):
+    """TIMESTAMP AS OF: in-commit timestamps are strictly increasing
+    (clamped to parent+1ms), version_at resolves the newest version at
+    or before an instant, read(as_of_timestamp_ms=) equals the
+    version-addressed snapshot, and the retention contract matches
+    version time travel (pre-oldest instants raise the typed error)."""
+    from stupp_exclusion_etl_spark.sinks.atomic import VersionExpiredError
+
+    v0 = table.current_version()
+    table.upsert(_mk(spark, [(5, -5.0, "u1", 1)]), [F.col("ts").desc()])
+    v1 = table.current_version()
+    table.upsert(_mk(spark, [(6, -6.0, "u2", 2)]), [F.col("ts").desc()])
+    v2 = table.current_version()
+
+    ts = {h["version"]: h["committed_at_ms"] for h in table.history()}
+    assert ts[v0] < ts[v1] < ts[v2], "commit timestamps must increase"
+
+    # exact instants and midpoints resolve to the version live then
+    assert table.version_at(ts[v0]) == v0
+    assert table.version_at(ts[v1] - 1) == v0
+    assert table.version_at(ts[v1]) == v1
+    assert table.version_at((ts[v1] + ts[v2]) // 2) == v1
+    assert table.version_at(ts[v2] + 10_000) == v2  # future → head
+
+    by_version = sorted(tuple(r) for r in table.read(version=v1).collect())
+    by_ts = sorted(
+        tuple(r)
+        for r in table.read(as_of_timestamp_ms=ts[v1]).collect()
+    )
+    assert by_ts == by_version
+
+    with pytest.raises(ValueError, match="not both"):
+        table.read(version=v1, as_of_timestamp_ms=ts[v1])
+    with pytest.raises(VersionExpiredError):
+        table.version_at(ts[v0] - 1)  # predates table creation
+
+    # retention: gc expires v0/v1 → their instants now raise, the
+    # retained window still resolves
+    table.gc(keep_versions=1, min_age_seconds=0)
+    with pytest.raises(VersionExpiredError):
+        table.version_at(ts[v1])
+    assert table.version_at(ts[v2]) == v2
+
+
+def test_commit_timestamps_strictly_increase_under_burst(spark, tmp_path):
+    """A commit burst inside one wall-clock millisecond still yields
+    strictly increasing in-commit timestamps (the parent+1ms clamp) —
+    what keeps version_at unambiguous."""
+    t = AtomicParquetTable(spark, str(tmp_path / "t"), keys=["k"])
+    for i in range(4):
+        t.upsert(_mk(spark, [(i, float(i), "a", i)]), [F.col("ts").desc()])
+    stamps = [h["committed_at_ms"] for h in reversed(t.history())]
+    assert all(b > a for a, b in zip(stamps, stamps[1:])), stamps
+    # every version resolvable by its own stamp
+    for v, s in enumerate(stamps):
+        assert t.version_at(s) == v
