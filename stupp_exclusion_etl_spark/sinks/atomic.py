@@ -2153,7 +2153,11 @@ class AtomicParquetTable:
     # -- change data feed ---------------------------------------------
 
     def changes(
-        self, since: int, until: int | None = None
+        self,
+        since: int | None = None,
+        until: int | None = None,
+        since_timestamp_ms: int | None = None,
+        until_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Row-level change feed between two snapshots (Delta CDF's
         idea): one row per key whose content differs between version
@@ -2168,7 +2172,26 @@ class AtomicParquetTable:
         the feed reports the semantic batch effect, not the physical
         write amplification — a compaction yields an empty feed. This
         is what lets a downstream pipeline (tokenization, indexing,
-        dedup refresh) reprocess increments instead of the table."""
+        dedup refresh) reprocess increments instead of the table.
+
+        Bounds may be given as versions or as instants
+        (``since_timestamp_ms`` / ``until_timestamp_ms``, resolved via
+        version_at — the feed then covers everything committed AFTER
+        the since-instant's snapshot up to the until-instant's): pass
+        exactly one form per bound. Timestamp bounds honor the same
+        gc() retention contract (VersionExpiredError past it)."""
+        if (since is None) == (since_timestamp_ms is None):
+            raise ValueError(
+                "pass exactly one of since= / since_timestamp_ms="
+            )
+        if until is not None and until_timestamp_ms is not None:
+            raise ValueError(
+                "pass at most one of until= / until_timestamp_ms="
+            )
+        if since_timestamp_ms is not None:
+            since = self.version_at(since_timestamp_ms)
+        if until_timestamp_ms is not None:
+            until = self.version_at(until_timestamp_ms)
         man_a = self._manifest(since)
         man_b = (
             self._manifest(until)

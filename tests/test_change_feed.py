@@ -408,3 +408,36 @@ def test_commit_timestamps_strictly_increase_under_burst(spark, tmp_path):
     # every version resolvable by its own stamp
     for v, s in enumerate(stamps):
         assert t.version_at(s) == v
+
+
+def test_changes_by_timestamp_bounds(spark, table):
+    """CDF with instant bounds: since_timestamp_ms/until_timestamp_ms
+    resolve through version_at and produce the same feed as the
+    version-addressed call; mixed/missing bound forms are rejected."""
+    from stupp_exclusion_etl_spark.sinks.atomic import VersionExpiredError
+
+    table.upsert(_mk(spark, [(5, -5.0, "u1", 1)]), [F.col("ts").desc()])
+    table.upsert(_mk(spark, [(6, -6.0, "u2", 2)]), [F.col("ts").desc()])
+    ts = {h["version"]: h["committed_at_ms"] for h in table.history()}
+
+    by_version = sorted(tuple(r) for r in table.changes(0, 2).collect())
+    by_ts = sorted(
+        tuple(r)
+        for r in table.changes(
+            since_timestamp_ms=ts[0], until_timestamp_ms=ts[2]
+        ).collect()
+    )
+    assert by_ts == by_version and len(by_ts) == 2
+    # a mid-interval since-instant resolves to the snapshot live then
+    assert sorted(
+        r.k for r in table.changes(since_timestamp_ms=ts[1]).collect()
+    ) == [6]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        table.changes(0, since_timestamp_ms=ts[0])
+    with pytest.raises(ValueError, match="exactly one"):
+        table.changes()
+    with pytest.raises(ValueError, match="at most one"):
+        table.changes(0, until=2, until_timestamp_ms=ts[2])
+    with pytest.raises(VersionExpiredError):
+        table.changes(since_timestamp_ms=ts[0] - 1)
