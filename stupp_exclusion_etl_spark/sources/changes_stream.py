@@ -320,11 +320,54 @@ class ChangesPartition(InputPartition):
         self.end_version = end_version
 
 
+def _version_at(path: str, timestamp_ms: int) -> int:
+    """Newest retained version committed at or before the instant —
+    the stream-side twin of AtomicParquetTable.version_at (in-commit
+    timestamp preferred, manifest-file mtime for pre-feature
+    manifests). Raises when the instant predates the oldest retained
+    commit: an expired starting point cannot be reconstructed."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    versions = sorted(
+        int(n[1:-5])
+        for n in os.listdir(mdir)
+        if n.startswith("v") and n.endswith(".json")
+    ) if os.path.isdir(mdir) else []
+    if not versions:
+        raise ValueError(f"atomic_changes: no committed table at {path!r}")
+    best = None
+    for v in versions:
+        man_ts = _manifest(path, v).get("committed_at_ms")
+        if man_ts is None:
+            man_ts = int(os.path.getmtime(
+                os.path.join(mdir, f"v{v:012d}.json")
+            ) * 1000)
+        if man_ts <= timestamp_ms:
+            best = v  # in-commit timestamps increase with version
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"atomic_changes: from_timestamp_ms={timestamp_ms} predates "
+            f"the oldest retained commit of {path!r} (v{versions[0]}) — "
+            "expired by gc() or before table creation"
+        )
+    return best
+
+
 class AtomicChangesStreamReader(DataSourceStreamReader):
     def __init__(self, options) -> None:
         self.path = options["path"].rstrip("/")
         self.keys = [k.strip() for k in options["keys"].split(",")]
         self.from_version = options.get("from_version")
+        # startingTimestamp idiom: subscribe AT the snapshot live at
+        # the instant — the stream serves changes committed after it
+        from_ts = options.get("from_timestamp_ms")
+        if from_ts is not None:
+            if self.from_version is not None:
+                raise ValueError(
+                    "pass from_version or from_timestamp_ms, not both"
+                )
+            self.from_version = _version_at(self.path, int(from_ts))
         self.max_partitions = int(
             options.get("max_partitions", _DEFAULT_MAX_PARTITIONS)
         )

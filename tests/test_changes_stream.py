@@ -706,3 +706,28 @@ def test_incremental_dedup_capped_drain_matches_uncapped(spark, tmp_path):
     assert got == want and (100, 101, 1.0) in [
         (a, b, round(j, 2)) for a, b, j in got
     ], "capped incremental state diverged from the uncapped drain"
+
+
+def test_from_timestamp_subscription(spark, table):
+    """from_timestamp_ms resolves the subscription start to the
+    snapshot live at the instant (stream serves changes committed
+    after it); both-options and pre-creation instants are rejected."""
+    table.upsert(_mk(spark, [(5, -5.0, "u1", 1)]), [F.col("ts").desc()])
+    table.upsert(_mk(spark, [(6, -6.0, "u2", 2)]), [F.col("ts").desc()])
+    ts = {
+        m["version"]: m["committed_at_ms"]
+        for m in (table._manifest(v) for v in range(3))
+    }
+
+    r = _reader(table, from_timestamp_ms=str(ts[1]))
+    assert r.initialOffset() == {"version": 1}
+    rows = _batch(r, r.initialOffset(), r.latestOffset())
+    assert [(x[0], x[-1]) for x in rows] == [(6, "update")]
+    # mid-interval instant → same snapshot
+    r2 = _reader(table, from_timestamp_ms=str((ts[1] + ts[2]) // 2))
+    assert r2.initialOffset() == {"version": 1}
+
+    with pytest.raises(ValueError, match="not both"):
+        _reader(table, from_version="0", from_timestamp_ms=str(ts[1]))
+    with pytest.raises(ValueError, match="predates"):
+        _reader(table, from_timestamp_ms=str(ts[0] - 1))
