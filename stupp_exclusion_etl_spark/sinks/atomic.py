@@ -2123,14 +2123,26 @@ class AtomicParquetTable:
             })
         return out
 
-    def restore(self, version: int) -> int:
+    def restore(
+        self,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> int:
         """Roll the table back to a retained snapshot as a NEW commit
         (Delta RESTORE): the new manifest points at the old version's
         file entries verbatim — zero data I/O, one manifest write, and
         history is preserved (the bad commits stay time-travelable
         until gc). Data files are immutable and gc only deletes
         unreferenced ones, so every file the target manifest lists is
-        still present. Returns the new version."""
+        still present. Returns the new version. The target may be
+        given as an instant instead (``as_of_timestamp_ms`` — RESTORE
+        TIMESTAMP AS OF, resolved via version_at; exactly one form)."""
+        if (version is None) == (as_of_timestamp_ms is None):
+            raise ValueError(
+                "pass exactly one of version= / as_of_timestamp_ms="
+            )
+        if as_of_timestamp_ms is not None:
+            version = self.version_at(as_of_timestamp_ms)
         man = self._manifest(version)
         cur = self.current_version()
         if cur is None:

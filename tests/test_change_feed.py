@@ -441,3 +441,23 @@ def test_changes_by_timestamp_bounds(spark, table):
         table.changes(0, until=2, until_timestamp_ms=ts[2])
     with pytest.raises(VersionExpiredError):
         table.changes(since_timestamp_ms=ts[0] - 1)
+
+
+def test_restore_by_timestamp(spark, table):
+    """RESTORE TIMESTAMP AS OF: the instant resolves through
+    version_at and the rollback equals the version-addressed restore;
+    exactly one target form is accepted."""
+    v0 = table.current_version()
+    table.upsert(_mk(spark, [(5, -5.0, "bad", 1)]), [F.col("ts").desc()])
+    ts0 = table._commit_time_ms(v0)
+
+    v2 = table.restore(as_of_timestamp_ms=ts0)
+    assert v2 == table.current_version() and v2 > v0
+    got = sorted(tuple(r) for r in table.read().collect())
+    want = sorted(tuple(r) for r in table.read(version=v0).collect())
+    assert got == want
+
+    with pytest.raises(ValueError, match="exactly one"):
+        table.restore()
+    with pytest.raises(ValueError, match="exactly one"):
+        table.restore(v0, as_of_timestamp_ms=ts0)
