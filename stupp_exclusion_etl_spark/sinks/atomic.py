@@ -919,8 +919,18 @@ class AtomicParquetTable:
         if not versions:
             raise ValueError(f"no table at {self.path}")
         best = None
+        prev_ts = None
         for v in versions:
-            if self._commit_time_ms(v) <= timestamp_ms:
+            ts = self._commit_time_ms(v)
+            # clamp, mirroring the commit-side parent+1ms clamp: the
+            # FS-mtime fallback for pre-feature manifests is NOT
+            # guaranteed monotone (a copy/sync of the table directory
+            # rewrites mtimes), and a non-monotone reading here would
+            # break the early exit and resolve a wrong older version
+            if prev_ts is not None and ts <= prev_ts:
+                ts = prev_ts + 1
+            prev_ts = ts
+            if ts <= timestamp_ms:
                 best = v  # timestamps increase with version: keep going
             else:
                 break
@@ -2322,9 +2332,9 @@ class AtomicParquetTable:
         trigger: one manifest-directory listing; a real ``gc`` runs
         only when at least one manifest falls outside BOTH retention
         bounds (beyond the last ``keep_versions`` AND — when
-        ``keep_hours`` is set — older than that window; age is checked
-        with one getFileStatus per candidate, newest-first, so the
-        common all-young case stops at the first hit). Under the
+        ``keep_hours`` is set — older than that window; manifest
+        mtimes are monotone in version, so one getFileStatus on the
+        OLDEST excess manifest decides the age test for all). Under the
         trigger there is no recursive data listing at all. Cannot
         loop: a run expires the excess manifests, so the next commits
         re-trigger only after retention is exceeded again. Returns
@@ -2348,14 +2358,17 @@ class AtomicParquetTable:
         if keep_hours is not None:
             fs, _p, jvm = _fs(self.spark, self.path)
             age_cut = (_time.time() - keep_hours * 3600.0) * 1000.0
-            if not any(
-                fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(
-                        f"{self.path}/{MANIFEST_DIR}/v{v:012d}.json"
-                    )
-                ).getModificationTime() <= age_cut
-                for v in reversed(excess)
-            ):
+            # mtimes are monotone in version (manifests are written in
+            # commit order and never rewritten), so the OLDEST excess
+            # manifest decides alone: younger than the cut ⇒ every
+            # excess manifest is ⇒ the common all-young case costs
+            # exactly one getFileStatus
+            oldest_mtime = fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{MANIFEST_DIR}/v{excess[0]:012d}.json"
+                )
+            ).getModificationTime()
+            if oldest_mtime > age_cut:
                 return None  # every excess manifest is inside the window
         return self.gc(
             keep_versions=keep_versions,

@@ -115,11 +115,16 @@ class IncrementalNearDedup:
         # travels to the snapshot the band index was planned from — a
         # source commit landing mid-drain must not leak newer texts
         # into this batch's Jaccard checks (it gets its own batch)
-        vrow = batch_df.select("_end_version").first()
-        self._end_version = None if vrow is None else vrow[0]
-        batch = batch_df.select(
-            idc, txc, "_change_type"
+        # checkpoint FIRST (including _end_version), then read the
+        # version from the checkpointed frame — a separate .first() on
+        # batch_df would re-run the python-source diff scan once per
+        # batch just to fetch one scalar
+        batch_full = batch_df.select(
+            idc, txc, "_change_type", "_end_version"
         ).localCheckpoint(eager=True)
+        vrow = batch_full.select("_end_version").first()
+        self._end_version = None if vrow is None else vrow[0]
+        batch = batch_full.select(idc, txc, "_change_type")
         affected = batch.select(idc).distinct()
 
         # 1. retire stale pairs touching any affected doc
@@ -288,9 +293,23 @@ class IncrementalNearDedup:
         # which provably keeps planning bounded batches until the
         # capped offer catches the table head (tests assert the full
         # drain AND the per-batch bound)
+        # processAllAvailable has no timeout parameter, and a writer
+        # committing concurrently could keep it from ever returning —
+        # run it under a watchdog so run()'s timeout_sec contract holds
+        # on this path too
+        import threading
+
         q = writer.trigger(processingTime="0 seconds").start()
         try:
-            q.processAllAvailable()
+            waiter = threading.Thread(
+                target=q.processAllAvailable, daemon=True
+            )
+            waiter.start()
+            waiter.join(timeout_sec)
+            if waiter.is_alive():
+                raise TimeoutError(
+                    "incremental dedup drain timed out"
+                )
         finally:
             q.stop()
 
