@@ -296,6 +296,106 @@ def _list_files_recursive(spark, directory: str) -> list[str]:
 _BLOOM_M = 4096  # bits per (file, column) bloom
 _BLOOM_K = 4  # hash functions (md5 hex 8-char slices)
 
+# -- chunked manifests (format 2) ------------------------------------
+# One self-contained JSON per version does not survive 100×: at
+# millions of live files every commit would serialize — and every
+# snapshot resolution re-parse — hundreds of MB of driver JSON (the
+# wall that pushed Iceberg to manifest-lists + reused manifest files).
+# Format 2 splits the metadata the same way:
+#
+#   _manifests/v{N}.json         the COMMIT RECORD — still the atomic
+#                                create-if-absent publish point, but
+#                                now small and O(chunks): version,
+#                                parent, schema_ddl, batch_id,
+#                                committed_at_ms, file/partition
+#                                counts, and the chunk list. This IS
+#                                the light commit-log index: version
+#                                resolution, timestamp time travel
+#                                (version_at), CDC offset math,
+#                                history() counts and streaming
+#                                bootstrap read ONLY this record.
+#   _manifests/chunks/c-*.json   immutable ENTRY CHUNKS, each holding
+#                                ~CHUNK_TARGET_FILES files' manifest
+#                                entries ({partition: [files]} + their
+#                                stats/blooms). A commit carries
+#                                untouched chunks forward BY NAME
+#                                (zero rewrite) and rewrites only the
+#                                chunks holding retired entries — so
+#                                commit metadata I/O is O(changed
+#                                chunks), not O(table).
+#
+# Each commit-record chunk entry carries the chunk's covered partition
+# dirs and a bloom over its FILE NAMES, so the carry-forward decision
+# for both partition-scoped and file-scoped (merge) commits is made
+# WITHOUT opening carried chunks: a chunk whose partitions miss the
+# touched set — or whose bloom proves every retired file absent —
+# carries forward unread. Bloom false positives only cost an extra
+# chunk read (the chunk is then found unchanged and still carried by
+# name); false negatives are impossible (built from the exact names).
+# Chunks are uuid-named, written BEFORE the record's CAS publish
+# (invisible until it), shared across versions (restore() republishes
+# a snapshot by referencing its chunk names — O(1) metadata), and
+# reaped by gc() when no retained record references them. Format-1
+# (self-contained) manifests remain readable; the first commit on top
+# of one migrates the table by packing its entries into chunks.
+CHUNKS_DIR = f"{MANIFEST_DIR}/chunks"
+CHUNK_TARGET_FILES = 1024  # manifest entries per chunk (packing goal)
+# small-chunk maintenance: when ≥ CHUNK_MERGE_MIN carried chunks fall
+# under CHUNK_TARGET_FILES/CHUNK_SMALL_FRACTION entries, one commit
+# merges them — the chunk count stays bounded without ever rewriting
+# full-size chunks (each entry is re-packed O(log) times, amortized)
+CHUNK_SMALL_FRACTION = 4
+CHUNK_MERGE_MIN = 4
+
+
+def _chunk_bloom_build(names: list[str]) -> str:
+    """b64 bloom over a chunk's file names, m scaled to ~8 bits/name
+    (k=4 ⇒ ~2.4% FPR — a false positive only costs one extra chunk
+    read, and 1 byte/entry keeps the commit record compact) — sized
+    per chunk, unlike the fixed-m per-file column blooms above,
+    because a chunk's cardinality is known and bounded at build
+    time."""
+    import base64
+    import hashlib
+
+    n = max(1, len(names))
+    m = 1 << max(10, (8 * n - 1).bit_length())  # pow2 ≥ max(1024, 8n)
+    bits = bytearray(m // 8)
+    for name in names:
+        h = hashlib.md5(name.encode("utf-8")).hexdigest()
+        for i in range(_BLOOM_K):
+            p = int(h[8 * i : 8 * i + 8], 16) % m
+            bits[p // 8] |= 1 << (p % 8)
+    return base64.b64encode(bytes(bits)).decode("ascii")
+
+
+def _chunk_bloom_may_contain(b64: str, name: str) -> bool:
+    import base64
+    import hashlib
+
+    bits = base64.b64decode(b64)
+    m = len(bits) * 8
+    h = hashlib.md5(name.encode("utf-8")).hexdigest()
+    return all(
+        bits[(int(h[8 * i : 8 * i + 8], 16) % m) // 8]
+        & (1 << ((int(h[8 * i : 8 * i + 8], 16) % m) % 8))
+        for i in range(_BLOOM_K)
+    )
+
+
+def _write_text_plain(spark, dest: str, text: str) -> None:
+    """Write a uuid-named (hence race-free) metadata file. No CAS
+    needed: chunk names never collide and a chunk is unreferenced —
+    invisible to every reader — until the commit record's CAS publish
+    lands; a crash in between leaves an orphan for gc's age-guarded
+    reaper."""
+    fs, dp, _jvm = _fs(spark, dest)
+    out = fs.create(dp, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
 
 def _bloom_positions(v) -> list[int] | None:
     """Bit positions of one predicate literal — MUST mirror the write
@@ -843,6 +943,18 @@ class AtomicParquetTable:
                 "min_age_seconds": auto_gc.get("min_age_seconds", 600.0),
             }
         self.hooks = hooks or {}
+        # entries per chunk for format-2 commits (module default;
+        # instance-level so tests can force many-chunk layouts small)
+        self.chunk_target = CHUNK_TARGET_FILES
+        # manifests are immutable per version, so memoizing them is
+        # always sound: _light_cache holds commit records (small —
+        # what version_at/history/CDC math walk), _asm_cache the few
+        # most recent chunk-assembled snapshots (parent manifests are
+        # re-read several times within one commit). gc() clears both
+        # so an expired version fails with VersionExpiredError instead
+        # of serving a stale cached snapshot.
+        self._light_cache: dict[int, dict] = {}
+        self._asm_cache: dict[int, dict] = {}
 
     # -- snapshot resolution ------------------------------------------
 
@@ -854,15 +966,29 @@ class AtomicParquetTable:
         ]
         return max(versions) if versions else None
 
-    def _manifest(self, version: int) -> dict:
+    def _manifest_light(self, version: int) -> dict:
+        """The commit RECORD of a version — for format 2 a small
+        O(chunks) JSON (version, parent, schema_ddl, batch_id,
+        committed_at_ms, counts, chunk list; NO per-file entries), for
+        format 1 the whole self-contained manifest (one file is all
+        there is). Version resolution, timestamp time travel, CDC
+        offset math and history counts read ONLY this — they never
+        open an entry chunk."""
+        hit = self._light_cache.get(version)
+        if hit is not None:
+            return hit
         name = f"v{version:012d}.json"
         try:
-            return json.loads(
+            out = json.loads(
                 _read_text(
                     self.spark,
                     f"{self.path}/{MANIFEST_DIR}/{name}",
                 )
             )
+            if len(self._light_cache) >= 4096:
+                self._light_cache.clear()
+            self._light_cache[version] = out
+            return out
         except Exception as e:
             names = _list_names(
                 self.spark, f"{self.path}/{MANIFEST_DIR}"
@@ -884,15 +1010,56 @@ class AtomicParquetTable:
                 f"versions: {retained}"
             ) from e
 
+    def _read_chunk(self, name: str) -> dict:
+        """One entry chunk's payload ({partitions: {dir: [files]},
+        stats: {file: ...}}). Chunks referenced by a retained commit
+        record are immutable and gc-protected, so a failure here is
+        corruption/transient I/O, never routine retention."""
+        return json.loads(
+            _read_text(self.spark, f"{self.path}/{CHUNKS_DIR}/{name}")
+        )
+
+    def _manifest(self, version: int) -> dict:
+        """The ASSEMBLED snapshot of a version, in the format-1 shape
+        every data-path consumer expects (full `partitions` +
+        `stats`): format-1 records are returned as-is; format-2
+        records get their entry chunks read and merged (a partition
+        split across chunks concatenates). The returned dict is cached
+        and shared — treat it as immutable."""
+        hit = self._asm_cache.get(version)
+        if hit is not None:
+            return hit
+        light = self._manifest_light(version)
+        if light.get("format", 1) == 1:
+            man = light
+        else:
+            parts: dict[str, list[str]] = {}
+            stats: dict[str, dict] = {}
+            for ch in light["chunks"]:
+                data = self._read_chunk(ch["name"])
+                for part, files in data["partitions"].items():
+                    parts.setdefault(part, []).extend(files)
+                stats.update(data.get("stats", {}))
+            man = dict(light)
+            man["partitions"] = {
+                p: sorted(fl) for p, fl in sorted(parts.items())
+            }
+            man["stats"] = stats
+        if len(self._asm_cache) >= 8:
+            self._asm_cache.pop(next(iter(self._asm_cache)))
+        self._asm_cache[version] = man
+        return man
+
     def snapshot(self) -> dict | None:
         v = self.current_version()
         return None if v is None else self._manifest(v)
 
     def _commit_time_ms(self, version: int) -> int:
-        """Commit time of a retained version: the manifest's in-commit
-        timestamp, or (pre-feature manifests) the manifest file's FS
-        modification time."""
-        ts = self._manifest(version).get("committed_at_ms")
+        """Commit time of a retained version: the commit record's
+        in-commit timestamp, or (pre-feature manifests) the manifest
+        file's FS modification time. Light read — never assembles
+        chunks."""
+        ts = self._manifest_light(version).get("committed_at_ms")
         if ts is not None:
             return ts
         fs, _p, jvm = _fs(self.spark, self.path)
@@ -1234,41 +1401,169 @@ class AtomicParquetTable:
         already carries stats for (restore()) — without it a rollback
         would re-read O(table) footers (or, on a remote FS, rescan the
         whole table's data) for stats that are already known.
-        One atomic create-if-absent publishes it."""
+        One atomic create-if-absent publishes it (the format-2 commit
+        RECORD; entry chunks are written first, invisible until the
+        record lands). Metadata I/O is O(changed chunks): a parent
+        chunk whose partitions miss the touched set — or whose
+        file-name bloom proves every retired file absent — is carried
+        forward BY NAME without being opened."""
         rf = replaced_files or {}
-        partitions: dict[str, list[str]] = {}
-        stats: dict[str, dict] = {}
-        pman = None if parent is None else self._manifest(parent)
-        if pman is not None:
-            pstats = pman.get("stats", {})
-            for part, files in pman["partitions"].items():
+        pl = None if parent is None else self._manifest_light(parent)
+        carried: list[dict] = []
+        # loose entries to (re-)pack into new chunks: residuals of
+        # rewritten chunks + this commit's new files
+        pool_parts: dict[str, list[str]] = {}
+        pool_stats: dict[str, dict] = {}
+
+        def pool_kept(partitions: dict, stats: dict) -> int:
+            """Filter one entry set against the retire spec; pool the
+            survivors. Returns how many entries were dropped."""
+            dropped = 0
+            for part, files in partitions.items():
                 if part in replaced_parts:
+                    dropped += len(files)
                     continue
                 kept = [f for f in files if f not in rf.get(part, ())]
+                dropped += len(files) - len(kept)
                 if not kept:
                     continue
-                partitions[part] = kept
+                pool_parts.setdefault(part, []).extend(kept)
                 for f in kept:
-                    if f in pstats:
-                        stats[f] = pstats[f]
+                    if f in stats:
+                        pool_stats[f] = stats[f]
+            return dropped
+
+        if pl is not None and pl.get("format", 1) == 1:
+            # format-1 parent: the whole self-contained manifest IS
+            # one virtual chunk — migrate by pooling its survivors
+            pool_kept(pl["partitions"], pl.get("stats", {}))
+        elif pl is not None:
+            removed_names = {f for fl in rf.values() for f in fl}
+            for ch in pl["chunks"]:
+                ch_parts = set(ch["parts"])
+                if not (ch_parts & (set(replaced_parts) | set(rf))):
+                    carried.append(ch)
+                    continue
+                if not (ch_parts & set(replaced_parts)):
+                    # only file-scoped retirement can touch this chunk:
+                    # the bloom decides without opening it
+                    fb = ch.get("fbloom")
+                    if fb is not None and not any(
+                        _chunk_bloom_may_contain(fb, n)
+                        for n in removed_names
+                    ):
+                        carried.append(ch)
+                        continue
+                data = self._read_chunk(ch["name"])
+                if pool_kept(
+                    data["partitions"], data.get("stats", {})
+                ) == 0:
+                    # bloom false positive / partition overlap with
+                    # nothing actually retired: undo the pooling and
+                    # carry the chunk by name instead of rewriting it
+                    for part, files in data["partitions"].items():
+                        kept = pool_parts.get(part)
+                        del kept[len(kept) - len(files):]
+                        if not kept:
+                            del pool_parts[part]
+                        for f in files:
+                            pool_stats.pop(f, None)
+                    carried.append(ch)
+            # small-chunk maintenance: merge accumulated slivers (each
+            # file-scoped commit adds a small new chunk) so the chunk
+            # count stays bounded; full-size chunks are never rewritten
+            small_cut = max(1, self.chunk_target // CHUNK_SMALL_FRACTION)
+            small = [c for c in carried if c["n"] < small_cut]
+            if len(small) >= CHUNK_MERGE_MIN:
+                names = {c["name"] for c in small}
+                carried = [c for c in carried if c["name"] not in names]
+                for c in small:
+                    data = self._read_chunk(c["name"])
+                    for part, files in data["partitions"].items():
+                        pool_parts.setdefault(part, []).extend(files)
+                    pool_stats.update(data.get("stats", {}))
+
         for part, files in new_by_part.items():
-            partitions[part] = sorted(partitions.get(part, []) + list(files))
+            pool_parts.setdefault(part, []).extend(files)
         if precomputed_stats is not None:
-            stats.update(precomputed_stats)
+            pool_stats.update(precomputed_stats)
         else:
             new_stats = self._new_file_stats(new_by_part)
             for rel, blooms in self._index_blooms(new_by_part).items():
                 new_stats.setdefault(
                     rel, {"rows": None, "cols": {}}
                 )["bloom"] = blooms
-            stats.update(new_stats)
+            pool_stats.update(new_stats)
+        chunk_entries = carried + self._write_chunks(
+            pool_parts, pool_stats
+        )
+        return self._publish_record(
+            parent, pl, schema_ddl, chunk_entries, batch_id
+        )
+
+    def _write_chunks(
+        self, pool_parts: dict[str, list[str]], pool_stats: dict
+    ) -> list[dict]:
+        """Pack loose entries into ~chunk_target-file immutable chunk
+        files (a partition larger than one chunk splits across
+        several; assembly re-merges) and write them. Returns their
+        commit-record entries (name, entry count, covered partition
+        dirs, file-name bloom)."""
+        entries = [
+            (part, f)
+            for part in sorted(pool_parts)
+            for f in sorted(set(pool_parts[part]))
+        ]
+        out = []
+        for i in range(0, len(entries), self.chunk_target):
+            sl = entries[i : i + self.chunk_target]
+            parts: dict[str, list[str]] = {}
+            stats: dict[str, dict] = {}
+            for part, f in sl:
+                parts.setdefault(part, []).append(f)
+                if f in pool_stats:
+                    stats[f] = pool_stats[f]
+            name = f"c-{uuid.uuid4().hex}.json"
+            _write_text_plain(
+                self.spark,
+                f"{self.path}/{CHUNKS_DIR}/{name}",
+                json.dumps(
+                    {"partitions": parts, "stats": stats},
+                    indent=1,
+                    sort_keys=True,
+                ),
+            )
+            names = [f for _part, f in sl]
+            out.append({
+                "name": name,
+                "n": len(names),
+                "parts": sorted(parts),
+                "fbloom": _chunk_bloom_build(names),
+            })
+        return out
+
+    def _publish_record(
+        self,
+        parent: int | None,
+        parent_light: dict | None,
+        schema_ddl: str,
+        chunk_entries: list[dict],
+        batch_id: int | None = None,
+    ) -> int:
+        """CAS-publish the format-2 commit record referencing
+        ``chunk_entries`` (already durable). The record doubles as the
+        light commit-log index: counts, schema, batch_id and the
+        in-commit timestamp are all resolvable without touching a
+        chunk."""
         version = 0 if parent is None else parent + 1
         # streaming idempotence marker: the max micro-batch id ever
         # applied rides IN the manifest (carried forward by non-batch
         # commits like compact/delete, so a replay after maintenance is
         # still recognized). max() so a rebase onto a head that already
         # advanced the marker can never regress it.
-        prev_bid = None if pman is None else pman.get("batch_id")
+        prev_bid = None if parent_light is None else parent_light.get(
+            "batch_id"
+        )
         bid = (
             prev_bid
             if batch_id is None
@@ -1282,17 +1577,22 @@ class AtomicParquetTable:
         import time as _time
 
         now_ms = int(_time.time() * 1000)
-        if pman is not None:
-            pts = pman.get("committed_at_ms")
+        if parent_light is not None:
+            pts = parent_light.get("committed_at_ms")
             if pts is not None:
                 now_ms = max(now_ms, pts + 1)
+        all_parts = set()
+        for ch in chunk_entries:
+            all_parts.update(ch["parts"])
         manifest = {
+            "format": 2,
             "version": version,
             "parent": parent,
             "partition_by": self.partition_by,
             "schema_ddl": schema_ddl,
-            "partitions": partitions,
-            "stats": stats,
+            "chunks": chunk_entries,
+            "n_files": sum(ch["n"] for ch in chunk_entries),
+            "n_partitions": len(all_parts),
             "batch_id": bid,
             "committed_at_ms": now_ms,
         }
@@ -1791,7 +2091,7 @@ class AtomicParquetTable:
                     # are carried forward, so a schema the competing
                     # commit widened must survive in ours
                     schema_ddl = _union_ddl(
-                        self._manifest(cur)["schema_ddl"], schema_ddl
+                        self._manifest_light(cur)["schema_ddl"], schema_ddl
                     )
                     parent = cur
                     continue
@@ -1831,7 +2131,7 @@ class AtomicParquetTable:
         """
         parent = self.current_version()
         if batch_id is not None and parent is not None:
-            last = self._manifest(parent).get("batch_id")
+            last = self._manifest_light(parent).get("batch_id")
             if last is not None and batch_id <= last:
                 return parent  # replayed micro-batch: already committed
         txn = uuid.uuid4().hex[:16]
@@ -2107,7 +2407,7 @@ class AtomicParquetTable:
         out = []
         for v in range(cur, -1, -1):
             try:
-                man = self._manifest(v)
+                man = self._manifest_light(v)
             except Exception:
                 break  # expired by gc(): older history is gone
             parent = man.get("parent")
@@ -2125,9 +2425,17 @@ class AtomicParquetTable:
                 "parent": parent,
                 "committed_at_ms": man.get("committed_at_ms"),
                 "batch_id": man.get("batch_id"),
-                "n_partitions": len(man["partitions"]),
-                "n_files": sum(
-                    len(fl) for fl in man["partitions"].values()
+                "n_partitions": (
+                    man["n_partitions"]
+                    if man.get("format", 1) == 2
+                    else len(man["partitions"])
+                ),
+                "n_files": (
+                    man["n_files"]
+                    if man.get("format", 1) == 2
+                    else sum(
+                        len(fl) for fl in man["partitions"].values()
+                    )
                 ),
                 "changed_partitions": changed,
             })
@@ -2153,17 +2461,28 @@ class AtomicParquetTable:
             )
         if as_of_timestamp_ms is not None:
             version = self.version_at(as_of_timestamp_ms)
-        man = self._manifest(version)
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"no table at {self.path}")
         if version == cur:
             return cur
-        # replace every current partition with the target's entries;
-        # the target manifest already carries their stats — carry them
-        # forward instead of re-reading O(table) footers (or, remote,
-        # rescanning data), keeping restore the zero-data-I/O rollback
-        # it documents
+        tl = self._manifest_light(version)
+        if tl.get("format", 1) == 2:
+            # chunks are immutable and shared: republishing the target
+            # snapshot is ONE commit record referencing the target's
+            # chunk names verbatim — O(1) metadata, zero data I/O
+            return self._publish_record(
+                cur,
+                self._manifest_light(cur),
+                tl["schema_ddl"],
+                list(tl["chunks"]),
+            )
+        # format-1 target (pre-chunk history): replace every current
+        # partition with the target's entries; the target manifest
+        # already carries their stats — carry them forward instead of
+        # re-reading O(table) footers (or, remote, rescanning data),
+        # keeping restore the zero-data-I/O rollback it documents
+        man = self._manifest(version)
         return self._commit(
             cur,
             {p: list(fl) for p, fl in man["partitions"].items()},
@@ -2538,7 +2857,11 @@ class AtomicParquetTable:
                 ).getModificationTime() > age_cut:
                     keep.add(v)
         live: set[str] = set()
+        live_chunks: set[str] = set()
         for v in keep:
+            light = self._manifest_light(v)
+            if light.get("format", 1) == 2:
+                live_chunks.update(ch["name"] for ch in light["chunks"])
             for files in self._manifest(v)["partitions"].values():
                 live.update(files)
         fs, _p, jvm = _fs(self.spark, self.path)
@@ -2565,6 +2888,26 @@ class AtomicParquetTable:
                     False,
                 )
                 removed_manifests += 1
+        # entry chunks referenced by NO retained commit record are
+        # dead metadata; the age guard also protects chunks an
+        # in-flight writer has staged but not yet CAS-published
+        removed_chunks = 0
+        for name in _list_names(self.spark, f"{self.path}/{CHUNKS_DIR}"):
+            if not (name.startswith("c-") and name.endswith(".json")):
+                continue  # checksum sidecars etc. ride with their file
+            if name not in live_chunks:
+                p = jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{CHUNKS_DIR}/{name}"
+                )
+                if fs.getFileStatus(p).getModificationTime() > cutoff_ms:
+                    skipped_young += 1
+                    continue
+                fs.delete(p, False)
+                removed_chunks += 1
+        # drop memoized snapshots so an expired version resolves to
+        # VersionExpiredError, never to a stale cached manifest
+        self._light_cache.clear()
+        self._asm_cache.clear()
         for name in _list_names(self.spark, f"{self.path}/{STAGE_DIR}"):
             sub = jvm.org.apache.hadoop.fs.Path(
                 f"{self.path}/{STAGE_DIR}/{name}"
@@ -2576,6 +2919,7 @@ class AtomicParquetTable:
         return {
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
+            "removed_chunks": removed_chunks,
             "skipped_young": skipped_young,
             "live_files": len(live),
         }

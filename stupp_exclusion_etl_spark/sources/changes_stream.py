@@ -119,11 +119,37 @@ def _current_version(path: str) -> int | None:
     return max(versions) if versions else None
 
 
-def _manifest(path: str, version: int) -> dict:
+def _manifest_light(path: str, version: int) -> dict:
+    """The commit record alone — schema/timestamp/offset fields. For
+    format-2 tables this never opens an entry chunk, which is what
+    keeps the stream's offset math O(1) per poll on a huge table."""
     with open(
         os.path.join(path, _MANIFEST_DIR, f"v{version:012d}.json")
     ) as fh:
         return json.load(fh)
+
+
+def _manifest(path: str, version: int) -> dict:
+    """Assembled snapshot (full partitions + stats): format-1 records
+    as-is; format-2 records get their entry chunks merged — only the
+    batch-planning path (manifest diff) pays this."""
+    man = _manifest_light(path, version)
+    if man.get("format", 1) == 1:
+        return man
+    parts: dict[str, list[str]] = {}
+    stats: dict[str, dict] = {}
+    for ch in man["chunks"]:
+        with open(
+            os.path.join(path, _MANIFEST_DIR, "chunks", ch["name"])
+        ) as fh:
+            data = json.load(fh)
+        for p, fl in data["partitions"].items():
+            parts.setdefault(p, []).extend(fl)
+        stats.update(data.get("stats", {}))
+    man = dict(man)
+    man["partitions"] = {p: sorted(fl) for p, fl in sorted(parts.items())}
+    man["stats"] = stats
+    return man
 
 
 def _partition_values(rel_path: str) -> dict[str, str | None]:
@@ -336,7 +362,7 @@ def _version_at(path: str, timestamp_ms: int) -> int:
         raise ValueError(f"atomic_changes: no committed table at {path!r}")
     best = None
     for v in versions:
-        man_ts = _manifest(path, v).get("committed_at_ms")
+        man_ts = _manifest_light(path, v).get("committed_at_ms")
         if man_ts is None:
             man_ts = int(os.path.getmtime(
                 os.path.join(mdir, f"v{v:012d}.json")
@@ -420,7 +446,7 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
                 "— the stream needs at least one manifest to resolve "
                 "the schema; commit a first batch before starting it"
             )
-        man = _manifest(self.path, cur)
+        man = _manifest_light(self.path, cur)
         self.cols = _ddl_fields(man["schema_ddl"])
         self.types = _ddl_types(man["schema_ddl"])
         # subscription start frozen at construction: the rate-cap
@@ -541,7 +567,7 @@ class AtomicChangesDataSource(DataSource):
                 f"atomic_changes: no committed table at {path!r} — "
                 "commit a first batch before starting the stream"
             )
-        man = _manifest(path, cur)
+        man = _manifest_light(path, cur)
         ddl = man["schema_ddl"] + ", _change_type string"
         if str(self.options.get("emit_end_version", "false")).lower() == "true":
             # opt-in: the micro-batch's END version per row, so a

@@ -304,7 +304,10 @@ def test_auto_gc_retention_policy(spark, tmp_path):
             _mk(spark, [(k, float(i), "a", i) for k in range(20)]),
             [F.col("ts").desc()],
         )
-    manifests = sorted(os.listdir(root / "_manifests"))
+    manifests = sorted(
+        n for n in os.listdir(root / "_manifests")
+        if n.startswith("v") and n.endswith(".json")
+    )
     assert len(manifests) <= 4, manifests
     # on-disk data files = exactly the union the retained manifests
     # reference (orphans and expired-only files reaped)
@@ -346,7 +349,10 @@ def test_auto_gc_retention_policy(spark, tmp_path):
             _mk(spark, [(k, float(i), "a", i) for k in range(5)]),
             [F.col("ts").desc()],
         )
-    assert len(os.listdir(tmp_path / "ag2" / "_manifests")) == 4
+    assert len([
+        n for n in os.listdir(tmp_path / "ag2" / "_manifests")
+        if n.startswith("v") and n.endswith(".json")
+    ]) == 4
     assert t2.read(version=0).count() == 5
     # and maybe_gc itself reports the no-op
     assert t2.maybe_gc(keep_versions=1, keep_hours=1.0) is None

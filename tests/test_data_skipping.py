@@ -146,10 +146,15 @@ def test_pre_stats_manifest_reads_and_never_prunes(spark, tmp_path):
         _df(spark, [(1, "A", 1.0, "x", 0), (2, "B", 2.0, "y", 0)]),
         [F.col("ts").desc()],
     )
+    # rewrite v0 as a stats-less FORMAT-1 (self-contained) manifest —
+    # the pre-stats, pre-chunk history shape — and read through a
+    # fresh table object (manifests are memoized per instance)
     mpath = os.path.join(t.path, "_manifests", "v000000000000.json")
-    man = json.load(open(mpath))
-    del man["stats"]
+    man = dict(t._manifest(0))
+    for k in ("stats", "format", "chunks", "n_files", "n_partitions"):
+        man.pop(k, None)
     json.dump(man, open(mpath, "w"))
+    t = AtomicParquetTable(spark, t.path, keys=["k"])
     rep = t.skipping_report([("k", "=", 1)])
     assert rep["files_kept"] == rep["files_total"]
     assert [r.k for r in t.read(where=[("k", "=", 1)]).collect()] == [1]
