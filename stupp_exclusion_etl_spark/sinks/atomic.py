@@ -347,6 +347,19 @@ CHUNK_TARGET_FILES = 1024  # manifest entries per chunk (packing goal)
 CHUNK_SMALL_FRACTION = 4
 CHUNK_MERGE_MIN = 4
 
+#: on-disk parquet bytes per merge sort task. The re-merge paths
+#: (upsert keep-latest window, MERGE INTO's anti-join) sort the files
+#: being rewritten; with the session's global shuffle-partition
+#: setting a big table at a small heap starves those sort tasks into
+#: a tiny-spill storm (sf10 local-cluster @8 GiB: 100+ ~0.8 MiB
+#: spills, then OOM when UnsafeSorterSpillReader opens one buffered
+#: reader per spill file). The table KNOWS its input size — the
+#: manifest lists exactly the files about to be re-read — so the
+#: merge derives its own partition count: ~32 MiB of parquet per task
+#: (≈4-8× that decompressed in the sort) keeps each task's input
+#: proportional to its execution memory at any scale.
+MERGE_TASK_TARGET_BYTES = 32 << 20
+
 
 def _chunk_bloom_build(names: list[str]) -> str:
     """b64 bloom over a chunk's file names, m scaled to ~8 bits/name
@@ -1730,6 +1743,43 @@ class AtomicParquetTable:
             out[rel] = blooms
         return out
 
+    def _merge_numparts(self, rel_files) -> int | None:
+        """Sort-task count for a re-merge reading ``rel_files``: their
+        on-disk bytes / MERGE_TASK_TARGET_BYTES, floored at the
+        cluster parallelism, capped at 16384. None when the set is
+        empty. Metadata-only — one getFileStatus per file that is
+        about to be fully read anyway."""
+        rel_files = list(rel_files)
+        if not rel_files:
+            return None
+        fs, _p, jvm = _fs(self.spark, self.path)
+        nbytes = 0
+        for f in rel_files:
+            nbytes += fs.getFileStatus(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{self.path}/{DATA_DIR}/{f}"
+                )
+            ).getLen()
+        n = max(
+            self.spark.sparkContext.defaultParallelism,
+            -(-nbytes // MERGE_TASK_TARGET_BYTES),
+        )
+        return int(min(n, 16384))
+
+    def _merge_sized(self, df: DataFrame, rel_files) -> DataFrame:
+        """Repartition a merge input by the table key with the
+        manifest-derived partition count (see MERGE_TASK_TARGET_BYTES).
+        The downstream keep-latest window / SMJ requires clustering by
+        exactly these keys, so this EXCHANGE REPLACES the one Spark
+        would insert — same shuffle count, right-sized tasks — and an
+        explicit numPartitions is exempt from AQE coalescing, which
+        sizes by shuffle-map bytes and would under-provision the
+        decompressed sort."""
+        n = self._merge_numparts(rel_files)
+        if n is None:
+            return df
+        return df.repartition(n, *self.keys)
+
     # -- file-scoped merge (stats-pruned rewrite set) ------------------
 
     #: distinct batch cluster-key values collected driver-side to probe
@@ -1869,7 +1919,12 @@ class AtomicParquetTable:
                 .parquet(*cand_paths)
             )
             merged = keep_latest(
-                overlap.unionByName(new_data, allowMissingColumns=True),
+                self._merge_sized(
+                    overlap.unionByName(
+                        new_data, allowMissingColumns=True
+                    ),
+                    [f for fl in cand.values() for f in fl],
+                ),
                 self.keys,
                 order_by,
             )
@@ -2164,7 +2219,18 @@ class AtomicParquetTable:
 
         if not self.partition_by:
             merged = keep_latest(
-                existing.unionByName(new_data, allowMissingColumns=True),
+                self._merge_sized(
+                    existing.unionByName(
+                        new_data, allowMissingColumns=True
+                    ),
+                    [
+                        f
+                        for fl in self._manifest(parent)[
+                            "partitions"
+                        ].values()
+                        for f in fl
+                    ],
+                ),
                 self.keys,
                 order_by,
             ).localCheckpoint(eager=True)
@@ -2187,8 +2253,16 @@ class AtomicParquetTable:
         relevant = self._touched_semi_join(
             existing, typed_rows, new_parts.schema
         )
+        pman = self._manifest(parent)
         merged = keep_latest(
-            relevant.unionByName(new_data, allowMissingColumns=True),
+            self._merge_sized(
+                relevant.unionByName(new_data, allowMissingColumns=True),
+                [
+                    f
+                    for part in touched_dirs
+                    for f in pman["partitions"].get(part, ())
+                ],
+            ),
             self.keys,
             order_by,
         ).localCheckpoint(eager=True)
@@ -2216,9 +2290,10 @@ class AtomicParquetTable:
             raise ValueError(f"no table at {self.path}")
         parent = self.current_version()
         txn = uuid.uuid4().hex[:16]
-        batch_keys = _probe_hint(
+        bk_raw, probe_small = _probe_prepared(
             doomed_keys.select(*self.keys).distinct()
         )
+        batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
         doomed = batch_keys
 
         def remerge(retries: int) -> int:
@@ -2231,6 +2306,17 @@ class AtomicParquetTable:
             return scoped
 
         if not self.partition_by:
+            if not probe_small:
+                existing = self._merge_sized(
+                    existing,
+                    [
+                        f
+                        for fl in self._manifest(parent)[
+                            "partitions"
+                        ].values()
+                        for f in fl
+                    ],
+                )
             kept = existing.join(doomed, self.keys, "left_anti")
             kept = kept.localCheckpoint(eager=True)
             by_part = self._stage_and_move(kept, txn)
@@ -2252,6 +2338,16 @@ class AtomicParquetTable:
         relevant = self._touched_semi_join(
             existing, typed_rows, existing.select(*pb).schema
         )
+        if not probe_small:
+            pman = self._manifest(parent)
+            relevant = self._merge_sized(
+                relevant,
+                [
+                    f
+                    for part in touched_dirs
+                    for f in pman["partitions"].get(part, ())
+                ],
+            )
         kept = relevant.join(doomed, self.keys, "left_anti")
         kept = kept.localCheckpoint(eager=True)
         by_part = self._stage_and_move(kept, txn)
@@ -2357,6 +2453,20 @@ class AtomicParquetTable:
             return out.localCheckpoint(eager=True)
 
         if not pb:
+            if remove_matched and not probe_small:
+                # table-scale source ⇒ the anti-join is an SMJ whose
+                # sort must not inherit the session's global shuffle
+                # sizing — derive the task count from the manifest
+                existing = self._merge_sized(
+                    existing,
+                    [
+                        f
+                        for fl in self._manifest(parent)[
+                            "partitions"
+                        ].values()
+                        for f in fl
+                    ],
+                )
             kept = (
                 existing.join(matched_keys, self.keys, "left_anti")
                 if remove_matched
@@ -2384,6 +2494,18 @@ class AtomicParquetTable:
         relevant = self._touched_semi_join(
             existing, typed_rows, existing.select(*pb).schema
         )
+        if remove_matched and not probe_small:
+            # see the unpartitioned branch: manifest-sized sort tasks
+            # for the table-scale anti-join
+            pman = self._manifest(parent)
+            relevant = self._merge_sized(
+                relevant,
+                [
+                    f
+                    for part in touched_dirs
+                    for f in pman["partitions"].get(part, ())
+                ],
+            )
         kept = (
             relevant.join(matched_keys, self.keys, "left_anti")
             if remove_matched

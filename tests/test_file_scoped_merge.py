@@ -400,3 +400,66 @@ def test_file_scoped_merge_keeps_widened_type(spark, tmp_path):
     r = t.read()
     assert dict(r.dtypes)["v"] == "bigint"
     assert r.filter(F.col("k") == 15).collect()[0].v == big
+
+
+def test_merge_shuffle_sizing_from_manifest(spark, tmp_path, monkeypatch):
+    """VERDICT r10 #2: the re-merge sort's partition count comes from
+    the manifest (on-disk bytes of the files being rewritten /
+    MERGE_TASK_TARGET_BYTES), not from the session's global shuffle
+    setting — the fix for the sf10 @8 GiB tiny-spill storm. Pins the
+    math, the wiring (every merge path routes its big side through
+    _merge_sized with exactly the files it re-reads), and that results
+    are unchanged."""
+    import math
+    import os
+
+    from stupp_exclusion_etl_spark.sinks import atomic
+
+    t = AtomicParquetTable(spark, str(tmp_path / "ms"), keys=["k"])
+    t.upsert(
+        spark.createDataFrame(
+            [(k, "x" * 50, 0) for k in range(5000)],
+            "k int, v string, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    man = t._manifest(t.current_version())
+    rel = [f for fl in man["partitions"].values() for f in fl]
+    nbytes = sum(
+        os.path.getsize(os.path.join(t.path, "data", f)) for f in rel
+    )
+    par = spark.sparkContext.defaultParallelism
+    # real target: small table floors at the cluster parallelism
+    assert t._merge_numparts(rel) == max(
+        par, math.ceil(nbytes / atomic.MERGE_TASK_TARGET_BYTES)
+    )
+    # shrink the per-task target so the byte math decides
+    monkeypatch.setattr(atomic, "MERGE_TASK_TARGET_BYTES", 1024)
+    want = max(par, math.ceil(nbytes / 1024))
+    assert t._merge_numparts(rel) == want
+    assert t._merge_numparts([]) is None
+
+    # wiring: a table-scale (non-broadcast) MERGE DELETE routes the
+    # big side through _merge_sized with the touched files
+    monkeypatch.setattr(atomic, "_PROBE_BROADCAST_CAP", 10)
+    calls = []
+    orig = AtomicParquetTable._merge_sized
+
+    def spy(self, df, rel_files):
+        calls.append(sorted(rel_files))
+        return orig(self, df, rel_files)
+
+    monkeypatch.setattr(AtomicParquetTable, "_merge_sized", spy)
+    doomed = spark.createDataFrame(
+        [(k,) for k in range(0, 5000, 2)], "k int"
+    )
+    t.merge_into(doomed, when_matched="delete", when_not_matched="skip")
+    assert calls and calls[0] == sorted(rel)
+    assert {r.k % 2 for r in t.read().collect()} == {1}
+    assert t.read().count() == 2500
+
+    # broadcast-sized probes must NOT pay the extra exchange
+    calls.clear()
+    t.delete_keys(spark.createDataFrame([(1,), (3,)], "k int"))
+    assert calls == []
+    assert t.read().count() == 2498
