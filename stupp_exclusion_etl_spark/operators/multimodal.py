@@ -2159,16 +2159,103 @@ def encode_png_rgb8(pixels, filter_for_row=None, interlace: bool = False) -> byt
     )
 
 
+def _encode_png_samples(
+    samples, ctype: int, w: int, h: int,
+    plte=None, trns=None, filter_for_row=None,
+) -> bytes:
+    """Spec-valid non-interlaced 8-bit PNG from raw (h, w, bpp)
+    samples of any color type (the non-RGB twin of encode_png_rgb8 —
+    filter types cycle 0..4 by default so every spec filter appears).
+    ``plte`` is an (n, 3) palette for ctype 3; ``trns`` optional
+    per-entry alpha bytes."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    bpp = _PNG_CTYPE_BPP[ctype]
+    px = np.asarray(samples, dtype=np.uint8).reshape(h, w * bpp)
+    pick = filter_for_row or (lambda y: y % 5)
+    body = _filter_scanlines(px.astype(np.int64), bpp, pick)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(
+            b"PLTE", np.asarray(plte, dtype=np.uint8).tobytes()
+        )
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(bytearray(trns)))
+    return (
+        out
+        + _png_chunk(b"IDAT", _z.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_gray8(pixels, filter_for_row=None) -> bytes:
+    """8-bit grayscale PNG (color type 0) from an (h, w) array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    return _encode_png_samples(px, 0, w, h, filter_for_row=filter_for_row)
+
+
+def encode_png_palette8(
+    indices, palette, trns=None, filter_for_row=None
+) -> bytes:
+    """8-bit palette PNG (color type 3) from an (h, w) index array and
+    an (n, 3) palette; ``trns`` (optional) is per-entry alpha."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    return _encode_png_samples(
+        idx, 3, w, h, plte=palette, trns=trns,
+        filter_for_row=filter_for_row,
+    )
+
+
+def encode_png_graya8(pixels, filter_for_row=None) -> bytes:
+    """8-bit gray+alpha PNG (color type 4) from an (h, w, 2) array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return _encode_png_samples(px, 4, w, h, filter_for_row=filter_for_row)
+
+
+def encode_png_rgba8(pixels, filter_for_row=None) -> bytes:
+    """8-bit RGBA PNG (color type 6) from an (h, w, 4) array."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return _encode_png_samples(px, 6, w, h, filter_for_row=filter_for_row)
+
+
+#: PNG color type → raw samples per pixel (8-bit depth)
+_PNG_CTYPE_BPP = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
 def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
-    """Decode an 8-bit RGB PNG, non-interlaced OR Adam7-interlaced:
-    chunk walk with CRC verification, multi-IDAT zlib inflate,
-    per-scanline unfilter (all five spec filters, exact Paeth
-    predictor), and for interlace=1 the seven-pass de-interleave
+    """Decode an 8-bit PNG of ANY spec color type — 0 grayscale,
+    2 truecolor RGB, 3 palette (PLTE lookup, optional tRNS alpha),
+    4 gray+alpha, 6 RGBA — non-interlaced OR Adam7-interlaced: chunk
+    walk with CRC verification, multi-IDAT zlib inflate, per-scanline
+    unfilter (all five spec filters, exact Paeth predictor, bpp per
+    color type), and for interlace=1 the seven-pass de-interleave
     (each pass unfiltered independently, then scattered onto the
-    _ADAM7 grid). Returns ((h, w, 3), flat float64, top-down RGB).
-    Honest guards for the variants out of scope here: 16-bit depth
-    and palette/gray/alpha color types raise NotImplementedError
-    (production: PIL in the same Arrow stage)."""
+    _ADAM7 grid). Output channels are EXPANDED to a uniform pixel
+    space so downstream stats don't branch on the source layout:
+    grayscale replicates to RGB → (h, w, 3); palette maps through
+    PLTE → (h, w, 3), or (h, w, 4) when tRNS supplies per-entry alpha
+    (entries past the tRNS length are opaque 255, per spec);
+    gray+alpha → (h, w, 4); RGBA stays (h, w, 4). Returns
+    ((h, w, c), flat float64, top-down). Honest guard for the variant
+    out of scope here: non-8-bit depths (16-bit, and 1/2/4-bit packed
+    palettes) raise NotImplementedError (production: PIL in the same
+    Arrow stage)."""
     import struct
     import zlib as _z
 
@@ -2179,6 +2266,8 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     pos = 8
     ihdr = None
     idat = []
+    plte = None
+    trns = None
     while pos + 12 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
         typ = b[pos + 4 : pos + 8]
@@ -2188,6 +2277,12 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
         if typ == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            if ln % 3 != 0:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
@@ -2198,38 +2293,58 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"{depth}-bit PNG (only 8-bit supported)")
-    if ctype != 2:
-        raise NotImplementedError(
-            f"PNG color type {ctype} (only truecolor RGB supported)"
-        )
+    if ctype not in _PNG_CTYPE_BPP:
+        raise ValueError(f"invalid PNG color type {ctype}")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     raw = _z.decompress(b"".join(idat))
-    bpp = 3
+    bpp = _PNG_CTYPE_BPP[ctype]
     if interlace == 0:
         rowlen = 1 + w * bpp
         if len(raw) != h * rowlen:
             raise ValueError("PNG pixel data length mismatch")
-        out = _unfilter_scanlines(raw, h, w * bpp, bpp)
-        return (h, w, 3), out.reshape(-1).astype(np.float64)
-    # Adam7: consume each pass's block, unfilter it as its own
-    # sub-image, scatter onto the stride grid
-    out = np.empty((h, w, bpp), dtype=np.int64)
-    pos = 0
-    for y0, x0, dy, dx in _ADAM7:
-        ph = len(range(y0, h, dy))
-        pw = len(range(x0, w, dx))
-        if ph == 0 or pw == 0:
-            continue
-        block = raw[pos : pos + ph * (1 + pw * bpp)]
-        pos += ph * (1 + pw * bpp)
-        sub = _unfilter_scanlines(block, ph, pw * bpp, bpp)
-        out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
-    if pos != len(raw):
-        raise ValueError("PNG pixel data length mismatch")
-    return (h, w, 3), out.reshape(-1).astype(np.float64)
+        out = _unfilter_scanlines(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+    else:
+        # Adam7: consume each pass's block, unfilter it as its own
+        # sub-image, scatter onto the stride grid
+        out = np.empty((h, w, bpp), dtype=np.int64)
+        pos = 0
+        for y0, x0, dy, dx in _ADAM7:
+            ph = len(range(y0, h, dy))
+            pw = len(range(x0, w, dx))
+            if ph == 0 or pw == 0:
+                continue
+            block = raw[pos : pos + ph * (1 + pw * bpp)]
+            pos += ph * (1 + pw * bpp)
+            sub = _unfilter_scanlines(block, ph, pw * bpp, bpp)
+            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+    # expand to the uniform pixel space
+    if ctype == 0:  # gray → RGB replication
+        out = np.repeat(out, 3, axis=2)
+    elif ctype == 3:  # palette indices → PLTE colors (+ tRNS alpha)
+        idx = out[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        rgb = plte[idx].astype(np.int64)
+        if trns is not None:
+            alpha = np.full((h, w, 1), 255, dtype=np.int64)
+            in_trns = idx < len(trns)
+            alpha[:, :, 0][in_trns] = trns[idx[in_trns]]
+            out = np.concatenate([rgb, alpha], axis=2)
+        else:
+            out = rgb
+    elif ctype == 4:  # gray+alpha → (g, g, g, a)
+        out = np.concatenate(
+            [np.repeat(out[:, :, :1], 3, axis=2), out[:, :, 1:]], axis=2
+        )
+    c = out.shape[2]
+    return (h, w, c), out.reshape(-1).astype(np.float64)
 
 
 def png_synthesize(
@@ -2261,6 +2376,62 @@ def png_synthesize(
                 px = flat.reshape(h, w, 3).astype(np.uint8)
                 ids.append(int(i))
                 payloads.append(encode_png_rgb8(px, interlace=interlace))
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")
+
+
+def png_variant_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Arrow-batched writer for the NON-RGB PNG color types a scraped
+    web corpus actually carries: even ids become 8-bit PALETTE PNGs
+    (color type 3 — 32-entry closed-form palette
+    ``((i*7)%256, (i*11)%256, (i*13)%256)``, index plane
+    ``(seed + p) % 32``), odd ids become 8-bit GRAYSCALE PNGs (color
+    type 0 — pixel ``(seed + 2p) % 256``). Both generators are closed
+    form so oracles recompute decoded channel values without touching
+    bytes: palette pixels decode to ``palette[(seed+p)%32][c]``, gray
+    pixels replicate to RGB. Filter types cycle 0..4 per row like
+    png_synthesize."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        pal = np.stack(
+            [
+                (np.arange(32, dtype=np.int64) * 7) % 256,
+                (np.arange(32, dtype=np.int64) * 11) % 256,
+                (np.arange(32, dtype=np.int64) * 13) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                i, w, h, seed = int(i), int(w), int(h), int(seed)
+                if i % 2 == 0:
+                    idx = (
+                        (seed + np.arange(h * w, dtype=np.int64)) % 32
+                    ).reshape(h, w)
+                    payloads.append(encode_png_palette8(idx, pal))
+                else:
+                    px = (
+                        (seed + 2 * np.arange(h * w, dtype=np.int64)) % 256
+                    ).reshape(h, w)
+                    payloads.append(encode_png_gray8(px))
+                ids.append(i)
             yield pd.DataFrame({"id": ids, "payload": payloads})
 
     src = df.select(

@@ -878,6 +878,68 @@ def mm_png_adam7_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_png_palette_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 5 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+             doc_id % 101 AS seed
+      FROM documents WHERE doc_id < 200),
+    v AS (
+      SELECT g.doc_id, CAST(p.p % 3 AS INT) AS ch, p.p AS pos,
+             CAST(CASE WHEN g.doc_id % 2 = 0 THEN
+                    (((g.seed + p.p // 3) % 32)
+                     * CASE p.p % 3 WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+                    % 256
+                  ELSE (g.seed + 2 * (p.p // 3)) % 256
+                  END AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.w * g.h * 3)) AS p(p))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * pos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_png_palette_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PALETTE and GRAYSCALE PNG round trip (VERDICT r10 task #3 —
+    the color types a scraped web corpus actually carries, retiring
+    the truecolor-only guard): even docs synthesize color-type-3
+    streams (32-entry closed-form PLTE, index plane (seed+p)%32),
+    odd docs color-type-0 grayscale ((seed+2p)%256); the decoder
+    PLTE-maps palette indices and replicates gray to RGB, so both
+    variants reduce in one 3-channel aggregation. The oracle
+    recomputes each decoded channel value from the palette/gray
+    closed forms — an index-mapping or expansion slip shifts values
+    and fails the hash; the POSITION-weighted checksum additionally
+    breaks on any pixel permutation. Alpha variants (tRNS, color
+    types 4/6) are pinned by closed-form round trips in
+    tests/test_multimodal.py."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        png_variant_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    geom = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 4).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 3).alias("h"),
+        (F.col("doc_id") % 101).alias("seed"),
+    )
+    payloads = png_variant_synthesize(geom, "doc_id", "w", "h", "seed")
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(
+            F.round(F.avg("col"), 4).alias("mean_val"),
+            F.sum(F.col("col") * F.col("pos")).cast("long").alias(
+                "pos_weighted"
+            ),
+        )
+    )
+
+
+@register(
     "mm_gif_interlaced_stats",
     oracle="""
     WITH g AS (

@@ -835,8 +835,13 @@ def test_png_guards_and_corruption():
     row = [(0, [0, 0, 0])]
     with pytest.raises(NotImplementedError, match="16-bit"):
         _decode_png_pixels(_hand_png(1, 1, row, depth=16))
-    with pytest.raises(NotImplementedError, match="color type"):
-        _decode_png_pixels(_hand_png(1, 1, row, ctype=6))
+    # every SPEC color type decodes since r11; non-spec values are
+    # invalid data, not a coverage guard
+    with pytest.raises(ValueError, match="color type"):
+        _decode_png_pixels(_hand_png(1, 1, row, ctype=7))
+    # palette stream without its PLTE chunk is invalid
+    with pytest.raises(ValueError, match="PLTE"):
+        _decode_png_pixels(_hand_png(1, 1, [(0, [0])], ctype=3))
     # interlace=1 DECODES since r7 (a 1x1 Adam7 stream is pass 1 only,
     # byte-identical to the sequential stream)
     shape, flat = _decode_png_pixels(_hand_png(1, 1, [(0, [7, 8, 9])],
@@ -1176,3 +1181,83 @@ def test_jpeg_progressive_422_and_440_combined_decode():
         )
         want = np.clip(np.round(want), 0, 255).reshape(-1)
         assert np.array_equal(p1, want), samp
+
+
+# ---------------------------------------------------------------------------
+# PNG non-RGB color types (r11): palette / grayscale / alpha variants
+# ---------------------------------------------------------------------------
+
+
+def test_png_gray_and_palette_round_trip_all_filters():
+    import numpy as np
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_gray8,
+        encode_png_palette8,
+    )
+
+    g = ((np.arange(9 * 7, dtype=np.int64) * 5 + 3) % 256).reshape(9, 7)
+    pal = np.stack(
+        [(np.arange(32) * 7) % 256, (np.arange(32) * 11) % 256,
+         (np.arange(32) * 13) % 256], axis=1,
+    ).astype(np.uint8)
+    idx = (np.arange(9 * 7) % 32).reshape(9, 7)
+    for f in range(5):  # pin each filter type alone, then the cycle
+        shape, flat = _decode_png_pixels(
+            encode_png_gray8(g, lambda y, f=f: f)
+        )
+        assert shape == (9, 7, 3)
+        assert (flat.reshape(9, 7, 3) == g[:, :, None]).all()
+        shape, flat = _decode_png_pixels(
+            encode_png_palette8(idx, pal, filter_for_row=lambda y, f=f: f)
+        )
+        assert shape == (9, 7, 3)
+        assert (flat.reshape(9, 7, 3) == pal[idx]).all()
+    shape, flat = _decode_png_pixels(encode_png_gray8(g))  # cycle 0..4
+    assert (flat.reshape(9, 7, 3) == g[:, :, None]).all()
+
+
+def test_png_alpha_variants_round_trip():
+    import numpy as np
+    import pytest
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_graya8,
+        encode_png_palette8,
+        encode_png_rgba8,
+    )
+
+    # RGBA (color type 6): decoded verbatim as 4 channels
+    rgba = ((np.arange(6 * 5 * 4) * 3) % 256).reshape(6, 5, 4)
+    shape, flat = _decode_png_pixels(encode_png_rgba8(rgba))
+    assert shape == (6, 5, 4)
+    assert (flat.reshape(6, 5, 4) == rgba).all()
+    # gray+alpha (color type 4): (g, a) -> (g, g, g, a)
+    ga = ((np.arange(6 * 5 * 2) * 9 + 1) % 256).reshape(6, 5, 2)
+    shape, flat = _decode_png_pixels(encode_png_graya8(ga))
+    assert shape == (6, 5, 4)
+    out = flat.reshape(6, 5, 4)
+    assert (out[:, :, 0] == ga[:, :, 0]).all()
+    assert (out[:, :, 1] == ga[:, :, 0]).all()
+    assert (out[:, :, 2] == ga[:, :, 0]).all()
+    assert (out[:, :, 3] == ga[:, :, 1]).all()
+    # palette + tRNS: alpha per entry, opaque past the tRNS length
+    pal = np.stack([np.arange(8) * 30] * 3, axis=1).astype(np.uint8)
+    idx = (np.arange(4 * 4) % 8).reshape(4, 4)
+    shape, flat = _decode_png_pixels(
+        encode_png_palette8(idx, pal, trns=[0, 128, 255])
+    )
+    assert shape == (4, 4, 4)
+    out = flat.reshape(4, 4, 4)
+    assert (out[:, :, :3] == pal[idx]).all()
+    exp = np.where(idx == 0, 0,
+                   np.where(idx == 1, 128,
+                            np.where(idx == 2, 255, 255)))
+    assert (out[:, :, 3] == exp).all()
+    # an index past the palette is corrupt data, loudly
+    with pytest.raises(ValueError, match="palette index"):
+        _decode_png_pixels(
+            encode_png_palette8(np.full((2, 2), 9), pal[:4])
+        )
