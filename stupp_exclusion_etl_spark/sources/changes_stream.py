@@ -439,6 +439,22 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         self._last_end: int | None = None
         self._pending_offer: int | None = None
         self._planned_since_offer = False
+        # opt-in engine-call trace (option ``call_log`` = file path):
+        # the rate-cap ratchet and bootstrap anchoring above depend on
+        # OBSERVED-not-documented MicroBatchExecution behavior
+        # (pyspark 4.1.2 processingTime sequence per trigger:
+        # latestOffset BEFORE initialOffset at start; then
+        # partitions → commit(end) → latestOffset per completed batch
+        # — a fresh reader after checkpoint restart sees NO commit
+        # before its first offer, which is what the ratchet covers;
+        # this trace corrected the earlier r10 reading that commit()
+        # never fired on this path at all). The reader runs
+        # in its own python worker process, so tests cannot spy on it
+        # in-memory — this appends one line per engine call to a file,
+        # and the canary test (tests/test_changes_stream.py) fails
+        # LOUDLY if a pyspark upgrade changes the call sequence those
+        # mechanisms are anchored to.
+        self._call_log = options.get("call_log")
         cur = _current_version(self.path)
         if cur is None:
             raise ValueError(
@@ -459,10 +475,17 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
 
     # -- offsets (driver, metadata-only) ------------------------------
 
+    def _trace(self, line: str) -> None:
+        if self._call_log:
+            with open(self._call_log, "a") as fh:
+                fh.write(line + "\n")
+
     def initialOffset(self) -> dict:  # noqa: N802 — API name
+        self._trace("initialOffset")
         return {"version": self._start_version}
 
     def latestOffset(self) -> dict:  # noqa: N802 — API name
+        self._trace("latestOffset")
         head = _current_version(self.path)
         if self.max_versions_per_trigger is None:
             return {"version": head}
@@ -492,6 +515,7 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         a, b = start["version"], end["version"]
+        self._trace(f"partitions {a} {b}")
         # rate-cap anchor: every planned batch (including a pending
         # batch replayed after a checkpoint restart) re-establishes
         # where the next capped latestOffset() counts from
@@ -540,6 +564,7 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         return iter(rows)
 
     def commit(self, end: dict) -> None:
+        self._trace(f"commit {end.get('version') if isinstance(end, dict) else end}")
         # retention hook: production gates gc(keep_versions) here.
         # Also a rate-cap anchor: after a checkpoint restart with no
         # pending batch, the first completed batch's commit is the

@@ -731,3 +731,120 @@ def test_from_timestamp_subscription(spark, table):
         _reader(table, from_version="0", from_timestamp_ms=str(ts[1]))
     with pytest.raises(ValueError, match="predates"):
         _reader(table, from_timestamp_ms=str(ts[0] - 1))
+
+
+def test_engine_call_order_canary(spark, table, tmp_path):
+    """SPARK-CONTRACT CANARY (VERDICT r10 task #4). The rate-cap
+    ratchet and bootstrap anchoring in AtomicChangesStreamReader rest
+    on OBSERVED-not-documented MicroBatchExecution behavior for python
+    stream sources on pyspark 4.1.x:
+
+      1. the engine's FIRST offset call is latestOffset — before
+         initialOffset — so the cap anchor must be established at
+         reader construction, not in initialOffset;
+      2. within a run, commit(end) fires AFTER each completed batch
+         (per trigger: partitions → commit → next latestOffset), and
+         every committed end is a previously PLANNED batch end — but a
+         fresh reader after a checkpoint restart sees NO commit before
+         its first offer, which is exactly the stall the declined-offer
+         ratchet in latestOffset() covers (writing this canary
+         corrected the r10 reading that commit never fired here);
+      3. a checkpoint RESTART constructs a fresh reader whose FIRST
+         engine call is a pending-batch replay (partitions with the
+         checkpointed offsets) or a bare latestOffset poll — never a
+         commit — and planning resumes from the checkpointed offset
+         without re-serving earlier versions.
+
+    If a pyspark upgrade changes any of these, this test fails HERE
+    with a pointed message instead of the stream silently stalling or
+    double-serving — re-run it first on every pyspark bump and revisit
+    changes_stream.py's latestOffset ratchet if it trips."""
+    register_changes_stream(spark)
+    for i in range(4):
+        table.upsert(
+            _mk(spark, [(i, -float(i), f"u{i}", i + 1)]),
+            [F.col("ts").desc()],
+        )
+    log = str(tmp_path / "calls.log")
+
+    def run_once():
+        q = (
+            spark.readStream.format("atomic_changes")
+            .option("path", table.path)
+            .option("keys", "k")
+            .option("from_version", "0")
+            .option("max_versions_per_trigger", "2")
+            .option("call_log", log)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    calls = open(log).read().splitlines()
+    offset_calls = [c for c in calls if c in ("latestOffset", "initialOffset")]
+    assert offset_calls and offset_calls[0] == "latestOffset", (
+        "MicroBatchExecution no longer polls latestOffset before "
+        "initialOffset — the rate-cap anchor in changes_stream.py "
+        "latestOffset() assumed this order; revisit the ratchet"
+    )
+    assert "initialOffset" in calls, "initialOffset never consulted"
+    planned = [
+        tuple(int(x) for x in c.split()[1:])
+        for c in calls if c.startswith("partitions")
+    ]
+    real = [(a, b) for a, b in planned if b > a]
+    assert real and real[0][0] == 0 and real[-1][1] == 4, real
+    for a, b in real:
+        assert b - a <= 2, f"cap breached in planned range ({a},{b}]"
+    # commits (when the engine sends them) trail completed batches:
+    # every committed end must be a planned end, in order — if this
+    # ever reports an end that was never planned, offset accounting
+    # broke engine-side and the ratchet's anchors need review
+    commits = [int(c.split()[1]) for c in calls if c.startswith("commit")]
+    ends = [b for _a, b in real]
+    assert all(v in ends for v in commits), (commits, ends)
+    assert commits == sorted(commits), commits
+    # the first engine interaction carries no commit context — the
+    # exact window the declined-offer ratchet exists for
+    first_commit = calls.index(
+        f"commit {commits[0]}"
+    ) if commits else len(calls)
+    assert "latestOffset" in calls[:first_commit], calls[:4]
+
+    # restart with more commits: a fresh reader must resume AFTER the
+    # checkpointed offset — no range may start below the prior head
+    for i in range(4, 6):
+        table.upsert(
+            _mk(spark, [(i, -float(i), f"u{i}", i + 1)]),
+            [F.col("ts").desc()],
+        )
+    open(log, "w").close()
+    run_once()
+    calls2 = open(log).read().splitlines()
+    # the fresh reader's first engine interaction carries no commit
+    # context: either a pending-batch REPLAY (partitions with the
+    # checkpointed offsets — re-anchors via _planned_since_offer) or a
+    # bare latestOffset poll (the declined-offer ratchet's case). Both
+    # anchors exist precisely because commit is not the first call.
+    assert calls2 and calls2[0].split()[0] in (
+        "partitions", "latestOffset"
+    ) and not calls2[0].startswith("commit"), calls2[:3]
+    planned2 = [
+        tuple(int(x) for x in c.split()[1:])
+        for c in calls2 if c.startswith("partitions")
+    ]
+    real2 = [(a, b) for a, b in planned2 if b > a]
+    assert all(a >= 4 for a, b in real2), (
+        f"restart re-served pre-checkpoint versions: {real2} — the "
+        "resume contract (planning starts at the checkpointed end) "
+        "changed; bootstrap anchoring in changes_stream.py needs review"
+    )
+    assert real2 and real2[-1][1] == 6, real2
