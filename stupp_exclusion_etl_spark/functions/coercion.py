@@ -55,6 +55,34 @@ def typify_double(raw: Column) -> Column:
     return F.when(typify_tag(raw) == "double", F.trim(raw).try_cast("double"))
 
 
+def decimal_re(scale: int) -> str:
+    """Regex admitting plain decimal strings with AT MOST ``scale``
+    fractional digits — the exactness gate for typify_decimal (an
+    over-scale string must stay a string, never be silently rounded,
+    and Spark/DuckDB round differently so rounding would also break
+    oracle equality)."""
+    return rf"^[+-]?([0-9]+(\.[0-9]{{0,{scale}}})?|\.[0-9]{{1,{scale}}})$"
+
+
+def typify_decimal(raw: Column, precision: int = 18, scale: int = 4) -> Column:
+    """Money-exact numeric coercion: DynamoDB's `N` is an
+    ARBITRARY-PRECISION decimal (reference clients/dynamodb.py:51-72
+    serializes numbers as strings), so the money path must not round
+    through binary doubles. Same guard semantics as typify_tag (no
+    e/inf/nan anywhere, whitespace-tolerant), value lands in
+    DECIMAL(precision, scale). Exactness contract: a string with more
+    fractional digits than ``scale`` (or too many integer digits for
+    ``precision``) is NOT silently rounded — it fails the gate and
+    coerces to NULL, exactly like any other unparseable string."""
+    t = F.trim(raw)
+    return F.when(
+        raw.isNotNull()
+        & ~raw.rlike(GUARD_RE)
+        & t.rlike(decimal_re(scale)),
+        t.try_cast(f"decimal({precision},{scale})"),
+    )
+
+
 def typify(raw: Column) -> Column:
     """Full coercion as a struct(tag, long_val, double_val, str_val)."""
     return F.struct(

@@ -766,3 +766,119 @@ def atomic_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             has_disc=True,
         ))
     )
+
+
+@register(
+    "coercion_decimal_money",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderpriority AS pr FROM orders),
+    b1 AS (
+      SELECT k, pr,
+             try_cast(printf('%d.%02d', k % 10000, (k * 31) % 100)
+                      AS DECIMAL(12,2)) AS amt
+      FROM base WHERE k % 3 <> 0),
+    raw2 AS (
+      SELECT k, pr,
+             CASE WHEN k % 97 = 0 THEN '1E5'
+                  WHEN k % 97 = 1 THEN ' 12.50 '
+                  WHEN k % 97 = 2 THEN '12.34567'
+                  WHEN k % 97 = 3 THEN 'abc'
+                  ELSE printf('%d.%04d', k % 10000, (k * 7919) % 10000)
+             END AS s
+      FROM base WHERE k % 2 = 0),
+    b2 AS (
+      SELECT k, pr,
+             CASE WHEN regexp_matches(s, '(?i)(e|inf|nan)') THEN NULL
+                  WHEN regexp_matches(trim(s),
+                       '^[+-]?([0-9]+(\\.[0-9]{0,4})?|\\.[0-9]{1,4})$')
+                    THEN try_cast(trim(s) AS DECIMAL(18,4))
+             END AS amt
+      FROM raw2),
+    head AS (
+      SELECT COALESCE(b2.k, b1.k) AS k,
+             COALESCE(b2.pr, b1.pr) AS pr,
+             CASE WHEN b2.k IS NOT NULL THEN b2.amt ELSE b1.amt END AS amt
+      FROM b1 FULL JOIN b2 ON b1.k = b2.k),
+    cdc AS (
+      SELECT CASE WHEN b1.k IS NULL THEN 'insert' ELSE 'update' END AS grp,
+             b2.amt AS amt
+      FROM b2 LEFT JOIN b1 ON b1.k = b2.k)
+    SELECT 'head' AS section, pr AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CAST(SUM(amt) AS DECIMAL(38,4)) AS VARCHAR) AS total,
+           CAST(SUM(CASE WHEN amt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null
+    FROM head GROUP BY pr
+    UNION ALL
+    SELECT 'cdc', grp, CAST(COUNT(*) AS BIGINT),
+           CAST(CAST(SUM(amt) AS DECIMAL(38,4)) AS VARCHAR),
+           CAST(SUM(CASE WHEN amt IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM cdc GROUP BY grp
+    """,
+    tags=("A13", "A15", "B14", "C16"),
+)
+def coercion_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL-money fidelity end to end (VERDICT r10 task #5 —
+    SURVEY §1.2: DynamoDB `N` is arbitrary-precision decimal, so the
+    money path must never round through binary doubles): money
+    STRINGS — clean 2dp, clean 4dp, plus the guard cases (scientific
+    notation, whitespace-tolerant, OVER-scale '12.34567' which must
+    coerce to NULL rather than round since Spark and DuckDB round
+    differently, and plain garbage) — parse through
+    functions.coercion.typify_decimal into DECIMAL(12,2) (batch 1)
+    and DECIMAL(18,4) (batch 2), upsert into an atomic table whose
+    manifest schema must WIDEN across the two decimal types
+    (sinks/atomic.py _wider_ddl_type lattice), and the verified
+    outputs are the head snapshot's per-priority EXACT decimal sums
+    AND the v0→v1 change feed's sums — both compared as fixed-scale
+    DECIMAL(38,4) strings, so a single ulp of float contamination
+    anywhere in ingest, merge, widening, or CDC breaks the hash."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.functions.coercion import typify_decimal
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("pr")
+    )
+    k = F.col("k")
+    amt1 = F.format_string("%d.%02d", k % 10000, (k * 31) % 100)
+    b1 = (
+        o.filter(k % 3 != 0)
+        .withColumn("amt", typify_decimal(amt1, 12, 2))
+        .withColumn("ts", F.lit(1))
+    )
+    s2 = (
+        F.when(k % 97 == 0, F.lit("1E5"))
+        .when(k % 97 == 1, F.lit(" 12.50 "))
+        .when(k % 97 == 2, F.lit("12.34567"))
+        .when(k % 97 == 3, F.lit("abc"))
+        .otherwise(F.format_string("%d.%04d", k % 10000, (k * 7919) % 10000))
+    )
+    b2 = (
+        o.filter(k % 2 == 0)
+        .withColumn("amt", typify_decimal(s2, 18, 4))
+        .withColumn("ts", F.lit(2))
+    )
+    t = AtomicParquetTable(
+        spark, tempfile.mkdtemp(prefix="atomic_dec_"), keys=["k"]
+    )
+    t.upsert(b1, [F.col("ts").desc()])
+    t.upsert(b2, [F.col("ts").desc()])
+
+    def agg(df: DataFrame, grp: Column, section: str) -> DataFrame:
+        return (
+            df.groupBy(grp.alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("amt").cast("decimal(38,4)").cast("string")
+                .alias("total"),
+                F.sum(F.col("amt").isNull().cast("long")).alias("n_null"),
+            )
+            .select(F.lit(section).alias("section"), "*")
+        )
+
+    head = agg(t.read(), F.col("pr"), "head")
+    cdc = agg(t.changes(0, 1), F.col("_change_type"), "cdc")
+    return head.unionByName(cdc)

@@ -128,3 +128,37 @@ def test_typify_array_heterogeneous(spark):
     assert row.t[0].long_val == 42
     assert row.t[1].double_val == 0.25
     assert row.t[3].str_val == "1E1771"
+
+
+def test_typify_decimal_exactness_contract(spark):
+    """Money coercion (r11): guard semantics shared with typify_tag,
+    value exact in DECIMAL(p,s), and OVER-scale strings coerce to
+    NULL instead of rounding (Spark HALF_UP vs DuckDB HALF_EVEN would
+    silently diverge)."""
+    from decimal import Decimal
+
+    from stupp_exclusion_etl_spark.functions.coercion import typify_decimal
+
+    rows = [
+        ("12.50",), (" 12.50 ",), ("0.0001",), ("-3.14",), ("7",),
+        ("12.34567",),      # over-scale: NULL, never rounded
+        ("1E5",), ("inf",), ("nan",), ("abc",), ("",), (None,),
+        ("99999999999999.9999",),   # 18 digits: fits DECIMAL(18,4)
+        ("999999999999999.9999",),  # 19 digits: overflows -> NULL
+    ]
+    df = spark.createDataFrame(rows, "s string").select(
+        typify_decimal(F.col("s")).alias("d")
+    )
+    got = [r.d for r in df.collect()]
+    exp = [
+        Decimal("12.5000"), Decimal("12.5000"), Decimal("0.0001"),
+        Decimal("-3.1400"), Decimal("7.0000"),
+        None, None, None, None, None, None, None,
+        Decimal("99999999999999.9999"), None,
+    ]
+    assert got == exp
+    # scale gate follows the requested scale
+    df2 = spark.createDataFrame([("1.234",), ("1.23",)], "s string").select(
+        typify_decimal(F.col("s"), 12, 2).alias("d")
+    )
+    assert [r.d for r in df2.collect()] == [None, Decimal("1.23")]
