@@ -882,3 +882,82 @@ def coercion_decimal_money(spark: SparkSession, sf_dir: str) -> DataFrame:
     head = agg(t.read(), F.col("pr"), "head")
     cdc = agg(t.changes(0, 1), F.col("_change_type"), "cdc")
     return head.unionByName(cdc)
+
+
+@register(
+    "atomic_sql_time_travel",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 10 < 5),
+    b2 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 10 BETWEEN 3 AND 7),
+    head AS (
+      SELECT COALESCE(b2.o_orderkey, b1.o_orderkey) AS k,
+             COALESCE(b2.o_totalprice, b1.o_totalprice) AS price,
+             COALESCE(b2.o_orderpriority, b1.o_orderpriority) AS pr
+      FROM b1 FULL JOIN b2 ON b1.o_orderkey = b2.o_orderkey)
+    SELECT 'v0' AS section, o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM b1 GROUP BY 2
+    UNION ALL
+    SELECT 'ts', o_orderpriority, CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(o_totalprice), 2)
+    FROM b1 GROUP BY 2
+    UNION ALL
+    SELECT 'head', pr, CAST(COUNT(*) AS BIGINT), ROUND(SUM(price), 2)
+    FROM head GROUP BY 2
+    """,
+    tags=("A16", "C16"),
+)
+def atomic_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL facade for time travel (VERDICT r10 task #7): after two
+    overlapping upserts, EVERYTHING below the table API is plain
+    ``spark.sql`` over views — ``create_view`` pins the v0 snapshot by
+    VERSION, the same snapshot by TIMESTAMP (resolved through
+    version_at, so the 'ts' section must hash-equal the 'v0' one), and
+    the live head. The oracle restates the upsert algebra; a facade
+    that resolved the wrong snapshot, or a timestamp pin drifting off
+    its version twin, shifts a whole section and fails the hash."""
+    import tempfile
+    import uuid as _uuid
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    t = AtomicParquetTable(
+        spark, tempfile.mkdtemp(prefix="atomic_sql_"), keys=["o_orderkey"]
+    )
+    t.upsert(o.filter(k % 10 < 5).withColumn("b", F.lit(1)),
+             [F.col("b").desc()])
+    v0 = t.current_version()
+    t.upsert(
+        o.filter((k % 10 >= 3) & (k % 10 <= 7))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+        .withColumn("b", F.lit(2)),
+        [F.col("b").desc()],
+    )
+    tag = _uuid.uuid4().hex[:8]
+    v_v0 = t.create_view(f"att_{tag}_v0", version=v0)
+    v_ts = t.create_view(
+        f"att_{tag}_ts", as_of_timestamp_ms=t._commit_time_ms(v0)
+    )
+    v_head = t.create_view(f"att_{tag}_head")
+    return spark.sql(f"""
+        SELECT 'v0' AS section, o_orderpriority AS grp,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM {v_v0} GROUP BY 2
+        UNION ALL
+        SELECT 'ts', o_orderpriority, COUNT(*),
+               ROUND(SUM(o_totalprice), 2)
+        FROM {v_ts} GROUP BY 2
+        UNION ALL
+        SELECT 'head', o_orderpriority, COUNT(*),
+               ROUND(SUM(o_totalprice), 2)
+        FROM {v_head} GROUP BY 2
+    """)

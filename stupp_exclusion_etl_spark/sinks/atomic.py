@@ -1184,6 +1184,44 @@ class AtomicParquetTable:
             df = self._maybe_broadcast_hint(df, man, rel, where)
         return df
 
+    def table_at(
+        self,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        """``read()`` that RAISES instead of returning None — the
+        helper behind the SQL facade, where "no table yet" is an
+        error, not an empty frame."""
+        df = self.read(version=version, as_of_timestamp_ms=as_of_timestamp_ms)
+        if df is None:
+            raise ValueError(f"no table at {self.path}")
+        return df
+
+    def create_view(
+        self,
+        name: str,
+        version: int | None = None,
+        as_of_timestamp_ms: int | None = None,
+    ) -> str:
+        """SQL facade for time travel (Delta's ``VERSION AS OF`` /
+        ``TIMESTAMP AS OF`` for the SQL-first user): register a temp
+        view over the head snapshot, a pinned ``version``, or the
+        version current at ``as_of_timestamp_ms`` — after this,
+        ``spark.sql("SELECT ... FROM <name>")`` needs no Python table
+        API at all. The view's plan lists exactly the snapshot's live
+        files, so it keeps every read-path guarantee (orphan/in-flight
+        invisibility, VersionExpiredError on expired pins) and is
+        STABLE under concurrent writers: a head view re-reads the same
+        manifest until re-created, like Delta's snapshot isolation per
+        query. pyspark exposes no catalog hook to parse the literal
+        ``VERSION AS OF`` syntax without a JVM plugin, so pinning is
+        spelled at view-creation time — the same algebra, one call
+        earlier. Returns ``name`` for chaining."""
+        self.table_at(
+            version=version, as_of_timestamp_ms=as_of_timestamp_ms
+        ).createOrReplaceTempView(name)
+        return name
+
     def _keyed_row_bound(self, where: list[tuple]) -> int | None:
         """PROVABLE output-row bound for a keyed probe read, or None:
         when every table key column is constrained by an =/IN
