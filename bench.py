@@ -146,6 +146,10 @@ HEADLINE = [
     "atomic_probe_join",
     # r10 additions
     "atomic_schema_evolution",
+    # r11 additions
+    "mm_png_palette_decode_stats",
+    "coercion_decimal_money",
+    "atomic_sql_time_travel",
 ]
 
 
