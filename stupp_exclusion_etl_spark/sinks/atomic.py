@@ -580,7 +580,16 @@ def _footer_stats(local_path: str) -> dict | None:
             "max": hi if hi_ok else None,
             "nulls": nulls if nulls_ok else None,
         }
-    return {"rows": md.num_rows, "cols": cols}
+    # on-disk size rides with the stats (Iceberg's file_size_in_bytes):
+    # merge sizing and broadcast estimates then read the manifest
+    # instead of a getFileStatus per live file
+    import os as _os
+
+    return {
+        "rows": md.num_rows,
+        "bytes": _os.path.getsize(local_path),
+        "cols": cols,
+    }
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in", "is_null", "not_null")
@@ -1281,8 +1290,13 @@ class AtomicParquetTable:
             return df
         nbytes = 0
         for f in rel:
-            fs, p, _jvm = _fs(self.spark, f"{self.path}/{DATA_DIR}/{f}")
-            nbytes += fs.getFileStatus(p).getLen()
+            b = (stats.get(f) or {}).get("bytes")
+            if b is None:  # pre-r11 manifest entry: one stat call
+                fs, p, _jvm = _fs(
+                    self.spark, f"{self.path}/{DATA_DIR}/{f}"
+                )
+                b = fs.getFileStatus(p).getLen()
+            nbytes += b
         if bound * (nbytes / rows) <= thr_b:
             df = df.hint("broadcast")
         return df
@@ -1575,12 +1589,15 @@ class AtomicParquetTable:
                 if f in pool_stats:
                     stats[f] = pool_stats[f]
             name = f"c-{uuid.uuid4().hex}.json"
+            # compact separators, no indent: chunks are machine-read
+            # metadata on the per-commit hot path; the small HUMAN
+            # artifact is the commit record, which stays pretty-printed
             _write_text_plain(
                 self.spark,
                 f"{self.path}/{CHUNKS_DIR}/{name}",
                 json.dumps(
                     {"partitions": parts, "stats": stats},
-                    indent=1,
+                    separators=(",", ":"),
                     sort_keys=True,
                 ),
             )
@@ -1709,6 +1726,7 @@ class AtomicParquetTable:
             .groupBy("__f").agg(*aggs).collect()
         )
         by_suffix = _rows_by_rel(rows, rel_files)
+        fs, _p, jvm = _fs(self.spark, self.path)
         out = {}
         for rel, r in by_suffix.items():
             cstats = {}
@@ -1719,7 +1737,15 @@ class AtomicParquetTable:
                     "max": _enc_stat_value(r[f"__mx_{c}"], tag),
                     "nulls": int(r[f"__nl_{c}"]),
                 }
-            out[rel] = {"rows": int(r["__rows"]), "cols": cstats}
+            out[rel] = {
+                "rows": int(r["__rows"]),
+                "bytes": fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{DATA_DIR}/{rel}"
+                    )
+                ).getLen(),
+                "cols": cstats,
+            }
         return out
 
     def _index_blooms(self, new_by_part: dict[str, list[str]]) -> dict:
@@ -1781,30 +1807,45 @@ class AtomicParquetTable:
             out[rel] = blooms
         return out
 
-    def _merge_numparts(self, rel_files) -> int | None:
+    def _merge_numparts(self, rel_files, stats=None) -> int | None:
         """Sort-task count for a re-merge reading ``rel_files``: their
         on-disk bytes / MERGE_TASK_TARGET_BYTES, floored at the
         cluster parallelism, capped at 16384. None when the set is
-        empty. Metadata-only — one getFileStatus per file that is
-        about to be fully read anyway."""
+        empty OR under one task's worth of bytes — a PINNED partition
+        count is exempt from AQE coalescing (that exemption IS the
+        big-input fix: AQE sizes by compressed map bytes and coalesced
+        the sf10 sort input into a handful of starved tasks), but on a
+        small table the same pinning forces dozens of near-empty tasks
+        per commit where AQE's coalescing was exactly right — measured
+        2× on the sf0.1 bench, so below the threshold the session
+        planning stands. Metadata-only — one getFileStatus per file
+        that is about to be fully read anyway."""
         rel_files = list(rel_files)
         if not rel_files:
             return None
-        fs, _p, jvm = _fs(self.spark, self.path)
+        stats = stats or {}
         nbytes = 0
+        fs = jvm = None
         for f in rel_files:
-            nbytes += fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{self.path}/{DATA_DIR}/{f}"
-                )
-            ).getLen()
+            b = (stats.get(f) or {}).get("bytes")
+            if b is None:  # pre-r11 manifests: stat the file once
+                if fs is None:
+                    fs, _p, jvm = _fs(self.spark, self.path)
+                b = fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{DATA_DIR}/{f}"
+                    )
+                ).getLen()
+            nbytes += b
+        if nbytes < MERGE_TASK_TARGET_BYTES:
+            return None
         n = max(
             self.spark.sparkContext.defaultParallelism,
             -(-nbytes // MERGE_TASK_TARGET_BYTES),
         )
         return int(min(n, 16384))
 
-    def _merge_sized(self, df: DataFrame, rel_files) -> DataFrame:
+    def _merge_sized(self, df: DataFrame, rel_files, stats=None) -> DataFrame:
         """Repartition a merge input by the table key with the
         manifest-derived partition count (see MERGE_TASK_TARGET_BYTES).
         The downstream keep-latest window / SMJ requires clustering by
@@ -1813,7 +1854,7 @@ class AtomicParquetTable:
         explicit numPartitions is exempt from AQE coalescing, which
         sizes by shuffle-map bytes and would under-provision the
         decompressed sort."""
-        n = self._merge_numparts(rel_files)
+        n = self._merge_numparts(rel_files, stats)
         if n is None:
             return df
         return df.repartition(n, *self.keys)
@@ -1962,6 +2003,7 @@ class AtomicParquetTable:
                         new_data, allowMissingColumns=True
                     ),
                     [f for fl in cand.values() for f in fl],
+                    man.get("stats", {}),
                 ),
                 self.keys,
                 order_by,
@@ -2256,6 +2298,7 @@ class AtomicParquetTable:
             return scoped
 
         if not self.partition_by:
+            pman = self._manifest(parent)
             merged = keep_latest(
                 self._merge_sized(
                     existing.unionByName(
@@ -2263,11 +2306,10 @@ class AtomicParquetTable:
                     ),
                     [
                         f
-                        for fl in self._manifest(parent)[
-                            "partitions"
-                        ].values()
+                        for fl in pman["partitions"].values()
                         for f in fl
                     ],
+                    pman.get("stats", {}),
                 ),
                 self.keys,
                 order_by,
@@ -2300,6 +2342,7 @@ class AtomicParquetTable:
                     for part in touched_dirs
                     for f in pman["partitions"].get(part, ())
                 ],
+                pman.get("stats", {}),
             ),
             self.keys,
             order_by,
@@ -2345,15 +2388,15 @@ class AtomicParquetTable:
 
         if not self.partition_by:
             if not probe_small:
+                pman = self._manifest(parent)
                 existing = self._merge_sized(
                     existing,
                     [
                         f
-                        for fl in self._manifest(parent)[
-                            "partitions"
-                        ].values()
+                        for fl in pman["partitions"].values()
                         for f in fl
                     ],
+                    pman.get("stats", {}),
                 )
             kept = existing.join(doomed, self.keys, "left_anti")
             kept = kept.localCheckpoint(eager=True)
@@ -2385,6 +2428,7 @@ class AtomicParquetTable:
                     for part in touched_dirs
                     for f in pman["partitions"].get(part, ())
                 ],
+                pman.get("stats", {}),
             )
         kept = relevant.join(doomed, self.keys, "left_anti")
         kept = kept.localCheckpoint(eager=True)
@@ -2495,15 +2539,15 @@ class AtomicParquetTable:
                 # table-scale source ⇒ the anti-join is an SMJ whose
                 # sort must not inherit the session's global shuffle
                 # sizing — derive the task count from the manifest
+                pman = self._manifest(parent)
                 existing = self._merge_sized(
                     existing,
                     [
                         f
-                        for fl in self._manifest(parent)[
-                            "partitions"
-                        ].values()
+                        for fl in pman["partitions"].values()
                         for f in fl
                     ],
+                    pman.get("stats", {}),
                 )
             kept = (
                 existing.join(matched_keys, self.keys, "left_anti")
@@ -2543,6 +2587,7 @@ class AtomicParquetTable:
                     for part in touched_dirs
                     for f in pman["partitions"].get(part, ())
                 ],
+                pman.get("stats", {}),
             )
         kept = (
             relevant.join(matched_keys, self.keys, "left_anti")
@@ -2877,12 +2922,17 @@ class AtomicParquetTable:
         fs, _p, jvm = _fs(self.spark, self.path)
         needs: dict[str, list[str]] = {}
         wants: dict[str, int] = {}
+        mstats = man.get("stats", {})
         for part, files in man["partitions"].items():
             if len(files) <= 1:
                 continue
             total = sum(
-                fs.getFileStatus(
-                    jvm.org.apache.hadoop.fs.Path(f"{self.path}/{DATA_DIR}/{f}")
+                (mstats.get(f) or {}).get("bytes")
+                if (mstats.get(f) or {}).get("bytes") is not None
+                else fs.getFileStatus(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.path}/{DATA_DIR}/{f}"
+                    )
                 ).getLen()
                 for f in files
             )

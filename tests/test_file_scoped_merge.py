@@ -429,10 +429,11 @@ def test_merge_shuffle_sizing_from_manifest(spark, tmp_path, monkeypatch):
         os.path.getsize(os.path.join(t.path, "data", f)) for f in rel
     )
     par = spark.sparkContext.defaultParallelism
-    # real target: small table floors at the cluster parallelism
-    assert t._merge_numparts(rel) == max(
-        par, math.ceil(nbytes / atomic.MERGE_TASK_TARGET_BYTES)
-    )
+    # below one task's worth of bytes the session planning stands
+    # (pinning tiny sorts defeats AQE coalescing — the sf0.1 bench
+    # measured 2×), so the real target declines to size this table
+    assert nbytes < atomic.MERGE_TASK_TARGET_BYTES
+    assert t._merge_numparts(rel) is None
     # shrink the per-task target so the byte math decides
     monkeypatch.setattr(atomic, "MERGE_TASK_TARGET_BYTES", 1024)
     want = max(par, math.ceil(nbytes / 1024))
@@ -445,9 +446,9 @@ def test_merge_shuffle_sizing_from_manifest(spark, tmp_path, monkeypatch):
     calls = []
     orig = AtomicParquetTable._merge_sized
 
-    def spy(self, df, rel_files):
+    def spy(self, df, rel_files, stats=None):
         calls.append(sorted(rel_files))
-        return orig(self, df, rel_files)
+        return orig(self, df, rel_files, stats)
 
     monkeypatch.setattr(AtomicParquetTable, "_merge_sized", spy)
     doomed = spark.createDataFrame(
