@@ -2105,13 +2105,75 @@ class AtomicParquetTable:
 
     # -- optimistic-concurrency rebase --------------------------------
 
+    def _side_files(self, version: int | None) -> dict[str, set[str]]:
+        """{partition: set(files)} of one snapshot, full assembly."""
+        if version is None:
+            return {}
+        man = self._manifest(version)
+        return {p: set(fl) for p, fl in man["partitions"].items()}
+
+    def _diff_sides(
+        self, va: int | None, vb: int | None
+    ) -> tuple[dict[str, set[str]], dict[str, set[str]]]:
+        """Per-partition file sets present ONLY on each side of
+        (va, vb) — the primitive under the change feed, rebase
+        disjointness, and CDC batch planning. When both commit records
+        are format 2, this is a CHUNK-LEVEL diff: chunks carried by
+        name between the two versions are byte-identical and cannot
+        contribute a difference, so only the differing chunks are
+        opened — O(changed chunks) metadata I/O per feed/batch, the
+        property that keeps an incremental consumer cheap on a
+        100k-file table. Files that merely MOVED between chunks
+        (small-chunk maintenance re-packs survivors) appear in
+        differing chunks on BOTH sides and cancel in the set
+        difference, so re-chunking is invisible — exactly like
+        compaction rows cancelling in the row-level diff. Falls back
+        to full assembly when either side is format 1 or absent."""
+        la = None if va is None else self._manifest_light(va)
+        lb = None if vb is None else self._manifest_light(vb)
+        if (
+            la is not None and lb is not None
+            and la.get("format", 1) == 2 and lb.get("format", 1) == 2
+        ):
+            names_a = {c["name"] for c in la["chunks"]}
+            names_b = {c["name"] for c in lb["chunks"]}
+
+            def side(light, other_names) -> dict[str, set[str]]:
+                out: dict[str, set[str]] = {}
+                for ch in light["chunks"]:
+                    if ch["name"] in other_names:
+                        continue  # shared chunk ⇒ identical entries
+                    data = self._read_chunk(ch["name"])
+                    for p, fl in data["partitions"].items():
+                        out.setdefault(p, set()).update(fl)
+                return out
+
+            fa = side(la, names_b)
+            fb = side(lb, names_a)
+        else:
+            fa = self._side_files(va)
+            fb = self._side_files(vb)
+        only_a = {
+            p: s - fb.get(p, set())
+            for p, s in fa.items()
+            if s - fb.get(p, set())
+        }
+        only_b = {
+            p: s - fa.get(p, set())
+            for p, s in fb.items()
+            if s - fa.get(p, set())
+        }
+        return only_a, only_b
+
     def _changed_parts(self, parent: int | None, cur: int) -> set[str]:
         """Partition dirs whose live-file entries differ between two
         snapshots — i.e. everything intervening commits replaced,
-        added or dropped. Metadata-scale (manifest diff)."""
-        pa = {} if parent is None else self._manifest(parent)["partitions"]
-        pc = self._manifest(cur)["partitions"]
-        return {p for p in set(pa) | set(pc) if pa.get(p) != pc.get(p)}
+        added or dropped. O(changed chunks) on format-2 history
+        (_diff_sides); a partition's shared-chunk entries are equal on
+        both sides by construction, so it changed iff some file is
+        exclusive to one side."""
+        only_a, only_b = self._diff_sides(parent, cur)
+        return set(only_a) | set(only_b)
 
     def _keys_in_parts(self, cur: int, parts: set[str],
                        batch_keys: DataFrame) -> bool:
@@ -2738,18 +2800,12 @@ class AtomicParquetTable:
             since = self.version_at(since_timestamp_ms)
         if until_timestamp_ms is not None:
             until = self.version_at(until_timestamp_ms)
-        man_a = self._manifest(since)
-        man_b = (
-            self._manifest(until)
-            if until is not None
-            else self.snapshot()
-        )
-        files_a = {
-            f for fl in man_a["partitions"].values() for f in fl
-        }
-        files_b = {
-            f for fl in man_b["partitions"].values() for f in fl
-        }
+        if until is None:
+            until = self.current_version()
+        # chunk-level manifest diff (O(changed chunks) on format-2
+        # history): the feed's input is exactly the files exclusive to
+        # one side — shared chunks never open
+        only_a, only_b = self._diff_sides(since, until)
 
         def read_files(files: set[str]) -> DataFrame | None:
             if not files:
@@ -2761,10 +2817,12 @@ class AtomicParquetTable:
                 .parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in files])
             )
 
-        old = read_files(files_a - files_b)
-        new = read_files(files_b - files_a)
+        old = read_files({f for s in only_a.values() for f in s})
+        new = read_files({f for s in only_b.values() for f in s})
         if old is None and new is None:
-            empty = self.spark.createDataFrame([], man_b["schema_ddl"])
+            empty = self.spark.createDataFrame(
+                [], self._manifest_light(until)["schema_ddl"]
+            )
             return empty.withColumn("_change_type", F.lit(""))
         # align schemas (evolution may have widened either side)
         if old is None:

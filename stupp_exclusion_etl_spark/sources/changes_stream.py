@@ -132,7 +132,7 @@ def _manifest_light(path: str, version: int) -> dict:
 def _manifest(path: str, version: int) -> dict:
     """Assembled snapshot (full partitions + stats): format-1 records
     as-is; format-2 records get their entry chunks merged — only the
-    batch-planning path (manifest diff) pays this."""
+    format-1 fallback of the diff pays this."""
     man = _manifest_light(path, version)
     if man.get("format", 1) == 1:
         return man
@@ -150,6 +150,58 @@ def _manifest(path: str, version: int) -> dict:
     man["partitions"] = {p: sorted(fl) for p, fl in sorted(parts.items())}
     man["stats"] = stats
     return man
+
+
+def _diff_versions(
+    path: str, va: int | None, vb: int
+) -> tuple[set, set, dict]:
+    """(files only at va, files only at vb, stats for those files) —
+    the micro-batch's input. CHUNK-LEVEL on format-2 history (the
+    stream-side twin of AtomicParquetTable._diff_sides): chunks the
+    two commit records share by name are byte-identical and cannot
+    contribute entered/left files, so each poll's planning opens only
+    the differing chunks — O(changed chunks) driver I/O per batch, not
+    O(table). A diff file's stats ride in the differing chunk that
+    holds it, so key-range grouping needs nothing further. Files that
+    merely moved between chunks (small-chunk maintenance) appear on
+    both sides and cancel. ``va=None`` (bootstrap) serves the whole vb
+    snapshot."""
+    la = None if va is None else _manifest_light(path, va)
+    lb = _manifest_light(path, vb)
+    if (la is None or la.get("format", 1) == 2) and lb.get("format", 1) == 2:
+        names_a = set() if la is None else {c["name"] for c in la["chunks"]}
+        names_b = {c["name"] for c in lb["chunks"]}
+        stats: dict = {}
+
+        def side(light, other_names) -> set:
+            out: set = set()
+            if light is None:
+                return out
+            for ch in light["chunks"]:
+                if ch["name"] in other_names:
+                    continue
+                with open(os.path.join(
+                    path, _MANIFEST_DIR, "chunks", ch["name"]
+                )) as fh:
+                    data = json.load(fh)
+                for fl in data["partitions"].values():
+                    out.update(fl)
+                stats.update(data.get("stats", {}))
+            return out
+
+        fa = side(la, names_b)
+        fb = side(lb, names_a)
+    else:
+        man_a = (
+            {"partitions": {}, "stats": {}}
+            if va is None
+            else _manifest(path, va)
+        )
+        man_b = _manifest(path, vb)
+        fa = {f for fl in man_a["partitions"].values() for f in fl}
+        fb = {f for fl in man_b["partitions"].values() for f in fl}
+        stats = {**man_a.get("stats", {}), **man_b.get("stats", {})}
+    return fa - fb, fb - fa, stats
 
 
 def _partition_values(rel_path: str) -> dict[str, str | None]:
@@ -279,6 +331,21 @@ def _key_bounds(man: dict, f: str, k0: str):
 def _plan_groups(
     man_a: dict, man_b: dict, k0: str, max_partitions: int
 ) -> list[tuple[list[str], list[str]]]:
+    """Manifest-dict facade over _plan_groups_files (kept for tests /
+    format-1 callers): computes the two-sided file diff and merged
+    stats, then key-range-groups them."""
+    files_a = {f for fl in man_a["partitions"].values() for f in fl}
+    files_b = {f for fl in man_b["partitions"].values() for f in fl}
+    stats = {**man_a.get("stats", {}), **man_b.get("stats", {})}
+    return _plan_groups_files(
+        files_a - files_b, files_b - files_a, stats, k0, max_partitions
+    )
+
+
+def _plan_groups_files(
+    files_old: set, files_new: set, stats: dict, k0: str,
+    max_partitions: int,
+) -> list[tuple[list[str], list[str]]]:
     """Group the entered/left files into key-range-disjoint
     (files_old, files_new) partitions via an interval sweep over the
     manifest's per-file [min,max] on ``k0`` (metadata only — no data
@@ -288,20 +355,14 @@ def _plan_groups(
     that makes the per-partition outer-join diff complete. Any file
     without usable bounds collapses to one partition (sound, just
     unparallel). Adjacent groups merge down to ``max_partitions``."""
-    files_a = {f for fl in man_a["partitions"].values() for f in fl}
-    files_b = {f for fl in man_b["partitions"].values() for f in fl}
-    sides = [(f, 0, man_a) for f in files_a - files_b] + [
-        (f, 1, man_b) for f in files_b - files_a
-    ]
+    sides = [(f, 0) for f in files_old] + [(f, 1) for f in files_new]
     if not sides:
         return []
     items = []
-    for f, side, man in sides:
-        b = _key_bounds(man, f, k0)
+    for f, side in sides:
+        b = _key_bounds({"stats": stats}, f, k0)
         if b is None:
-            return [(
-                sorted(files_a - files_b), sorted(files_b - files_a)
-            )]
+            return [(sorted(files_old), sorted(files_new))]
         items.append((b[0], b[1], f, side))
     items.sort(key=lambda t: (t[0], t[1], t[2]))
     groups: list[list[set]] = []
@@ -531,19 +592,19 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
         # snapshot as inserts and the stream tails from there (Delta
         # CDF's startingVersion=0 shape). Still partition-planned: the
         # snapshot's files group by key range like any other batch.
-        man_a = (
-            {"partitions": {}, "stats": {}}
-            if a < 0
-            else _manifest(self.path, a)
+        # _diff_versions is chunk-level on format-2 history, so each
+        # poll's planning opens O(changed chunks), not the whole
+        # manifest.
+        files_old, files_new, stats = _diff_versions(
+            self.path, None if a < 0 else a, b
         )
         return [
             ChangesPartition(
                 self.path, self.keys, self.cols, self.types, fo, fn,
                 end_version=b if self.emit_end_version else None,
             )
-            for fo, fn in _plan_groups(
-                man_a,
-                _manifest(self.path, b),
+            for fo, fn in _plan_groups_files(
+                files_old, files_new, stats,
                 self.keys[0],
                 self.max_partitions,
             )

@@ -301,3 +301,39 @@ def test_chunked_manifest_end_to_end_real_data(spark, tmp_path):
     # restore + read-back
     t.restore(version=0)
     assert {r.v for r in t.read().collect()} == {float(k) for k in range(40)}
+
+
+def test_cdc_diff_opens_only_changed_chunks(spark, tmp_path, read_log):
+    """changes()/CDC planning is O(changed chunks): between two
+    versions of a 100k-entry table that differ in one partition, the
+    chunk-level diff opens ≤ a handful of chunk files on each side and
+    produces exactly the exclusive file sets — shared (carried-by-name)
+    chunks never open; files that merely moved between chunks during
+    small-chunk maintenance cancel."""
+    t, by_part = _synthetic_table(spark, tmp_path)
+    t._commit(
+        0, {"p=7": ["p=7/f-new-0001.parquet"]}, set(),
+        "k int, v double, ts int",
+        replaced_files={"p=7": set(by_part["p=7"][:3])},
+        precomputed_stats={},
+    )
+    read_log.clear()
+    t._light_cache.clear()
+    only_a, only_b = t._diff_sides(0, 1)
+    assert len(_chunk_reads(read_log)) <= 4
+    assert set(only_a) == {"p=7"} and set(only_b) == {"p=7"}
+    assert only_a["p=7"] == set(by_part["p=7"][:3])
+    assert only_b["p=7"] == {"p=7/f-new-0001.parquet"}
+    # _changed_parts rides the same primitive
+    read_log.clear()
+    assert t._changed_parts(0, 1) == {"p=7"}
+    assert len(_chunk_reads(read_log)) <= 4
+
+    # stream-side twin: same bound, same diff
+    from stupp_exclusion_etl_spark.sources.changes_stream import (
+        _diff_versions,
+    )
+
+    fa, fb, _stats = _diff_versions(t.path, 0, 1)
+    assert fa == set(by_part["p=7"][:3])
+    assert fb == {"p=7/f-new-0001.parquet"}
