@@ -396,6 +396,37 @@ def _chunk_bloom_may_contain(b64: str, name: str) -> bool:
     )
 
 
+def _chunk_ranges(names: list, stats: dict) -> dict:
+    """Per-column [min, max, tag] across a chunk's files — the commit
+    record's manifest-list summary that lets a predicated read skip
+    whole chunks unopened. A column appears ONLY when every file in
+    the chunk has full known bounds for it with one consistent type
+    tag (unknowns would make a skip unsound, so they simply withhold
+    the summary)."""
+    out: dict = {}
+    if not names or any(f not in stats for f in names):
+        return out
+    first = (stats[names[0]].get("cols") or {})
+    for col, st0 in first.items():
+        lo, hi, tag = st0.get("min"), st0.get("max"), st0.get("t")
+        ok = lo is not None and hi is not None
+        for f in names[1:]:
+            if not ok:
+                break
+            st = (stats[f].get("cols") or {}).get(col)
+            if (
+                st is None or st.get("t") != tag
+                or st.get("min") is None or st.get("max") is None
+            ):
+                ok = False
+                break
+            lo = min(lo, st["min"])
+            hi = max(hi, st["max"])
+        if ok:
+            out[col] = [lo, hi, tag]
+    return out
+
+
 def _write_text_plain(spark, dest: str, text: str) -> None:
     """Write a uuid-named (hence race-free) metadata file. No CAS
     needed: chunk names never collide and a chunk is unreferenced —
@@ -977,6 +1008,7 @@ class AtomicParquetTable:
         # of serving a stale cached snapshot.
         self._light_cache: dict[int, dict] = {}
         self._asm_cache: dict[int, dict] = {}
+        self._chunk_cache: dict[str, dict] = {}
 
     # -- snapshot resolution ------------------------------------------
 
@@ -1036,10 +1068,82 @@ class AtomicParquetTable:
         """One entry chunk's payload ({partitions: {dir: [files]},
         stats: {file: ...}}). Chunks referenced by a retained commit
         record are immutable and gc-protected, so a failure here is
-        corruption/transient I/O, never routine retention."""
-        return json.loads(
+        corruption/transient I/O, never routine retention — which also
+        makes them safely memoizable (small name-keyed LRU: snapshot
+        assembly, the chunk-level diff and pruned reads all revisit
+        recent chunks)."""
+        hit = self._chunk_cache.get(name)
+        if hit is not None:
+            return hit
+        data = json.loads(
             _read_text(self.spark, f"{self.path}/{CHUNKS_DIR}/{name}")
         )
+        if len(self._chunk_cache) >= 64:
+            self._chunk_cache.pop(next(iter(self._chunk_cache)))
+        self._chunk_cache[name] = data
+        return data
+
+    def _chunk_may_match(self, ch: dict, where: list[tuple]) -> bool:
+        """Can any file in this chunk match the AND-predicates? Judged
+        WITHOUT opening the chunk, from the commit record's per-chunk
+        summaries (Iceberg's manifest-list partition summaries +
+        column bounds): the covered partition dirs against
+        partition-column predicates, and the per-column [min,max]
+        ranges (present only when EVERY file in the chunk carries full
+        stats for that column, so unknowns can never cause a skip).
+        Sound by the same argument as file-level pruning — a False
+        here proves no contained file can match; null-ops are never
+        range-judged (ranges carry no null counts)."""
+        for pred in where:
+            col, op, vals = _normalize_predicate(pred)
+            if col in self.partition_by:
+                if not any(
+                    _partition_may_match(part, self.partition_by, pred)
+                    for part in ch["parts"]
+                ):
+                    return False
+                continue
+            if op in ("is_null", "not_null"):
+                continue
+            rng = (ch.get("ranges") or {}).get(col)
+            if rng is None:
+                continue
+            lo, hi, tag = rng
+            fake = {
+                "rows": 1,
+                "cols": {col: {"t": tag, "min": lo, "max": hi,
+                               "nulls": None}},
+            }
+            enc = [_enc_stat_value(v, tag) for v in vals]
+            if not _file_may_match(fake, col, op, enc):
+                return False
+        return True
+
+    def _manifest_where(self, version: int, where: list[tuple]) -> dict:
+        """Partial snapshot assembly for a predicated read: only
+        chunks whose record summaries admit the predicates are opened
+        (O(matching chunks) metadata I/O — a clustered point lookup on
+        a 100k-file table touches a handful of chunk files, not all
+        ~100). Skipped chunks provably contain no matching file, so
+        the file-level prune downstream sees every candidate."""
+        light = self._manifest_light(version)
+        if light.get("format", 1) == 1 or not where:
+            return self._manifest(version)
+        parts: dict[str, list[str]] = {}
+        stats: dict[str, dict] = {}
+        for ch in light["chunks"]:
+            if not self._chunk_may_match(ch, where):
+                continue
+            data = self._read_chunk(ch["name"])
+            for part, files in data["partitions"].items():
+                parts.setdefault(part, []).extend(files)
+            stats.update(data.get("stats", {}))
+        man = dict(light)
+        man["partitions"] = {
+            p: sorted(fl) for p, fl in sorted(parts.items())
+        }
+        man["stats"] = stats
+        return man
 
     def _manifest(self, version: int) -> dict:
         """The ASSEMBLED snapshot of a version, in the format-1 shape
@@ -1161,9 +1265,18 @@ class AtomicParquetTable:
                     "pass version= or as_of_timestamp_ms=, not both"
                 )
             version = self.version_at(as_of_timestamp_ms)
-        man = self.snapshot() if version is None else self._manifest(version)
-        if man is None:
-            return None
+        if version is None:
+            version = self.current_version()
+            if version is None:
+                return None
+        # predicated reads assemble only the chunks whose record
+        # summaries admit the predicates (skipped chunks provably hold
+        # no matching file); unpredicated reads assemble everything
+        man = (
+            self._manifest_where(version, where)
+            if where
+            else self._manifest(version)
+        )
         rel = [
             f
             for part_files in man["partitions"].values()
@@ -1607,6 +1720,7 @@ class AtomicParquetTable:
                 "n": len(names),
                 "parts": sorted(parts),
                 "fbloom": _chunk_bloom_build(names),
+                "ranges": _chunk_ranges(names, stats),
             })
         return out
 
@@ -3176,6 +3290,7 @@ class AtomicParquetTable:
         # VersionExpiredError, never to a stale cached manifest
         self._light_cache.clear()
         self._asm_cache.clear()
+        self._chunk_cache.clear()
         for name in _list_names(self.spark, f"{self.path}/{STAGE_DIR}"):
             sub = jvm.org.apache.hadoop.fs.Path(
                 f"{self.path}/{STAGE_DIR}/{name}"

@@ -337,3 +337,65 @@ def test_cdc_diff_opens_only_changed_chunks(spark, tmp_path, read_log):
     fa, fb, _stats = _diff_versions(t.path, 0, 1)
     assert fa == set(by_part["p=7"][:3])
     assert fb == {"p=7/f-new-0001.parquet"}
+
+
+def test_predicated_read_opens_only_matching_chunks(spark, tmp_path,
+                                                    read_log):
+    """read(where=...) is O(matching chunks): the commit record's
+    per-chunk partition coverage and column ranges (manifest-list
+    summaries) decide which chunks to open; results must equal the
+    unpruned filter exactly."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "pr"), keys=["k"],
+        cluster_by=["k"], cluster_files=8,
+    )
+    t.chunk_target = 2  # force many chunks over the 8 clustered files
+    t.upsert(
+        spark.createDataFrame(
+            [(k, float(k), 0) for k in range(4000)],
+            "k int, v double, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    light = t._manifest_light(t.current_version())
+    n_chunks = len(light["chunks"])
+    assert n_chunks >= 4
+    # ranges recorded for the clustered column
+    assert all("ranges" in c and "k" in c["ranges"] for c in light["chunks"])
+
+    read_log.clear()
+    got = sorted(r.k for r in t.read(where=[("k", "=", 1234)]).collect())
+    assert got == [1234]
+    opened = _chunk_reads(read_log)
+    assert 0 < len(set(opened)) < n_chunks, (len(opened), n_chunks)
+    # range probe
+    read_log.clear()
+    got = sorted(
+        r.k for r in t.read(where=[("k", ">=", 3990)]).collect()
+    )
+    assert got == list(range(3990, 4000))
+    assert len(set(_chunk_reads(read_log))) < n_chunks
+
+    # equality with the unpruned path on a broad predicate
+    assert t.read(where=[("v", "<", 50.0)]).count() == 50
+
+
+def test_partition_predicate_prunes_chunks(spark, tmp_path, read_log):
+    t, _ = _synthetic_table(spark, tmp_path)  # 100 partitions, ~100 chunks
+    # same layout viewed as a PARTITIONED table (the synthetic builder
+    # writes Hive-style dirs but declares no partition columns)
+    tp = AtomicParquetTable(
+        spark, t.path, keys=["k"], partition_by=["p"]
+    )
+    read_log.clear()
+    man = tp._manifest_where(0, [("p", "=", "x")])  # no such partition
+    assert man["partitions"] == {}
+    assert _chunk_reads(read_log) == []
+    # a real partition opens only its covering chunks
+    read_log.clear()
+    man = tp._manifest_where(0, [("p", "=", "7")])
+    # neighbors sharing the opened chunks ride along (the file-level
+    # prune drops them); the point is the chunk count, not the payload
+    assert "p=7" in man["partitions"]
+    assert 0 < len(_chunk_reads(read_log)) <= 3
+    assert len(man["partitions"]) <= 3 * 2  # ≤ opened chunks' coverage
