@@ -1109,12 +1109,22 @@ class AtomicParquetTable:
             if rng is None:
                 continue
             lo, hi, tag = rng
+            enc = [_enc_stat_value(v, tag) for v in vals]
+            if op == "in" and len(enc) > 8 and None not in enc:
+                # merge probes carry up to 64k batch keys: one bisect
+                # against the chunk range, not 64k point tests
+                import bisect
+
+                enc.sort()
+                i = bisect.bisect_left(enc, lo)
+                if not (i < len(enc) and enc[i] <= hi):
+                    return False
+                continue
             fake = {
                 "rows": 1,
                 "cols": {col: {"t": tag, "min": lo, "max": hi,
                                "nulls": None}},
             }
-            enc = [_enc_stat_value(v, tag) for v in vals]
             if not _file_may_match(fake, col, op, enc):
                 return False
         return True
@@ -2000,6 +2010,12 @@ class AtomicParquetTable:
         import bisect
 
         k0 = self.cluster_by[0]
+        if not man["partitions"]:
+            # chunk-pruned probe emptied the assembly: every chunk
+            # carried a k0 range summary (summary-less chunks are
+            # never pruned) and every range excluded every batch key —
+            # the empty candidate set is PROVEN, not unknown
+            return {}
         stats = man.get("stats", {})
         tag = None
         for st in stats.values():
@@ -2069,7 +2085,12 @@ class AtomicParquetTable:
             v is None for v in vals
         ):
             return None, None
-        man = self._manifest(parent)
+        # chunk-pruned probe: only chunks whose k0 range summary can
+        # hold a batch key are assembled — the candidate loop then
+        # walks O(matching chunks) entries, not the whole table. A
+        # chunk without a k0 summary (some file lacks bounds) is kept,
+        # so the stats-missing-⇒-candidate contract is preserved.
+        man = self._manifest_where(parent, [(k0, "in", vals)])
         cand = self._candidate_files(man, vals)
         return (None, None) if cand is None else (cand, man)
 

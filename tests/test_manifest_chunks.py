@@ -399,3 +399,44 @@ def test_partition_predicate_prunes_chunks(spark, tmp_path, read_log):
     assert "p=7" in man["partitions"]
     assert 0 < len(_chunk_reads(read_log)) <= 3
     assert len(man["partitions"]) <= 3 * 2  # ≤ opened chunks' coverage
+
+
+def test_append_only_upsert_opens_no_chunks(spark, tmp_path, read_log):
+    """A batch whose keys lie beyond every chunk's k0 range summary is
+    a PROVEN append: the chunk-pruned probe assembles nothing, the
+    candidate set is {} (not unknown), no existing file is re-merged
+    and no chunk is opened — the metadata cost of appending to a huge
+    clustered table is O(1)."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "ap"), keys=["k"],
+        cluster_by=["k"], cluster_files=4,
+    )
+    t.chunk_target = 2
+    t.upsert(
+        spark.createDataFrame(
+            [(k, float(k), 0) for k in range(1000)],
+            "k int, v double, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    files_before = sorted(
+        f for fl in t._manifest(0)["partitions"].values() for f in fl
+    )
+    read_log.clear()
+    t.upsert(
+        spark.createDataFrame(
+            [(k, 1.0, 1) for k in range(5000, 5020)],
+            "k int, v double, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    assert _chunk_reads(read_log) == []  # probe + commit: zero opens
+    man = t._manifest(t.current_version())
+    files_after = sorted(
+        f for fl in man["partitions"].values() for f in fl
+    )
+    # every pre-existing file carried forward; only new files added
+    assert set(files_before) <= set(files_after)
+    assert t.read().count() == 1020
+    got = {r.k: r.v for r in t.read(where=[("k", ">=", 5000)]).collect()}
+    assert got == {k: 1.0 for k in range(5000, 5020)}
