@@ -1488,18 +1488,31 @@ class AtomicParquetTable:
         """Observability for the pruning decision: how many of the
         snapshot's live files a ``where`` keeps — the number a 100 TB
         operator watches, since files_kept bounds the scan."""
-        man = self.snapshot() if version is None else self._manifest(version)
+        if version is None:
+            version = self.current_version()
+        man = self._manifest(version)
         rel = [
             f
             for part_files in man["partitions"].values()
             for f in part_files
         ]
         kept = self._prune_files(man, rel, where)
-        return {
+        out = {
             "files_total": len(rel),
             "files_kept": len(kept),
             "kept": sorted(kept),
         }
+        # chunk-level view of the same decision: how many entry-chunk
+        # FILES a predicated read would even open (the metadata-I/O
+        # number; file counts above are the data-I/O number)
+        light = self._manifest_light(version)
+        if light.get("format", 1) == 2:
+            out["chunks_total"] = len(light["chunks"])
+            out["chunks_opened"] = sum(
+                1 for ch in light["chunks"]
+                if self._chunk_may_match(ch, where)
+            )
+        return out
 
     # -- commit protocol ----------------------------------------------
 

@@ -440,3 +440,23 @@ def test_append_only_upsert_opens_no_chunks(spark, tmp_path, read_log):
     assert t.read().count() == 1020
     got = {r.k: r.v for r in t.read(where=[("k", ">=", 5000)]).collect()}
     assert got == {k: 1.0 for k in range(5000, 5020)}
+
+
+def test_skipping_report_chunk_counters(spark, tmp_path):
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "sr"), keys=["k"],
+        cluster_by=["k"], cluster_files=8,
+    )
+    t.chunk_target = 2
+    t.upsert(
+        spark.createDataFrame(
+            [(k, float(k), 0) for k in range(2000)],
+            "k int, v double, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    rep = t.skipping_report([("k", "=", 77)])
+    assert rep["files_kept"] < rep["files_total"]
+    assert 0 < rep["chunks_opened"] < rep["chunks_total"]
+    rep_all = t.skipping_report([("v", ">=", 0.0)])
+    assert rep_all["chunks_opened"] == rep_all["chunks_total"]
