@@ -61,6 +61,12 @@ def decimal_re(scale: int) -> str:
     over-scale string must stay a string, never be silently rounded,
     and Spark/DuckDB round differently so rounding would also break
     oracle equality)."""
+    if scale < 0:
+        raise ValueError(f"decimal scale must be >= 0, got {scale}")
+    if scale == 0:
+        # whole-unit currencies (JPY, KRW): integer strings only — the
+        # generic template would emit the invalid quantifier {1,0}
+        return r"^[+-]?[0-9]+$"
     return rf"^[+-]?([0-9]+(\.[0-9]{{0,{scale}}})?|\.[0-9]{{1,{scale}}})$"
 
 

@@ -1709,12 +1709,41 @@ class AtomicParquetTable:
         files (a partition larger than one chunk splits across
         several; assembly re-merges) and write them. Returns their
         commit-record entries (name, entry count, covered partition
-        dirs, file-name bloom)."""
+        dirs, file-name bloom).
+
+        Packing order is CLUSTER-AWARE (VERDICT r11 task #1): on a
+        clustered table, entries sort by the first cluster column's
+        per-file min (already in pool_stats from the footer-stat
+        pass) before slicing, so each chunk covers a tight, mostly
+        disjoint key range and the per-chunk ``ranges`` summaries
+        stay selective even after interleaved file-scoped commits
+        re-pack survivors — (partition, filename) order would decay
+        toward every chunk spanning the whole key space, admitting
+        all of them on every predicated read. Files without a usable
+        stat sort after the keyed ones (never interleaved, so they
+        cannot widen a keyed chunk's range)."""
         entries = [
             (part, f)
             for part in sorted(pool_parts)
             for f in sorted(set(pool_parts[part]))
         ]
+        if self.cluster_by:
+            k0 = self.cluster_by[0]
+
+            def _ckey(e):
+                part, f = e
+                st = (pool_stats.get(f, {}).get("cols") or {}).get(k0)
+                if (
+                    st is None
+                    or st.get("min") is None
+                    or st.get("t") is None
+                ):
+                    return (part, 1, ("", ""), f)
+                # tag first: mins compare only within one type tag
+                # (mixed tags after widening would TypeError)
+                return (part, 0, (st["t"], st["min"]), f)
+
+            entries.sort(key=_ckey)
         out = []
         for i in range(0, len(entries), self.chunk_target):
             sl = entries[i : i + self.chunk_target]
@@ -3086,19 +3115,15 @@ class AtomicParquetTable:
         if not excess:
             return None
         if keep_hours is not None:
-            fs, _p, jvm = _fs(self.spark, self.path)
             age_cut = (_time.time() - keep_hours * 3600.0) * 1000.0
-            # mtimes are monotone in version (manifests are written in
-            # commit order and never rewritten), so the OLDEST excess
-            # manifest decides alone: younger than the cut ⇒ every
-            # excess manifest is ⇒ the common all-young case costs
-            # exactly one getFileStatus
-            oldest_mtime = fs.getFileStatus(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{self.path}/{MANIFEST_DIR}/v{excess[0]:012d}.json"
-                )
-            ).getModificationTime()
-            if oldest_mtime > age_cut:
+            # in-commit timestamps are strictly increasing in version
+            # (commit-side parent+1ms clamp) and — unlike FS mtimes —
+            # survive a directory copy/sync, so the OLDEST excess
+            # commit decides alone: younger than the cut ⇒ every
+            # excess commit is ⇒ the common all-young case costs one
+            # cached light-record read (_commit_time_ms falls back to
+            # mtime only for pre-feature manifests)
+            if self._commit_time_ms(excess[0]) > age_cut:
                 return None  # every excess manifest is inside the window
         return self.gc(
             keep_versions=keep_versions,
@@ -3263,14 +3288,13 @@ class AtomicParquetTable:
         )
         keep = set(versions[-keep_versions:]) if versions else set()
         if keep_hours is not None and versions:
-            fs0, _p0, jvm0 = _fs(self.spark, self.path)
             age_cut = (_time.time() - keep_hours * 3600.0) * 1000.0
             for v in versions:
-                if v not in keep and fs0.getFileStatus(
-                    jvm0.org.apache.hadoop.fs.Path(
-                        f"{self.path}/{MANIFEST_DIR}/v{v:012d}.json"
-                    )
-                ).getModificationTime() > age_cut:
+                # in-commit timestamp, not FS mtime: the age-window
+                # guarantee must survive a directory copy/sync that
+                # rewrites mtimes (mtime only as the pre-feature
+                # fallback inside _commit_time_ms)
+                if v not in keep and self._commit_time_ms(v) > age_cut:
                     keep.add(v)
         live: set[str] = set()
         live_chunks: set[str] = set()

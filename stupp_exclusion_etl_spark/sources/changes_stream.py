@@ -422,12 +422,21 @@ def _version_at(path: str, timestamp_ms: int) -> int:
     if not versions:
         raise ValueError(f"atomic_changes: no committed table at {path!r}")
     best = None
+    prev_ts = None
     for v in versions:
         man_ts = _manifest_light(path, v).get("committed_at_ms")
         if man_ts is None:
             man_ts = int(os.path.getmtime(
                 os.path.join(mdir, f"v{v:012d}.json")
             ) * 1000)
+        # clamp, mirroring AtomicParquetTable.version_at: the FS-mtime
+        # fallback for pre-feature manifests is not monotone (a
+        # copy/sync of the table directory rewrites mtimes), and a
+        # non-monotone reading would break the early exit below and
+        # resolve a wrong older version
+        if prev_ts is not None and man_ts <= prev_ts:
+            man_ts = prev_ts + 1
+        prev_ts = man_ts
         if man_ts <= timestamp_ms:
             best = v  # in-commit timestamps increase with version
         else:

@@ -301,15 +301,30 @@ class IncrementalNearDedup:
 
         q = writer.trigger(processingTime="0 seconds").start()
         try:
-            waiter = threading.Thread(
-                target=q.processAllAvailable, daemon=True
-            )
+            def _drain():
+                try:
+                    q.processAllAvailable()
+                except Exception:
+                    # a query failure lands here too; the caller
+                    # re-raises the authoritative q.exception() below
+                    pass
+
+            waiter = threading.Thread(target=_drain, daemon=True)
             waiter.start()
             waiter.join(timeout_sec)
             if waiter.is_alive():
                 raise TimeoutError(
                     "incremental dedup drain timed out"
                 )
+            # processAllAvailable ran in a daemon thread, so a
+            # StreamingQueryException (e.g. a foreachBatch failure)
+            # surfaced there, not here — the waiter exits "cleanly"
+            # on a dead query. Re-raise so this path keeps the same
+            # failure contract as the availableNow/awaitTermination
+            # path: a failed drain is never reported as complete.
+            exc = q.exception()
+            if exc is not None:
+                raise exc
         finally:
             q.stop()
 

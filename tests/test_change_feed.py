@@ -467,3 +467,54 @@ def test_restore_by_timestamp(spark, table):
         table.restore()
     with pytest.raises(ValueError, match="exactly one"):
         table.restore(v0, as_of_timestamp_ms=ts0)
+
+
+def test_maybe_gc_age_probe_survives_mtime_rewrite(spark, tmp_path):
+    """maybe_gc's keep_hours age probe reads the light record's
+    in-commit timestamp, not FS mtime (r11 What's-wrong #3): a
+    directory copy/sync that rewrites every manifest mtime to NOW must
+    not flip the trigger decision in either direction. Pre-feature
+    manifests (no committed_at_ms) still fall back to mtime."""
+    import json
+    import os
+    import time
+
+    from stupp_exclusion_etl_spark.sinks.atomic import VersionExpiredError
+
+    root = tmp_path / "mg"
+    t = AtomicParquetTable(spark, str(root), keys=["k"])
+    for i in range(4):
+        t.upsert(_mk(spark, [(k, float(i), "a", i) for k in range(5)]),
+                 [F.col("ts").desc()])
+
+    # simulate a sync: every manifest's mtime becomes "now"
+    mdir = root / "_manifests"
+    now = time.time()
+    for n in os.listdir(mdir):
+        if n.startswith("v") and n.endswith(".json"):
+            os.utime(mdir / n, (now, now))
+
+    # all commits are seconds old by their in-commit timestamps, so
+    # the one-hour window holds everything: no-op — and (the bug) a
+    # probe reading the rewritten mtimes would agree here...
+    assert t.maybe_gc(keep_versions=1, keep_hours=1.0,
+                      min_age_seconds=0) is None
+
+    # ...but diverge here: make the commits OLD by their in-commit
+    # stamps while mtimes say "now" — the age probe must see old
+    # commits and run gc despite the fresh mtimes
+    for v in range(4):
+        p = mdir / f"v{v:012d}.json"
+        man = json.loads(p.read_text())
+        man["committed_at_ms"] = int((now - 7200) * 1000) + v
+        p.write_text(json.dumps(man))
+        os.utime(p, (now, now))
+    t2 = AtomicParquetTable(spark, str(root), keys=["k"])  # fresh cache
+    stats = t2.maybe_gc(keep_versions=1, keep_hours=1.0,
+                        min_age_seconds=0)
+    assert stats is not None, (
+        "fresh mtimes masked two-hour-old commits from the age probe"
+    )
+    assert t2.read().count() == 5
+    with pytest.raises(VersionExpiredError):
+        t2.read(version=0)

@@ -848,3 +848,82 @@ def test_engine_call_order_canary(spark, table, tmp_path):
         "changed; bootstrap anchoring in changes_stream.py needs review"
     )
     assert real2 and real2[-1][1] == 6, real2
+
+
+def test_from_timestamp_mtime_fallback_matches_sink(spark, table):
+    """Pre-feature manifests (no in-commit timestamp) resolve
+    from_timestamp_ms through the FS-mtime fallback, which is NOT
+    monotone after a copy/sync rewrites mtimes. The stream-side
+    _version_at must apply the same prev_ts+1 clamp as
+    AtomicParquetTable.version_at (r11 ADVICE), so batch and stream
+    resolve the SAME version for every instant on such a table."""
+    import json
+
+    from stupp_exclusion_etl_spark.sources.changes_stream import _version_at
+
+    table.upsert(_mk(spark, [(5, -5.0, "u1", 1)]), [F.col("ts").desc()])
+    table.upsert(_mk(spark, [(6, -6.0, "u2", 2)]), [F.col("ts").desc()])
+    table.upsert(_mk(spark, [(7, -7.0, "u3", 3)]), [F.col("ts").desc()])
+
+    # simulate a pre-feature table whose directory was later synced:
+    # strip in-commit timestamps, then rewrite mtimes NON-monotonically
+    mdir = os.path.join(table.path, "_manifests")
+    mtimes_s = {0: 2_000, 1: 1_000, 2: 1_500, 3: 3_000}
+    for v, sec in mtimes_s.items():
+        p = os.path.join(mdir, f"v{v:012d}.json")
+        with open(p) as fh:
+            man = json.load(fh)
+        man.pop("committed_at_ms", None)
+        with open(p, "w") as fh:
+            json.dump(man, fh)
+        os.utime(p, (sec, sec))
+
+    # fresh handle: no cached light records from the commits above
+    t2 = AtomicParquetTable(spark, table.path, keys=["k"])
+    # clamped sequence is [2_000_000, 2_000_001, 2_000_002, 3_000_000]
+    probes = [
+        2_000_000, 2_000_001, 2_000_002, 2_500_000, 3_000_000, 9_999_999,
+    ]
+    for q in probes:
+        assert _version_at(table.path, q) == t2.version_at(q), q
+    # the instant that exposed the unclamped early-exit: v1/v2 carry
+    # smaller raw mtimes than v0, so the unclamped loop walked past
+    # the true answer (v1) to v2
+    assert _version_at(table.path, 2_000_001) == 1
+    with pytest.raises(ValueError, match="predates"):
+        _version_at(table.path, 1_999_999)
+
+
+def test_capped_drain_surfaces_foreachbatch_failure(spark, tmp_path):
+    """The capped drain runs processAllAvailable in a watchdog thread,
+    where a StreamingQueryException (e.g. a foreachBatch failure)
+    surfaces in the THREAD, not the caller — run() must re-check
+    q.exception() after the waiter exits so a failed drain is never
+    reported as success (r11 ADVICE medium). The availableNow path
+    already propagates via awaitTermination; both paths must agree."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from stupp_exclusion_etl_spark.streaming.incremental_dedup import (
+        IncrementalNearDedup,
+    )
+
+    root = str(tmp_path)
+    src = AtomicParquetTable(spark, root + "/src", keys=["doc_id"])
+    src.upsert(
+        spark.createDataFrame(
+            [(i, f"doc text number {i} " * 3, 0) for i in range(5)],
+            "doc_id long, text string, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+
+    job = IncrementalNearDedup(
+        spark, root + "/src", root + "/state", max_versions_per_trigger=1
+    )
+
+    def boom(df, bid):
+        raise RuntimeError("synthetic foreachBatch failure")
+
+    job.process_batch = boom
+    with pytest.raises(StreamingQueryException):
+        job.run(root + "/ck", timeout_sec=120)

@@ -162,3 +162,30 @@ def test_typify_decimal_exactness_contract(spark):
         typify_decimal(F.col("s"), 12, 2).alias("d")
     )
     assert [r.d for r in df2.collect()] == [None, Decimal("1.23")]
+
+
+def test_typify_decimal_scale_zero(spark):
+    """Scale-0 decimals (whole-unit currencies like JPY): the generic
+    regex template would emit the invalid quantifier {1,0} (r11 ADVICE);
+    the scale-0 branch admits integer strings only — any fractional
+    part, even '.0', fails the exactness gate."""
+    from decimal import Decimal
+
+    import pytest
+
+    from stupp_exclusion_etl_spark.functions.coercion import (
+        decimal_re,
+        typify_decimal,
+    )
+
+    assert decimal_re(0) == r"^[+-]?[0-9]+$"
+    with pytest.raises(ValueError):
+        decimal_re(-1)
+    rows = [("1200",), (" -45 ",), ("+7",), ("12.0",), ("12.5",),
+            ("1E3",), ("abc",), (None,)]
+    df = spark.createDataFrame(rows, "s string").select(
+        typify_decimal(F.col("s"), 12, 0).alias("d")
+    )
+    got = [r.d for r in df.collect()]
+    assert got == [Decimal("1200"), Decimal("-45"), Decimal("7"),
+                   None, None, None, None, None]

@@ -460,3 +460,79 @@ def test_skipping_report_chunk_counters(spark, tmp_path):
     assert 0 < rep["chunks_opened"] < rep["chunks_total"]
     rep_all = t.skipping_report([("v", ">=", 0.0)])
     assert rep_all["chunks_opened"] == rep_all["chunks_total"]
+
+
+def _kstats(lo: int, hi: int) -> dict:
+    return {"rows": 10, "cols": {"k": {"t": "i", "min": lo, "max": hi,
+                                       "nulls": 0}}}
+
+
+def test_cluster_aware_packing_keeps_point_probes_o1(
+    spark, tmp_path, read_log
+):
+    """Chunk packing orders entries by the first cluster column's
+    per-file min (VERDICT r11 task #1): on a 100k-entry key-clustered
+    table whose FILE NAMES are uncorrelated with key ranges (txn-uuid
+    prefixes, the production shape), and after 60 interleaved
+    file-scoped merges scattered across the key space, a clustered
+    point probe still admits O(1) chunks — (partition, filename)
+    packing would interleave key ranges and decay toward opening
+    every chunk."""
+    import hashlib
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "c"), keys=["k"], cluster_by=["k"],
+    )
+    n = 100_000
+
+    def fname(i: int, gen: int = 0) -> str:
+        h = hashlib.md5(f"{i}-{gen}".encode()).hexdigest()[:12]
+        return f"t-{h}-{i:06d}-{gen}.parquet"
+
+    files = {i: fname(i) for i in range(n)}
+    stats = {files[i]: _kstats(i * 10, i * 10 + 9) for i in range(n)}
+    v = t._commit(None, {"": sorted(files.values())}, set(),
+                  "k int, v double, ts int", precomputed_stats=stats)
+
+    # 60 interleaved file-scoped merges, each retiring 3 files from
+    # scattered key regions and adding same-range replacements
+    for j in range(60):
+        idxs = [(j * 37 + off) % n for off in (0, 33_341, 66_727)]
+        retired = {files[i] for i in idxs}
+        add, add_stats = [], {}
+        for i in idxs:
+            nf = fname(i, gen=j + 1)
+            files[i] = nf
+            add.append(nf)
+            add_stats[nf] = _kstats(i * 10, i * 10 + 9)
+        v = t._commit(
+            v, {"": sorted(add)}, set(), "k int, v double, ts int",
+            replaced_files={"": retired}, precomputed_stats=add_stats,
+        )
+
+    light = t._manifest_light(v)
+    assert light["n_files"] == n
+    n_chunks = len(light["chunks"])
+    assert n_chunks >= 64
+
+    # clustered point probes across the key space admit O(1) chunks
+    for probe in (5, 500_005, 999_991):
+        rep = t.skipping_report([("k", "=", probe)])
+        assert rep["chunks_total"] == n_chunks
+        assert rep["chunks_opened"] <= 4, (probe, rep["chunks_opened"])
+        # and the file-level prune inside the admitted chunks still
+        # lands on exactly the one covering file
+        assert rep["files_kept"] == 1 and rep["kept"] == [
+            files[probe // 10]
+        ], probe
+
+    # the predicated assembly path opens only the admitted chunks
+    read_log.clear()
+    t._chunk_cache.clear()
+    man = t._manifest_where(v, [("k", "=", 500_005)])
+    assert len(_chunk_reads(read_log)) <= 4
+    assert files[50_000] in man["partitions"][""]
+
+    # range probe over ~1% of the key space: a narrow slice of chunks
+    rep = t.skipping_report([("k", ">=", 0), ("k", "<", 10_000)])
+    assert rep["chunks_opened"] <= max(4, n_chunks // 20), rep
