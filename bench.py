@@ -150,6 +150,8 @@ HEADLINE = [
     "mm_png_palette_decode_stats",
     "coercion_decimal_money",
     "atomic_sql_time_travel",
+    # r12 additions
+    "sim_index_incremental",
 ]
 
 

@@ -1,0 +1,317 @@
+"""Persisted, CDC-maintained IVF index (SURVEY.md §2 B13 × C16 —
+VERDICT r11 task #2: the last first-class LLM-pipeline lifecycle gap).
+
+Every other ANN query in this engine computes its index artifacts
+(centroids, cell assignments) INSIDE the query plan — correct, but a
+100 TB serving path cannot re-derive its index per query, and a corpus
+that churns (upserts + deletes, the reference's own re-scrape cycle,
+/root/reference/__main__.py) needs the index to FOLLOW the churn
+without full rebuilds. This module stores the IVF artifacts as atomic
+tables of their own and maintains assignments incrementally from the
+corpus table's change feed:
+
+- ``centroids``   (cell, centroid)            — k rows, metadata-scale
+- ``assignments`` (id, cell, embedding)       — one row per corpus row,
+  keyed by id, CLUSTERED by cell, so serving reads prune to the probed
+  cells at both the chunk and the file level
+- ``meta``        (key, val)                  — the applied-version
+  cursor, the trained-at version, and the build-time quality baseline
+
+Maintenance contract (the ``pipeline_incremental_dedup`` pattern):
+``refresh()`` consumes ``corpus.changes(applied, head)`` — deletes
+retire assignment rows, inserts/updates re-route ONLY the changed
+vectors through the frozen centroids (a broadcast of k rows; O(churn),
+never O(corpus)) — then advances the cursor. Because both state
+tables are atomic, a crashed refresh replays idempotently (keyed
+upserts/deletes) and the index itself has time travel and CDC.
+
+Rebuild policy: ``quality()`` is the mean vector↔assigned-centroid
+cosine; ``maybe_rebuild()`` re-trains and re-assigns (the only
+O(corpus) operation) when quality decays more than ``max_drop`` below
+the build-time baseline — index drift under churn is measured, not
+guessed.
+
+Trainers: ``modmean`` derives cell seeds deterministically
+(id % k → positional mean), which makes the whole lifecycle
+restatable in ANSI SQL for the DuckDB oracle; ``kmeans`` (pyspark.ml)
+is the production trainer — same storage and maintenance, recall-
+tested rather than oracle-hashed (clustering is partition-sensitive).
+
+100 TB shape: build trains on a sample and assigns with one broadcast
+(no shuffle); refresh is O(changed rows); serving is a probe over k
+centroid rows plus a chunk/file-pruned read of the probed cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from stupp_exclusion_etl_spark.functions.vectors import cosine
+from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+_META_APPLIED = "applied_version"
+_META_TRAINED = "trained_version"
+_META_BASELINE_Q = "baseline_quality"
+
+
+class PersistedIvfIndex:
+    """IVF index artifacts as atomic tables, maintained from the
+    corpus table's change feed. See module docstring for the
+    lifecycle; tests/test_ann_index.py pins the contracts."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_path: str,
+        index_root: str,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        k_cells: int = 8,
+        n_probe: int = 3,
+        trainer: str = "modmean",
+    ) -> None:
+        if trainer not in ("modmean", "kmeans"):
+            raise ValueError(f"unknown trainer {trainer!r}")
+        self.spark = spark
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k_cells = k_cells
+        self.n_probe = n_probe
+        self.trainer = trainer
+        self.corpus = AtomicParquetTable(spark, corpus_path, keys=[id_col])
+        self.centroids = AtomicParquetTable(
+            spark, index_root.rstrip("/") + "/centroids", keys=["cell"]
+        )
+        # clustered by cell: the serving read prunes to probed cells
+        # at chunk AND file level; small cluster_files keeps per-cell
+        # file counts low so a probe reads a handful of files
+        self.assignments = AtomicParquetTable(
+            spark, index_root.rstrip("/") + "/assignments",
+            keys=[id_col], cluster_by=["cell"], cluster_files=4,
+            auto_compact={"max_files_per_partition": 16,
+                          "target_file_mb": 64},
+        )
+        self.meta = AtomicParquetTable(
+            spark, index_root.rstrip("/") + "/meta", keys=["key"]
+        )
+
+    # -- training -----------------------------------------------------
+
+    def _train_centroids(self, snapshot: DataFrame) -> DataFrame:
+        """(cell, centroid array<double>) from the snapshot. modmean:
+        positional mean per (id % k) seed group — deterministic and
+        SQL-restatable. kmeans: pyspark.ml, seeded (deterministic per
+        layout, not across engines)."""
+        if self.trainer == "modmean":
+            from stupp_exclusion_etl_spark.operators.similarity import (
+                mean_centroids,
+            )
+
+            seeded = snapshot.withColumn(
+                "cell",
+                (F.col(self.id_col) % self.k_cells).cast("int"),
+            )
+            return mean_centroids(seeded, "cell", self.vec_col)
+        from stupp_exclusion_etl_spark.operators.similarity import (
+            ivf_kmeans_cells,
+        )
+
+        _assigned, cents = ivf_kmeans_cells(
+            snapshot, k=self.k_cells, vec_col=self.vec_col
+        )
+        return cents
+
+    def _assign(self, vectors: DataFrame) -> DataFrame:
+        """Route vectors to their nearest frozen centroid: broadcast
+        the k centroid rows, argmax cosine with min-cell tie-break.
+        O(|vectors| × k) map-side work, no shuffle beyond the
+        row_number window on the (small) changed set."""
+        cents = self.centroids.read()
+        if cents is None:
+            raise ValueError("index not built: no centroids committed")
+        scored = vectors.crossJoin(
+            F.broadcast(cents.select("cell", "centroid"))
+        ).withColumn(
+            "__c", cosine(F.col(self.vec_col), F.col("centroid"))
+        )
+        w = Window.partitionBy(self.id_col).orderBy(
+            F.col("__c").desc_nulls_last(), F.col("cell").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                self.id_col,
+                "cell",
+                self.vec_col,
+                F.col("__c").alias("cent_cos"),
+            )
+        )
+
+    def _put_meta(self, pairs: dict[str, float], ts: int) -> None:
+        self.meta.upsert(
+            self.spark.createDataFrame(
+                [(k, float(v), ts) for k, v in pairs.items()],
+                "key string, val double, ts long",
+            ),
+            [F.col("ts").desc()],
+        )
+
+    def _get_meta(self, key: str) -> float | None:
+        m = self.meta.read()
+        if m is None:
+            return None
+        row = m.filter(F.col("key") == key).select("val").collect()
+        return row[0][0] if row else None
+
+    # -- lifecycle ----------------------------------------------------
+
+    def build(self) -> dict:
+        """Train centroids on the current corpus snapshot, assign every
+        vector, record the cursor + quality baseline. The only
+        O(corpus) operation besides an explicit rebuild."""
+        head = self.corpus.current_version()
+        snap = self.corpus.read(version=head)
+        if snap is None:
+            raise ValueError("empty corpus: nothing to index")
+        cents = self._train_centroids(snap).withColumn(
+            "ts", F.lit(head).cast("long")
+        )
+        if self.centroids.read() is None:
+            self.centroids.upsert(cents, [F.col("ts").desc()])
+        else:
+            # retrain: retire cells that no longer exist, then upsert
+            old = self.centroids.read().select("cell")
+            doomed = old.join(cents.select("cell"), "cell", "left_anti")
+            if doomed.count():
+                self.centroids.delete_keys(doomed)
+            self.centroids.upsert(cents, [F.col("ts").desc()])
+        assigned = self._assign(
+            snap.select(self.id_col, self.vec_col)
+        ).withColumn("ts", F.lit(head).cast("long"))
+        stale = None
+        prev = self.assignments.read()
+        if prev is not None:
+            stale = prev.select(self.id_col).join(
+                assigned.select(self.id_col), self.id_col, "left_anti"
+            )
+        self.assignments.upsert(
+            assigned.drop("cent_cos"), [F.col("ts").desc()]
+        )
+        if stale is not None and stale.count():
+            self.assignments.delete_keys(stale)
+        q = self.quality()
+        self._put_meta(
+            {_META_APPLIED: head, _META_TRAINED: head, _META_BASELINE_Q: q},
+            ts=head,
+        )
+        return {"trained_version": head, "baseline_quality": q}
+
+    def refresh(self) -> dict:
+        """Consume corpus changes since the applied cursor: deletes
+        retire assignment rows; inserts/updates re-route only the
+        changed vectors through the FROZEN centroids. O(churn)."""
+        applied = self._get_meta(_META_APPLIED)
+        if applied is None:
+            raise ValueError("index not built: call build() first")
+        applied = int(applied)
+        head = self.corpus.current_version()
+        if head <= applied:
+            return {"from": applied, "to": applied,
+                    "n_deleted": 0, "n_upserted": 0}
+        ch = self.corpus.changes(applied, head)
+        doomed = ch.filter(F.col("_change_type") == "delete").select(
+            self.id_col
+        )
+        n_del = doomed.count()
+        if n_del:
+            self.assignments.delete_keys(doomed)
+        changed = ch.filter(
+            F.col("_change_type").isin("insert", "update")
+        ).select(self.id_col, self.vec_col)
+        n_up = changed.count()
+        if n_up:
+            routed = self._assign(changed).drop("cent_cos").withColumn(
+                "ts", F.lit(head).cast("long")
+            )
+            self.assignments.upsert(routed, [F.col("ts").desc()])
+        self._put_meta({_META_APPLIED: head}, ts=head)
+        return {"from": applied, "to": head,
+                "n_deleted": n_del, "n_upserted": n_up}
+
+    # -- quality / drift ----------------------------------------------
+
+    def quality(self) -> float:
+        """Mean vector↔assigned-centroid cosine over the live index —
+        the drift metric. One broadcast join + one aggregate."""
+        a = self.assignments.read()
+        cents = self.centroids.read()
+        if a is None or cents is None:
+            raise ValueError("index not built")
+        row = (
+            a.join(F.broadcast(cents.select("cell", "centroid")), "cell")
+            .select(
+                cosine(F.col(self.vec_col), F.col("centroid")).alias("c")
+            )
+            .agg(F.avg("c").alias("q"))
+            .collect()
+        )
+        return float(row[0][0])
+
+    def maybe_rebuild(self, max_drop: float = 0.05) -> bool:
+        """Re-train + re-assign when assignment quality decayed more
+        than ``max_drop`` below the build-time baseline. Returns
+        whether a rebuild ran. The check is one aggregate; the rebuild
+        is the only O(corpus) path and runs only past the fence."""
+        base = self._get_meta(_META_BASELINE_Q)
+        if base is None:
+            raise ValueError("index not built")
+        if base - self.quality() <= max_drop:
+            return False
+        self.build()
+        return True
+
+    # -- serving ------------------------------------------------------
+
+    def probe_cells(self, query: DataFrame, n_probe: int | None = None):
+        """The query's nearest cells — k-row metadata collect, same
+        contract as operators.similarity.ivf_probe_cells."""
+        n = self.n_probe if n_probe is None else n_probe
+        cents = self.centroids.read()
+        rows = (
+            cents.crossJoin(F.broadcast(query))
+            .select(
+                "cell",
+                cosine(F.col("centroid"), F.col("q")).alias("__c"),
+            )
+            .orderBy(F.col("__c").desc_nulls_last(), F.col("cell"))
+            .limit(n)
+            .collect()
+        )
+        return [r[0] for r in rows]
+
+    def topk(
+        self,
+        query: DataFrame,
+        k: int = 10,
+        n_probe: int | None = None,
+    ) -> DataFrame:
+        """Serve top-k from the PERSISTED index: probe cells against
+        the k-row centroid table, then an exact-cosine scan of ONLY
+        the probed cells' assignment rows — a chunk/file-pruned
+        ``read(where=[("cell","in",...)])``, never the corpus.
+        ``query`` is a 1-row DataFrame with column ``q``."""
+        cells = self.probe_cells(query, n_probe)
+        cand = self.assignments.read(where=[("cell", "in", cells)])
+        scored = cand.crossJoin(F.broadcast(query)).select(
+            F.col(self.id_col),
+            F.col("cell"),
+            F.round(
+                cosine(F.col(self.vec_col), F.col("q")), 6
+            ).alias("cos_sim"),
+        )
+        return scored.orderBy(
+            F.col("cos_sim").desc_nulls_last(), F.col(self.id_col)
+        ).limit(k)

@@ -519,3 +519,140 @@ def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
     return mips_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+def _index_incremental_oracle(
+    k_cells: int = 8, n_probe: int = 3, topk: int = 10
+) -> str:
+    """SQL restatement of the persisted-index lifecycle: deterministic
+    modmean centroids frozen at the BOOTSTRAP snapshot, churn
+    (update/insert/delete) folded into the final snapshot, every final
+    vector argmax-assigned to its nearest frozen centroid, then the
+    n_probe-cell serve."""
+    asg_cos = _cos("f.embedding", "c.centroid")
+    probe_cos = _cos("c.centroid", "q.qe")
+    serve_cos = _cos("c.embedding", "q.qe")
+    return f"""
+    WITH boot AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id <> 0 AND vec_id % 5 <> 4),
+    comp AS (
+      SELECT CAST(vec_id % {k_cells} AS INT) AS cell, u.i AS i,
+             AVG(CAST(embedding[u.i] AS DOUBLE)) AS m
+      FROM boot, UNNEST(range(1, {_DIM}+1)) AS u(i)
+      GROUP BY CAST(vec_id % {k_cells} AS INT), u.i),
+    cent AS (
+      SELECT cell, list(m ORDER BY i) AS centroid FROM comp GROUP BY cell),
+    upd AS (
+      SELECT b.vec_id, e2.embedding
+      FROM boot b JOIN embeddings e2 ON e2.vec_id = (b.vec_id + 250) % 500
+      WHERE b.vec_id % 11 = 3),
+    merged AS (
+      SELECT b.vec_id, COALESCE(u.embedding, b.embedding) AS embedding
+      FROM boot b LEFT JOIN upd u ON u.vec_id = b.vec_id
+      UNION ALL
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 5 = 4 AND vec_id % 3 = 0),
+    final AS (SELECT * FROM merged WHERE vec_id % 13 <> 6),
+    assign AS (
+      SELECT vec_id, cell, embedding FROM (
+        SELECT f.vec_id, c.cell, f.embedding,
+               row_number() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY ({asg_cos}) DESC NULLS LAST, c.cell) AS rn
+        FROM final f CROSS JOIN cent c) WHERE rn = 1),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    probe AS (
+      SELECT c.cell FROM cent c CROSS JOIN q
+      ORDER BY ({probe_cos}) DESC NULLS LAST, c.cell LIMIT {n_probe}),
+    cand AS (
+      SELECT a.vec_id, a.cell, a.embedding FROM assign a JOIN probe USING (cell))
+    SELECT c.vec_id, c.cell, ROUND({serve_cos}, 6) AS cos_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cos_sim DESC NULLS LAST, c.vec_id
+    LIMIT {topk}
+    """
+
+
+@register(
+    "sim_index_incremental",
+    oracle=_index_incremental_oracle(),
+    tags=("B13", "B14", "C16"),
+)
+def sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted, CDC-maintained ANN index end to end (VERDICT r11
+    task #2; operators/ann_index.py): bootstrap a corpus atomic table,
+    BUILD the IVF index (centroids + cell-clustered assignments +
+    cursor, all atomic tables of their own), churn the corpus through
+    three commits — updates (vectors re-embedded to another vector's
+    embedding), inserts (previously held-out ids), keyed deletes —
+    and after each commit ``refresh()`` consumes ONLY that commit's
+    change feed, re-routing just the changed vectors through the
+    frozen centroids (O(churn), never O(corpus)). The drift fence
+    (``maybe_rebuild``) is checked and must NOT fire on this modest
+    churn (a rebuild would retrain centroids and break the frozen-
+    centroid oracle — the adversarial-drift rebuild is pinned in
+    tests/test_ann_index.py). Serve: n_probe=3 of 8 cells via a
+    chunk/file-pruned read of the assignments table. The oracle
+    restates the full lifecycle over the embeddings view: frozen
+    bootstrap centroids, churn folded into the final snapshot, argmax
+    assignment, probe, exact serve."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.operators.ann_index import (
+        PersistedIvfIndex,
+    )
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="ann_index_")
+    corpus = AtomicParquetTable(spark, root + "/corpus", keys=["vec_id"])
+
+    boot = e.filter(
+        (F.col("vec_id") != 0) & (F.col("vec_id") % 5 != 4)
+    ).withColumn("ts", F.lit(0).cast("long"))
+    corpus.upsert(boot, [F.col("ts").desc()])
+
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index",
+        k_cells=8, n_probe=3, trainer="modmean",
+    )
+    idx.build()
+
+    # churn 1: updates — re-embed every (id % 11 == 3) corpus vector
+    # to the embedding of id+250 (mod 500)
+    upd = (
+        boot.filter(F.col("vec_id") % 11 == 3)
+        .select("vec_id", ((F.col("vec_id") + 250) % 500).alias("src"))
+        .join(
+            e.select(F.col("vec_id").alias("src"), "embedding"), "src"
+        )
+        .select("vec_id", "embedding")
+        .withColumn("ts", F.lit(1).cast("long"))
+    )
+    corpus.upsert(upd, [F.col("ts").desc()])
+    idx.refresh()
+
+    # churn 2: inserts — a third of the held-out ids join the corpus
+    ins = e.filter(
+        (F.col("vec_id") % 5 == 4) & (F.col("vec_id") % 3 == 0)
+    ).withColumn("ts", F.lit(2).cast("long"))
+    corpus.upsert(ins, [F.col("ts").desc()])
+    idx.refresh()
+
+    # churn 3: keyed deletes
+    doomed = corpus.read().filter(F.col("vec_id") % 13 == 6).select(
+        "vec_id"
+    )
+    corpus.delete_keys(doomed)
+    idx.refresh()
+
+    # drift fence: modest churn must stay inside the rebuild threshold
+    assert not idx.maybe_rebuild(max_drop=0.2), (
+        "modest churn unexpectedly crossed the rebuild fence"
+    )
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q")
+    )
+    return idx.topk(q, k=10, n_probe=3)
