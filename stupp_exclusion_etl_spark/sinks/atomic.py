@@ -433,12 +433,40 @@ def _write_text_plain(spark, dest: str, text: str) -> None:
     invisible to every reader — until the commit record's CAS publish
     lands; a crash in between leaves an orphan for gc's age-guarded
     reaper."""
+    _write_bytes_plain(spark, dest, text.encode("utf-8"))
+
+
+def _write_bytes_plain(spark, dest: str, payload: bytes) -> None:
     fs, dp, _jvm = _fs(spark, dest)
     out = fs.create(dp, False)
     try:
-        out.write(bytearray(text.encode("utf-8")))
+        out.write(bytearray(payload))
     finally:
         out.close()
+
+
+def _read_bytes(spark, path: str) -> bytes:
+    fs, p, jvm = _fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return bytes(
+            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
+def _decode_chunk_payload(name: str, raw: bytes) -> dict:
+    """Chunk payloads are gzip JSON since r12 (``.json.gz`` — machine-
+    read metadata compresses ~10×, and at ~1M entries the cold full-
+    snapshot assembly is I/O-bound on chunk bytes); plain ``.json``
+    chunks from earlier commits stay readable forever — mixed
+    histories are routine after an upgrade."""
+    if name.endswith(".gz"):
+        import gzip
+
+        raw = gzip.decompress(raw)
+    return json.loads(raw.decode("utf-8"))
 
 
 def _bloom_positions(v) -> list[int] | None:
@@ -1075,13 +1103,49 @@ class AtomicParquetTable:
         hit = self._chunk_cache.get(name)
         if hit is not None:
             return hit
-        data = json.loads(
-            _read_text(self.spark, f"{self.path}/{CHUNKS_DIR}/{name}")
+        data = _decode_chunk_payload(
+            name, _read_bytes(self.spark, f"{self.path}/{CHUNKS_DIR}/{name}")
         )
+        self._chunk_cache_put(name, data)
+        return data
+
+    def _chunk_cache_put(self, name: str, data: dict) -> None:
         if len(self._chunk_cache) >= 64:
             self._chunk_cache.pop(next(iter(self._chunk_cache)))
         self._chunk_cache[name] = data
-        return data
+
+    def _read_chunks_many(self, names: list[str]) -> dict[str, dict]:
+        """Fetch many entry chunks, cache-first, misses CONCURRENTLY
+        (bounded thread pool — chunk fetches are independent GETs, and
+        a cold full-snapshot assembly at ~1k chunks is latency-bound
+        on the object store round trips, not on CPU)."""
+        out: dict[str, dict] = {}
+        misses = []
+        for n in names:
+            hit = self._chunk_cache.get(n)
+            if hit is not None:
+                out[n] = hit
+            else:
+                misses.append(n)
+        if not misses:
+            return out
+        if len(misses) == 1:
+            out[misses[0]] = self._read_chunk(misses[0])
+            return out
+        from concurrent.futures import ThreadPoolExecutor
+
+        def fetch(n: str) -> tuple[str, dict]:
+            return n, _decode_chunk_payload(
+                n, _read_bytes(self.spark, f"{self.path}/{CHUNKS_DIR}/{n}")
+            )
+
+        with ThreadPoolExecutor(
+            max_workers=min(8, len(misses))
+        ) as pool:
+            for n, data in pool.map(fetch, misses):
+                out[n] = data
+                self._chunk_cache_put(n, data)
+        return out
 
     def _chunk_may_match(self, ch: dict, where: list[tuple]) -> bool:
         """Can any file in this chunk match the AND-predicates? Judged
@@ -1141,10 +1205,14 @@ class AtomicParquetTable:
             return self._manifest(version)
         parts: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
-        for ch in light["chunks"]:
-            if not self._chunk_may_match(ch, where):
-                continue
-            data = self._read_chunk(ch["name"])
+        admitted = [
+            ch["name"]
+            for ch in light["chunks"]
+            if self._chunk_may_match(ch, where)
+        ]
+        payloads = self._read_chunks_many(admitted)
+        for name in admitted:
+            data = payloads[name]
             for part, files in data["partitions"].items():
                 parts.setdefault(part, []).extend(files)
             stats.update(data.get("stats", {}))
@@ -1171,8 +1239,11 @@ class AtomicParquetTable:
         else:
             parts: dict[str, list[str]] = {}
             stats: dict[str, dict] = {}
+            payloads = self._read_chunks_many(
+                [ch["name"] for ch in light["chunks"]]
+            )
             for ch in light["chunks"]:
-                data = self._read_chunk(ch["name"])
+                data = payloads[ch["name"]]
                 for part, files in data["partitions"].items():
                     parts.setdefault(part, []).extend(files)
                 stats.update(data.get("stats", {}))
@@ -1753,17 +1824,25 @@ class AtomicParquetTable:
                 parts.setdefault(part, []).append(f)
                 if f in pool_stats:
                     stats[f] = pool_stats[f]
-            name = f"c-{uuid.uuid4().hex}.json"
-            # compact separators, no indent: chunks are machine-read
-            # metadata on the per-commit hot path; the small HUMAN
-            # artifact is the commit record, which stays pretty-printed
-            _write_text_plain(
+            import gzip
+
+            name = f"c-{uuid.uuid4().hex}.json.gz"
+            # compact separators + gzip (mtime=0 so identical content
+            # is byte-identical): chunks are machine-read metadata on
+            # the per-commit hot path and compress ~10×; the small
+            # HUMAN artifact is the commit record, which stays
+            # pretty-printed. Legacy plain-.json chunks stay readable
+            # (_decode_chunk_payload dispatches on the suffix).
+            _write_bytes_plain(
                 self.spark,
                 f"{self.path}/{CHUNKS_DIR}/{name}",
-                json.dumps(
-                    {"partitions": parts, "stats": stats},
-                    separators=(",", ":"),
-                    sort_keys=True,
+                gzip.compress(
+                    json.dumps(
+                        {"partitions": parts, "stats": stats},
+                        separators=(",", ":"),
+                        sort_keys=True,
+                    ).encode("utf-8"),
+                    mtime=0,
                 ),
             )
             names = [f for _part, f in sl]
@@ -3333,7 +3412,10 @@ class AtomicParquetTable:
         # in-flight writer has staged but not yet CAS-published
         removed_chunks = 0
         for name in _list_names(self.spark, f"{self.path}/{CHUNKS_DIR}"):
-            if not (name.startswith("c-") and name.endswith(".json")):
+            if not (
+                name.startswith("c-")
+                and (name.endswith(".json") or name.endswith(".json.gz"))
+            ):
                 continue  # checksum sidecars etc. ride with their file
             if name not in live_chunks:
                 p = jvm.org.apache.hadoop.fs.Path(

@@ -129,6 +129,20 @@ def _manifest_light(path: str, version: int) -> dict:
         return json.load(fh)
 
 
+def _read_chunk_file(path: str, name: str) -> dict:
+    """One entry chunk's payload — gzip (``.json.gz``, the r12 write
+    format) or legacy plain JSON, dispatched on the suffix, mirroring
+    the sink side's _decode_chunk_payload."""
+    full = os.path.join(path, _MANIFEST_DIR, "chunks", name)
+    with open(full, "rb") as fh:
+        raw = fh.read()
+    if name.endswith(".gz"):
+        import gzip
+
+        raw = gzip.decompress(raw)
+    return json.loads(raw.decode("utf-8"))
+
+
 def _manifest(path: str, version: int) -> dict:
     """Assembled snapshot (full partitions + stats): format-1 records
     as-is; format-2 records get their entry chunks merged — only the
@@ -139,10 +153,7 @@ def _manifest(path: str, version: int) -> dict:
     parts: dict[str, list[str]] = {}
     stats: dict[str, dict] = {}
     for ch in man["chunks"]:
-        with open(
-            os.path.join(path, _MANIFEST_DIR, "chunks", ch["name"])
-        ) as fh:
-            data = json.load(fh)
+        data = _read_chunk_file(path, ch["name"])
         for p, fl in data["partitions"].items():
             parts.setdefault(p, []).extend(fl)
         stats.update(data.get("stats", {}))
@@ -180,10 +191,7 @@ def _diff_versions(
             for ch in light["chunks"]:
                 if ch["name"] in other_names:
                     continue
-                with open(os.path.join(
-                    path, _MANIFEST_DIR, "chunks", ch["name"]
-                )) as fh:
-                    data = json.load(fh)
+                data = _read_chunk_file(path, ch["name"])
                 for fl in data["partitions"].values():
                     out.update(fl)
                 stats.update(data.get("stats", {}))

@@ -47,13 +47,19 @@ def read_log(monkeypatch):
     AND entry chunks) — the I/O-count probe the scaling assertions
     use."""
     calls: list[str] = []
-    orig = atomic._read_text
+    orig_text = atomic._read_text
+    orig_bytes = atomic._read_bytes
 
-    def counting(spark, path):
+    def counting_text(spark, path):
         calls.append(path)
-        return orig(spark, path)
+        return orig_text(spark, path)
 
-    monkeypatch.setattr(atomic, "_read_text", counting)
+    def counting_bytes(spark, path):
+        calls.append(path)
+        return orig_bytes(spark, path)
+
+    monkeypatch.setattr(atomic, "_read_text", counting_text)
+    monkeypatch.setattr(atomic, "_read_bytes", counting_bytes)
     return calls
 
 
@@ -212,7 +218,8 @@ def test_gc_reaps_unreferenced_chunks(spark, tmp_path):
     def on_disk():
         return {
             n for n in os.listdir(chunk_dir)
-            if n.startswith("c-") and n.endswith(".json")
+            if n.startswith("c-")
+            and (n.endswith(".json") or n.endswith(".json.gz"))
         }
 
     assert len(on_disk()) >= 5
@@ -536,3 +543,75 @@ def test_cluster_aware_packing_keeps_point_probes_o1(
     # range probe over ~1% of the key space: a narrow slice of chunks
     rep = t.skipping_report([("k", ">=", 0), ("k", "<", 10_000)])
     assert rep["chunks_opened"] <= max(4, n_chunks // 20), rep
+
+
+def test_chunks_are_gzipped_and_mixed_history_reads(spark, tmp_path):
+    """r12: chunk payloads are gzip JSON (~10× smaller — the cold
+    full-snapshot assembly is I/O-bound on chunk bytes at ~1M
+    entries); a history mixing legacy plain-.json chunks with .json.gz
+    chunks keeps read/time-travel/CDC semantics, and gc reaps both
+    suffixes."""
+    import gzip
+
+    root = tmp_path / "z"
+    t = AtomicParquetTable(spark, str(root), keys=["k"])
+    t.upsert(_df(spark, [(k, 0.0, 0) for k in range(30)]),
+             [F.col("ts").desc()])
+    cdir = root / "_manifests" / "chunks"
+    names0 = [c["name"] for c in t._manifest_light(0)["chunks"]]
+    assert all(n.endswith(".json.gz") for n in names0)
+
+    # bytes bound: gzip JSON beats the plain payload it encodes
+    for n in names0:
+        raw = (cdir / n).read_bytes()
+        plain = gzip.decompress(raw)
+        assert len(raw) < len(plain)
+        json.loads(plain)  # well-formed
+
+    # rewrite v0's chunks as LEGACY plain .json (pre-r12 history)
+    light0 = json.loads(
+        (root / "_manifests" / "v000000000000.json").read_text()
+    )
+    for c in light0["chunks"]:
+        old = c["name"]
+        new = old[: -len(".gz")]
+        (cdir / new).write_bytes(gzip.decompress((cdir / old).read_bytes()))
+        os.unlink(cdir / old)
+        c["name"] = new
+    (root / "_manifests" / "v000000000000.json").write_text(
+        json.dumps(light0)
+    )
+
+    t = AtomicParquetTable(spark, str(root), keys=["k"])  # fresh caches
+    assert t.read(version=0).count() == 30
+    # a commit on top carries the legacy chunks BY NAME (no rewrite)
+    t.upsert(_df(spark, [(k, 1.0, 1) for k in range(5)]),
+             [F.col("ts").desc()])
+    names1 = {c["name"] for c in t._manifest_light(1)["chunks"]}
+    legacy = {c["name"] for c in light0["chunks"]}
+    # mixed suffixes in ONE record (carried legacy + new gz), unless
+    # small-chunk maintenance merged everything (then all gz)
+    assert names1 & legacy or all(n.endswith(".json.gz") for n in names1)
+    assert sorted((r.k, r.v) for r in t.read().collect()) == [
+        (k, 1.0 if k < 5 else 0.0) for k in range(30)
+    ]
+    assert sorted(r.k for r in t.changes(0, 1).collect()) == list(range(5))
+
+    # stream-side twin reads both suffixes too
+    from stupp_exclusion_etl_spark.sources.changes_stream import (
+        _diff_versions,
+    )
+
+    fa, fb, _stats = _diff_versions(str(root), 0, 1)
+    assert fb and all(f.endswith(".parquet") for f in fb)
+
+    # gc reaps expired chunks of BOTH suffixes
+    t.upsert(_df(spark, [(k, 2.0, 2) for k in range(5)]),
+             [F.col("ts").desc()])
+    t.gc(keep_versions=1, min_age_seconds=0)
+    left = {
+        n for n in os.listdir(cdir)
+        if n.startswith("c-") and not n.endswith(".crc")
+    }
+    live = {c["name"] for c in t._manifest_light(2)["chunks"]}
+    assert left == live
