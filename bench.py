@@ -152,6 +152,8 @@ HEADLINE = [
     "atomic_sql_time_travel",
     # r12 additions
     "sim_index_incremental",
+    "atomic_bucketed_merge",
+    "mm_png16_decode_stats",
 ]
 
 

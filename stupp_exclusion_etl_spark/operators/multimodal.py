@@ -2252,10 +2252,13 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     PLTE → (h, w, 3), or (h, w, 4) when tRNS supplies per-entry alpha
     (entries past the tRNS length are opaque 255, per spec);
     gray+alpha → (h, w, 4); RGBA stays (h, w, 4). Returns
-    ((h, w, c), flat float64, top-down). Honest guard for the variant
-    out of scope here: non-8-bit depths (16-bit, and 1/2/4-bit packed
-    palettes) raise NotImplementedError (production: PIL in the same
-    Arrow stage)."""
+    ((h, w, c), flat float64, top-down). Depth 16 (scientific/medical
+    corpora) decodes natively for color types 0/2/4/6 — filtering is
+    byte-level with a 2-byte unit per the spec, samples reassemble
+    big-endian to raw 0..65535 values (never rescaled: stats oracles
+    recompute exact closed forms). Honest guard for the variants out
+    of scope here: 1/2/4-bit packed depths raise NotImplementedError
+    (production: PIL in the same Arrow stage)."""
     import struct
     import zlib as _z
 
@@ -2291,27 +2294,38 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG (only 8-bit supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"{depth}-bit PNG (8- and 16-bit supported; 1/2/4-bit "
+            "packed depths via PIL in the same Arrow stage)"
+        )
     if ctype not in _PNG_CTYPE_BPP:
         raise ValueError(f"invalid PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if ctype == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not spec-valid")
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     raw = _z.decompress(b"".join(idat))
-    bpp = _PNG_CTYPE_BPP[ctype]
+    samples = _PNG_CTYPE_BPP[ctype]
+    sb = depth // 8  # bytes per sample
+    # spec: filtering operates on BYTES with bpp = samples × sample
+    # bytes, so depth 16 reuses the same unfilter with a 2-byte unit
+    bpp = samples * sb
     if interlace == 0:
         rowlen = 1 + w * bpp
         if len(raw) != h * rowlen:
             raise ValueError("PNG pixel data length mismatch")
-        out = _unfilter_scanlines(raw, h, w * bpp, bpp).reshape(h, w, bpp)
+        out = _unfilter_scanlines(raw, h, w * bpp, bpp).reshape(
+            h, w, samples, sb
+        )
     else:
         # Adam7: consume each pass's block, unfilter it as its own
         # sub-image, scatter onto the stride grid
-        out = np.empty((h, w, bpp), dtype=np.int64)
+        out = np.empty((h, w, samples, sb), dtype=np.int64)
         pos = 0
         for y0, x0, dy, dx in _ADAM7:
             ph = len(range(y0, h, dy))
@@ -2321,9 +2335,16 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             block = raw[pos : pos + ph * (1 + pw * bpp)]
             pos += ph * (1 + pw * bpp)
             sub = _unfilter_scanlines(block, ph, pw * bpp, bpp)
-            out[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+            out[y0::dy, x0::dx, :, :] = sub.reshape(ph, pw, samples, sb)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
+    # big-endian sample assembly: 8-bit collapses the size-1 axis,
+    # 16-bit combines (hi, lo) → 0..65535 raw values (no rescale —
+    # stats oracles recompute the exact sample closed forms)
+    out = out[:, :, :, 0] if sb == 1 else (
+        out[:, :, :, 0] * 256 + out[:, :, :, 1]
+    )
+    bpp = samples
     # expand to the uniform pixel space
     if ctype == 0:  # gray → RGB replication
         out = np.repeat(out, 3, axis=2)
@@ -2345,6 +2366,88 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
         )
     c = out.shape[2]
     return (h, w, c), out.reshape(-1).astype(np.float64)
+
+
+def encode_png16(samples, ctype: int, filter_for_row=None) -> bytes:
+    """Spec-valid non-interlaced 16-bit PNG from raw (h, w, s) uint16
+    samples — color type 0 (s=1), 2 (s=3), 4 (s=2 gray+alpha) or
+    6 (s=4 RGBA) — the 16-bit twin of _encode_png_samples: big-endian
+    sample bytes, filter unit bpp = s×2, filter types cycling 0..4 by
+    default so every spec filter crosses the 2-byte-unit path."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    px = np.asarray(samples, dtype=np.uint16)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, s = px.shape
+    if (ctype, s) not in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        raise ValueError(f"ctype {ctype} with {s} samples")
+    rows = (
+        np.frombuffer(px.astype(">u2").tobytes(), dtype=np.uint8)
+        .reshape(h, w * s * 2)
+        .astype(np.int64)
+    )
+    pick = filter_for_row or (lambda y: y % 5)
+    body = _filter_scanlines(rows, s * 2, pick)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png16_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Arrow-batched 16-bit PNG writer over (id, w, h, seed) rows —
+    the 16-bit twin of png_variant_synthesize: EVEN ids become
+    truecolor-16 streams (color type 2) with sample
+    (p) = (seed*257 + p*101) % 65536 over the flat RGB index p; ODD
+    ids grayscale-16 (color type 0) with g(i) = (seed*131 + i*257)
+    % 65536 per pixel i. Closed forms, so oracles recompute decoded
+    values without touching bytes."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                i, w, h, seed = int(i), int(w), int(h), int(seed)
+                if i % 2 == 0:
+                    flat = (
+                        seed * 257
+                        + np.arange(h * w * 3, dtype=np.int64) * 101
+                    ) % 65536
+                    px = flat.reshape(h, w, 3).astype(np.uint16)
+                    payloads.append(encode_png16(px, 2))
+                else:
+                    g = (
+                        seed * 131
+                        + np.arange(h * w, dtype=np.int64) * 257
+                    ) % 65536
+                    px = g.reshape(h, w).astype(np.uint16)
+                    payloads.append(encode_png16(px, 0))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")
 
 
 def png_synthesize(

@@ -989,3 +989,62 @@ def mm_gif_interlaced_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("col") * F.col("pos")).cast("long").alias("pos_weighted"),
         )
     )
+
+
+@register(
+    "mm_png16_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 5 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+             doc_id % 103 AS seed
+      FROM documents WHERE doc_id < 180),
+    v AS (
+      SELECT g.doc_id, CAST(p.p % 3 AS INT) AS ch, p.p AS pos,
+             CAST(CASE WHEN g.doc_id % 2 = 0 THEN
+                    (g.seed * 257 + p.p * 101) % 65536
+                  ELSE (g.seed * 131 + (p.p // 3) * 257) % 65536
+                  END AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.w * g.h * 3)) AS p(p))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * pos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_png16_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-BIT PNG round trip (VERDICT r11 task #6 — the highest-
+    frequency remaining codec guard: scientific/medical corpora ship
+    depth-16 streams): even docs synthesize truecolor-16 (color type
+    2), odd docs grayscale-16 (color type 0); the decoder runs the
+    spec's byte-level filters with a 2-byte unit, reassembles samples
+    big-endian to RAW 0..65535 values (never rescaled), and gray
+    replicates to RGB. The oracle recomputes every decoded sample
+    from the closed forms — an endianness slip, a mis-sized filter
+    unit, or a sneaky 8-bit rescale all shift values and fail the
+    hash; the position-weighted checksum breaks on any pixel
+    permutation. Alpha 16-bit variants (types 4/6) are pinned by
+    round trips in tests/test_multimodal.py."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        png16_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 180)
+    geom = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 4).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 3).alias("h"),
+        (F.col("doc_id") % 103).alias("seed"),
+    )
+    payloads = png16_synthesize(geom, "doc_id", "w", "h", "seed")
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(
+            F.round(F.avg("col"), 4).alias("mean_val"),
+            F.sum(F.col("col") * F.col("pos")).cast("long").alias(
+                "pos_weighted"
+            ),
+        )
+    )

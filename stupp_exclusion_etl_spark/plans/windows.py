@@ -961,3 +961,102 @@ def atomic_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(SUM(o_totalprice), 2)
         FROM {v_head} GROUP BY 2
     """)
+
+
+@register(
+    "atomic_bucketed_merge",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority, 1 AS batch
+      FROM orders WHERE o_orderkey % 10 < 6),
+    b2 AS (
+      SELECT o_orderkey, ROUND(o_totalprice * 1.1, 4) AS o_totalprice,
+             o_orderpriority, 2 AS batch
+      FROM orders WHERE o_orderkey % 10 BETWEEN 4 AND 9),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                   ORDER BY batch DESC) AS rn
+      FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2)),
+    final AS (
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM latest WHERE rn = 1 AND o_orderkey % 17 <> 0)
+    SELECT 'head' AS section, o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM final GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'point', CAST(o_orderkey AS VARCHAR),
+           CAST(1 AS BIGINT), ROUND(o_totalprice, 2)
+    FROM final
+    WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM final)
+    """,
+    # C5 lineage (bucketed write) documented in the docstring; the
+    # window-coverage guard keys on tags, and C5's window slot is the
+    # bucketed-write pytest surface, not this query
+    tags=("A15", "A16", "C16"),
+)
+def atomic_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-bucket layout end to end (VERDICT r11 task #5 —
+    sinks.atomic ``bucket_by``, C5's bucketed write married to the
+    atomic table): two overlapping order batches MERGE into a
+    16-bucket table (data files routed by pmod(hash(key), 16) — the
+    same partitioning the keep-latest window needs, so the whole
+    merge runs with ONE exchange and no stage-time range shuffle;
+    plan pinned in tests/test_bucket_layout.py), a keyed delete
+    retires every 17th key bucket-scoped, and the surviving snapshot
+    is read back. The 'point' section goes through
+    ``read(where=...)`` — the query ASSERTS the bucket prune kept a
+    strict file subset before returning, so a silently-disabled
+    layout claim fails the driver run rather than degrading. The
+    oracle restates the merge, the delete, and the point lookup over
+    the orders view."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    k = F.col("o_orderkey")
+    b1 = o.filter(k % 10 < 6).withColumn("batch", F.lit(1))
+    b2 = (
+        o.filter((k % 10 >= 4) & (k % 10 <= 9))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 4))
+        .withColumn("batch", F.lit(2))
+    )
+    t = AtomicParquetTable(
+        spark, tempfile.mkdtemp(prefix="atomic_bkt_"),
+        keys=["o_orderkey"], bucket_by=16,
+    )
+    t.upsert(b1, [F.col("batch").desc()])
+    t.upsert(b2, [F.col("batch").desc()])
+    t.delete_keys(o.filter(k % 17 == 0).select("o_orderkey"))
+    assert t._manifest_light(t.current_version())["layout"] == {
+        "bucket_keys": ["o_orderkey"], "n_buckets": 16,
+    }, "bucketed churn must keep the layout claim"
+
+    head = (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lit("head").alias("section"),
+            F.col("o_orderpriority").alias("grp"),
+            "n_rows", "total",
+        )
+    )
+    pk = int(t.read().agg(F.min("o_orderkey")).collect()[0][0])
+    rep = t.skipping_report([("o_orderkey", "=", pk)])
+    assert 0 < rep["files_kept"] < rep["files_total"], (
+        "bucket prune must keep a strict subset of files"
+    )
+    point = t.read(where=[("o_orderkey", "=", pk)]).select(
+        F.lit("point").alias("section"),
+        F.col("o_orderkey").cast("string").alias("grp"),
+        F.lit(1).cast("long").alias("n_rows"),
+        F.round(F.col("o_totalprice"), 2).alias("total"),
+    )
+    return head.unionByName(point)

@@ -427,6 +427,29 @@ def _chunk_ranges(names: list, stats: dict) -> dict:
     return out
 
 
+def _ddl_field_type(ddl: str, col: str) -> str | None:
+    """simpleString type of a top-level column in a DDL schema string
+    (depth-aware so array<struct<a,b>> commas don't split)."""
+    parts, depth, cur = [], 0, []
+    for ch in ddl:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    for p in parts:
+        toks = p.split(None, 1)
+        if len(toks) == 2 and toks[0].strip("`") == col:
+            return toks[1].strip().lower()
+    return None
+
+
 def _write_text_plain(spark, dest: str, text: str) -> None:
     """Write a uuid-named (hence race-free) metadata file. No CAS
     needed: chunk names never collide and a chunk is unreferenced —
@@ -952,7 +975,27 @@ class AtomicParquetTable:
         hooks: dict[str, Callable[[], None]] | None = None,
         auto_compact: dict | None = None,
         auto_gc: dict | None = None,
+        bucket_by: int | None = None,
     ) -> None:
+        # hash-bucket layout (VERDICT r11 task #5, the bucketed-write
+        # C5 married to the atomic table): data files are routed by
+        # pmod(hash(keys), bucket_by) — the SAME partitioning the
+        # keep-latest merge window needs — so a bucketed merge runs
+        # with ONE exchange total (the clustered path pays a second
+        # repartitionByRange at stage time), rewrites only the touched
+        # buckets' files, and point reads prune files by the driver-
+        # side hash mirror (functions/spark_hash.py). The layout is
+        # recorded in the commit record; commits that cannot guarantee
+        # it (compact, generic paths) drop the claim and the next full
+        # bucketed merge re-adopts it.
+        if bucket_by is not None:
+            if partition_by or cluster_by:
+                raise ValueError(
+                    "bucket_by is exclusive with partition_by/cluster_by"
+                )
+            if not isinstance(bucket_by, int) or bucket_by < 2:
+                raise ValueError("bucket_by must be an int >= 2")
+        self.bucket_count = bucket_by
         if partition_by and set(partition_by) & set(keys):
             # partition cols may overlap keys in general; only forbid
             # partitioning BY the full key (every partition would hold
@@ -1147,7 +1190,9 @@ class AtomicParquetTable:
                 self._chunk_cache_put(n, data)
         return out
 
-    def _chunk_may_match(self, ch: dict, where: list[tuple]) -> bool:
+    def _chunk_may_match(
+        self, ch: dict, where: list[tuple], allowed_buckets=None
+    ) -> bool:
         """Can any file in this chunk match the AND-predicates? Judged
         WITHOUT opening the chunk, from the commit record's per-chunk
         summaries (Iceberg's manifest-list partition summaries +
@@ -1158,6 +1203,10 @@ class AtomicParquetTable:
         Sound by the same argument as file-level pruning — a False
         here proves no contained file can match; null-ops are never
         range-judged (ranges carry no null counts)."""
+        if allowed_buckets is not None:
+            bsum = ch.get("buckets")
+            if bsum is not None and not (set(bsum) & allowed_buckets):
+                return False
         for pred in where:
             col, op, vals = _normalize_predicate(pred)
             if col in self.partition_by:
@@ -1205,10 +1254,11 @@ class AtomicParquetTable:
             return self._manifest(version)
         parts: dict[str, list[str]] = {}
         stats: dict[str, dict] = {}
+        ab = self._allowed_buckets(light, where)
         admitted = [
             ch["name"]
             for ch in light["chunks"]
-            if self._chunk_may_match(ch, where)
+            if self._chunk_may_match(ch, where, ab)
         ]
         payloads = self._read_chunks_many(admitted)
         for name in admitted:
@@ -1495,10 +1545,46 @@ class AtomicParquetTable:
             df = df.hint("broadcast")
         return df
 
+    def _allowed_buckets(self, record: dict, where: list[tuple]):
+        """Bucket ids an AND-predicate set can touch on a layout-
+        claiming snapshot, or None when bucket pruning doesn't apply
+        (no claim, multi-column bucket key, non-equality predicate, or
+        a literal the driver-side hash mirror refuses). Sound: derived
+        with the exact Spark hash the layout was written with."""
+        layout = record.get("layout")
+        if not layout or len(layout.get("bucket_keys", ())) != 1:
+            return None
+        from stupp_exclusion_etl_spark.functions.spark_hash import (
+            spark_bucket,
+        )
+
+        bkey = layout["bucket_keys"][0]
+        nb = layout["n_buckets"]
+        dtype = _ddl_field_type(record.get("schema_ddl", ""), bkey)
+        if dtype is None:
+            return None
+        allowed = None
+        for pred in where:
+            col, op, vals = _normalize_predicate(pred)
+            if col != bkey or op not in ("=", "in"):
+                continue
+            bs = set()
+            for v in vals:
+                b = spark_bucket(v, dtype, nb)
+                if b is None:
+                    bs = None
+                    break
+                bs.add(b)
+            if bs is None:
+                continue
+            allowed = bs if allowed is None else allowed & bs
+        return allowed
+
     def _prune_files(
         self, man: dict, rel: list[str], where: list[tuple]
     ) -> list[str]:
         stats = man.get("stats", {})
+        allowed_buckets = self._allowed_buckets(man, where)
         # manifest-level partition pruning first: a predicate on a
         # partition column eliminates whole partitions by their dir
         # string before any per-file stat is consulted — at 100 TB the
@@ -1525,6 +1611,13 @@ class AtomicParquetTable:
             if file_part.get(f) not in live_parts:
                 continue
             fstat = stats.get(f)
+            if allowed_buckets is not None:
+                fb = (fstat or {}).get("bucket")
+                # a file with a recorded bucket outside every bucket
+                # the predicate's keys hash to cannot hold a match;
+                # bucket-less files (layout adoption gap) always stay
+                if fb is not None and fb not in allowed_buckets:
+                    continue
             ok = True
             for pred in where:
                 col, op, vals = _normalize_predicate(pred)
@@ -1578,10 +1671,11 @@ class AtomicParquetTable:
         # number; file counts above are the data-I/O number)
         light = self._manifest_light(version)
         if light.get("format", 1) == 2:
+            ab = self._allowed_buckets(light, where)
             out["chunks_total"] = len(light["chunks"])
             out["chunks_opened"] = sum(
                 1 for ch in light["chunks"]
-                if self._chunk_may_match(ch, where)
+                if self._chunk_may_match(ch, where, ab)
             )
         return out
 
@@ -1651,6 +1745,16 @@ class AtomicParquetTable:
         self._fire("moved")
         return by_part
 
+    def _layout(self) -> dict | None:
+        """The hash-bucket layout descriptor this table would claim,
+        or None when unbucketed. A commit record carrying it asserts
+        EVERY live file of that snapshot holds exactly the rows
+        pmod(hash(keys), n_buckets) routes to its recorded bucket."""
+        if not self.bucket_count:
+            return None
+        return {"bucket_keys": list(self.keys),
+                "n_buckets": self.bucket_count}
+
     def _commit(
         self,
         parent: int | None,
@@ -1660,6 +1764,8 @@ class AtomicParquetTable:
         batch_id: int | None = None,
         replaced_files: dict[str, set[str]] | None = None,
         precomputed_stats: dict | None = None,
+        file_buckets: dict[str, int] | None = None,
+        claim_layout: bool = False,
     ) -> int:
         """Build manifest v{parent+1}: carry untouched partitions'
         entries forward verbatim, swap in the new files for replaced
@@ -1766,11 +1872,36 @@ class AtomicParquetTable:
                     rel, {"rows": None, "cols": {}}
                 )["bloom"] = blooms
             pool_stats.update(new_stats)
+        for rel, b in (file_buckets or {}).items():
+            pool_stats.setdefault(rel, {"rows": None, "cols": {}})[
+                "bucket"
+            ] = b
+        # layout claim: only a commit whose writer bucket-routed its
+        # new files asks (claim_layout), and only when the claim
+        # covers EVERY live file — the parent already claimed the same
+        # layout (carried survivors inherit their bucket stats), or
+        # nothing pre-existing survived (full rewrite adopts it). A
+        # rebase re-evaluates against the actual parent, so a racing
+        # layout-breaking commit (e.g. compact) drops the claim.
+        layout = None
+        if claim_layout and self.bucket_count:
+            new_files = {f for fl in new_by_part.values() for f in fl}
+            leftover = bool(carried) or any(
+                f not in new_files
+                for fl in pool_parts.values()
+                for f in fl
+            )
+            if (
+                not leftover
+                or (pl is not None and pl.get("layout") == self._layout())
+            ):
+                layout = self._layout()
         chunk_entries = carried + self._write_chunks(
             pool_parts, pool_stats
         )
         return self._publish_record(
-            parent, pl, schema_ddl, chunk_entries, batch_id
+            parent, pl, schema_ddl, chunk_entries, batch_id,
+            layout=layout,
         )
 
     def _write_chunks(
@@ -1815,6 +1946,16 @@ class AtomicParquetTable:
                 return (part, 0, (st["t"], st["min"]), f)
 
             entries.sort(key=_ckey)
+        elif self.bucket_count:
+            # bucket-ordered packing: chunks then cover few whole
+            # buckets each, keeping the per-chunk `buckets` summary
+            # selective (the bucketed twin of cluster-key ordering)
+            def _bkey(e):
+                part, f = e
+                b = (pool_stats.get(f) or {}).get("bucket")
+                return (part, 1, 0, f) if b is None else (part, 0, b, f)
+
+            entries.sort(key=_bkey)
         out = []
         for i in range(0, len(entries), self.chunk_target):
             sl = entries[i : i + self.chunk_target]
@@ -1846,13 +1987,25 @@ class AtomicParquetTable:
                 ),
             )
             names = [f for _part, f in sl]
-            out.append({
+            entry = {
                 "name": name,
                 "n": len(names),
                 "parts": sorted(parts),
                 "fbloom": _chunk_bloom_build(names),
                 "ranges": _chunk_ranges(names, stats),
-            })
+            }
+            if self.bucket_count:
+                # per-chunk bucket summary (the manifest-list twin of
+                # `ranges`): present only when EVERY contained file
+                # has a recorded bucket and the set stays small —
+                # unknowns or a wide set simply withhold it, so a skip
+                # is always proven
+                bset = {
+                    (stats.get(f) or {}).get("bucket") for f in names
+                }
+                if None not in bset and len(bset) <= 64:
+                    entry["buckets"] = sorted(bset)
+            out.append(entry)
         return out
 
     def _publish_record(
@@ -1862,6 +2015,7 @@ class AtomicParquetTable:
         schema_ddl: str,
         chunk_entries: list[dict],
         batch_id: int | None = None,
+        layout: dict | None = None,
     ) -> int:
         """CAS-publish the format-2 commit record referencing
         ``chunk_entries`` (already durable). The record doubles as the
@@ -1909,6 +2063,8 @@ class AtomicParquetTable:
             "batch_id": bid,
             "committed_at_ms": now_ms,
         }
+        if layout is not None:
+            manifest["layout"] = layout
         self._fire("before_commit")
         _write_text_atomic(
             self.spark,
@@ -2314,6 +2470,180 @@ class AtomicParquetTable:
             remerge, retries, replaced_files=cand,
         )
 
+    # -- hash-bucket layout (VERDICT r11 task #5) ----------------------
+
+    _BUCKET_RE = re.compile(r"part-(\d+)-")
+
+    def _staged_buckets(self, by_part: dict[str, list[str]]) -> dict:
+        """{rel file: bucket id} for files just staged by a bucket-
+        routed write. ``repartition(B, keys)`` puts a row in partition
+        pmod(hash(keys), B) == the write task index == the staged
+        file's part-NNNNN number, so the bucket id rides in the name
+        Spark itself chose (empty buckets write no file)."""
+        out: dict[str, int] = {}
+        for files in by_part.values():
+            for f in files:
+                m = self._BUCKET_RE.search(f.rsplit("/", 1)[-1])
+                if m is None:
+                    raise ValueError(
+                        f"staged file {f!r} has no part index — "
+                        "bucket routing cannot be recorded"
+                    )
+                out[f] = int(m.group(1))
+        return out
+
+    def _batch_buckets(self, batch: DataFrame) -> list[int]:
+        """Distinct bucket ids a batch's keys route to — a ≤n_buckets
+        row collect no matter how large the batch (the same Spark
+        hash the layout was written with, so exact by construction)."""
+        bcol = F.pmod(
+            F.hash(*[F.col(k) for k in self.keys]),
+            F.lit(self.bucket_count),
+        )
+        return sorted(
+            r[0] for r in batch.select(bcol.alias("b")).distinct().collect()
+        )
+
+    def _bucket_candidates(
+        self, man: dict, buckets: list[int]
+    ) -> dict[str, set[str]]:
+        """Live files that may hold keys of the given buckets. A file
+        missing its bucket stat (layout adopted over a history gap) is
+        always a candidate — it gets re-merged and re-routed, which
+        also heals its stats."""
+        bset = set(buckets)
+        stats = man.get("stats", {})
+        out: dict[str, set[str]] = {}
+        for part, files in man["partitions"].items():
+            for f in files:
+                b = (stats.get(f) or {}).get("bucket")
+                if b is None or b in bset:
+                    out.setdefault(part, set()).add(f)
+        return out
+
+    def _bucketed_upsert(
+        self,
+        existing: DataFrame,
+        new_data: DataFrame,
+        order_by: list[Column],
+        parent: int,
+        txn: str,
+        batch_keys: DataFrame,
+        remerge: Callable[[int], int],
+        retries: int,
+        batch_id: int | None,
+    ) -> int:
+        """MERGE on a hash-bucketed table: ONE exchange total. The
+        union of (touched buckets' files + batch) repartitions by
+        pmod(hash(keys), B) — exactly the clustering the keep-latest
+        window needs, so Catalyst inserts no further exchange, and the
+        write inherits the same partitioning so there is no
+        stage-time repartitionByRange either (the clustered path pays
+        that second shuffle). Untouched buckets' files carry forward
+        by name; a batch touching k buckets rewrites only those
+        buckets' files — and re-merging a bucket wholly is
+        self-compacting (each touched bucket comes out as one file).
+        When the parent record doesn't claim this layout (legacy
+        history, post-compact), the whole table re-merges once and the
+        commit adopts the claim."""
+        B = self.bucket_count
+        pl = self._manifest_light(parent)
+        man = self._manifest(parent)
+        if pl.get("layout") == self._layout():
+            cand = self._bucket_candidates(
+                man, self._batch_buckets(new_data)
+            )
+            cand_paths = [
+                f"{self.path}/{DATA_DIR}/{f}"
+                for fs in cand.values()
+                for f in fs
+            ]
+            if cand_paths:
+                overlap = (
+                    self.spark.read
+                    .schema(man["schema_ddl"])
+                    .option("basePath", f"{self.path}/{DATA_DIR}")
+                    .parquet(*cand_paths)
+                )
+                src = overlap.unionByName(
+                    new_data, allowMissingColumns=True
+                )
+            else:
+                src = new_data
+            merged = keep_latest(
+                src.repartition(B, *self.keys), self.keys, order_by
+            ).localCheckpoint(eager=True)
+            by_part = self._stage_and_move(merged, txn)
+            return self._commit_or_rebase(
+                parent, by_part, set(cand) | set(by_part),
+                _union_ddl(man["schema_ddl"], _ddl(merged)), batch_keys,
+                remerge, retries, batch_id, replaced_files=cand,
+                file_buckets=self._staged_buckets(by_part),
+                claim_layout=True,
+            )
+        merged = keep_latest(
+            existing.unionByName(new_data, allowMissingColumns=True)
+            .repartition(B, *self.keys),
+            self.keys, order_by,
+        ).localCheckpoint(eager=True)
+        by_part = self._stage_and_move(merged, txn)
+        return self._commit_or_rebase(
+            parent, by_part, {""}, _ddl(merged), batch_keys, remerge,
+            retries, batch_id,
+            file_buckets=self._staged_buckets(by_part),
+            claim_layout=True,
+        )
+
+    def _bucketed_delete(
+        self,
+        parent: int,
+        txn: str,
+        batch_keys: DataFrame,
+        doomed: DataFrame,
+        remerge: Callable[[int], int],
+        retries: int,
+    ) -> int:
+        """Keyed delete scoped to the doomed keys' buckets; rewritten
+        buckets stay bucket-routed so the layout claim survives."""
+        B = self.bucket_count
+        pl = self._manifest_light(parent)
+        man = self._manifest(parent)
+        layout_live = pl.get("layout") == self._layout()
+        if layout_live:
+            cand = self._bucket_candidates(
+                man, self._batch_buckets(doomed)
+            )
+        else:
+            cand = {
+                part: set(files)
+                for part, files in man["partitions"].items()
+            }
+        cand_paths = [
+            f"{self.path}/{DATA_DIR}/{f}"
+            for fs in cand.values()
+            for f in fs
+        ]
+        if not cand_paths:
+            return parent  # no live file can hold a doomed key
+        overlap = (
+            self.spark.read
+            .schema(man["schema_ddl"])
+            .option("basePath", f"{self.path}/{DATA_DIR}")
+            .parquet(*cand_paths)
+        )
+        kept = overlap.join(doomed, self.keys, "left_anti").repartition(
+            B, *self.keys
+        )
+        kept = kept.localCheckpoint(eager=True)
+        by_part = self._stage_and_move(kept, txn)
+        return self._commit_or_rebase(
+            parent, by_part, set(cand) | set(by_part),
+            man["schema_ddl"], batch_keys, remerge, retries,
+            replaced_files=cand,
+            file_buckets=self._staged_buckets(by_part),
+            claim_layout=True,
+        )
+
     # -- partition-dir naming (must byte-match Spark's writer) --------
 
     def _collect_touched(self, parts_df: DataFrame) -> tuple[list, set[str]]:
@@ -2470,6 +2800,8 @@ class AtomicParquetTable:
         retries: int,
         batch_id: int | None = None,
         replaced_files: dict[str, set[str]] | None = None,
+        file_buckets: dict[str, int] | None = None,
+        claim_layout: bool = False,
     ) -> int:
         """Commit, and on a lost version race REBASE instead of
         failing — no batch is ever lost (reference __main__.py:8-24:
@@ -2494,7 +2826,8 @@ class AtomicParquetTable:
             try:
                 v = self._commit(
                     parent, by_part, rp, schema_ddl, batch_id,
-                    replaced_files,
+                    replaced_files, file_buckets=file_buckets,
+                    claim_layout=claim_layout,
                 )
                 if self.auto_compact is not None:
                     # opportunistic housekeeping AFTER the data commit:
@@ -2597,12 +2930,30 @@ class AtomicParquetTable:
             )
 
         if existing is None:
+            if self.bucket_count:
+                merged = keep_latest(
+                    new_data.repartition(self.bucket_count, *self.keys),
+                    self.keys, order_by,
+                ).localCheckpoint(eager=True)
+                by_part = self._stage_and_move(merged, txn)
+                return self._commit_or_rebase(
+                    parent, by_part, set(), _ddl(merged), batch_keys,
+                    remerge, max_commit_retries, batch_id,
+                    file_buckets=self._staged_buckets(by_part),
+                    claim_layout=True,
+                )
             merged = keep_latest(new_data, self.keys, order_by)
             merged = merged.localCheckpoint(eager=True)
             by_part = self._stage_and_move(merged, txn)
             return self._commit_or_rebase(
                 parent, by_part, set(), _ddl(merged), batch_keys, remerge,
                 max_commit_retries, batch_id,
+            )
+
+        if self.bucket_count:
+            return self._bucketed_upsert(
+                existing, new_data, order_by, parent, txn, batch_keys,
+                remerge, max_commit_retries, batch_id,
             )
 
         # key-clustered tables take the stats-pruned FILE-scoped merge
@@ -2703,6 +3054,12 @@ class AtomicParquetTable:
         )
         if scoped is not None:
             return scoped
+
+        if self.bucket_count:
+            return self._bucketed_delete(
+                parent, txn, batch_keys, doomed, remerge,
+                max_commit_retries,
+            )
 
         if not self.partition_by:
             if not probe_small:
@@ -2999,6 +3356,9 @@ class AtomicParquetTable:
                 self._manifest_light(cur),
                 tl["schema_ddl"],
                 list(tl["chunks"]),
+                # the restored snapshot's files ARE the target's, so
+                # its layout claim (or absence) travels with them
+                layout=tl.get("layout"),
             )
         # format-1 target (pre-chunk history): replace every current
         # partition with the target's entries; the target manifest

@@ -833,8 +833,10 @@ def test_png_guards_and_corruption():
     )
 
     row = [(0, [0, 0, 0])]
-    with pytest.raises(NotImplementedError, match="16-bit"):
-        _decode_png_pixels(_hand_png(1, 1, row, depth=16))
+    # depth 16 DECODES since r12; the packed sub-byte depths remain
+    # the honest guard
+    with pytest.raises(NotImplementedError, match="4-bit"):
+        _decode_png_pixels(_hand_png(1, 1, row, depth=4))
     # every SPEC color type decodes since r11; non-spec values are
     # invalid data, not a coverage guard
     with pytest.raises(ValueError, match="color type"):
@@ -1261,3 +1263,50 @@ def test_png_alpha_variants_round_trip():
         _decode_png_pixels(
             encode_png_palette8(np.full((2, 2), 9), pal[:4])
         )
+
+
+def test_png16_round_trip_all_color_types():
+    """Depth-16 decode (r12): byte-level filters with a 2-byte unit,
+    big-endian sample reassembly to RAW 0..65535 (no rescale), the
+    same channel expansion as 8-bit — for every 16-bit-legal color
+    type (0/2/4/6; 16-bit palette is not spec-valid and is rejected
+    as invalid data, not guarded)."""
+    import numpy as np
+    import pytest
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png16,
+    )
+
+    rng = np.random.RandomState(12)
+    # truecolor 16: verbatim 3 channels
+    px = rng.randint(0, 65536, size=(7, 6, 3)).astype(np.uint16)
+    shape, flat = _decode_png_pixels(encode_png16(px, 2))
+    assert shape == (7, 6, 3)
+    assert (flat.reshape(7, 6, 3) == px).all()
+    assert flat.max() > 255, "16-bit values must not be rescaled"
+    # grayscale 16 → RGB replication
+    g = rng.randint(0, 65536, size=(6, 5, 1)).astype(np.uint16)
+    shape, flat = _decode_png_pixels(encode_png16(g, 0))
+    assert shape == (6, 5, 3)
+    assert (flat.reshape(6, 5, 3) == np.repeat(g, 3, axis=2)).all()
+    # gray+alpha 16 → (g, g, g, a)
+    ga = rng.randint(0, 65536, size=(5, 4, 2)).astype(np.uint16)
+    shape, flat = _decode_png_pixels(encode_png16(ga, 4))
+    out = flat.reshape(5, 4, 4)
+    assert shape == (5, 4, 4)
+    assert (out[:, :, :3] == np.repeat(ga[:, :, :1], 3, axis=2)).all()
+    assert (out[:, :, 3] == ga[:, :, 1]).all()
+    # RGBA 16: verbatim 4 channels
+    rgba = rng.randint(0, 65536, size=(4, 5, 4)).astype(np.uint16)
+    shape, flat = _decode_png_pixels(encode_png16(rgba, 6))
+    assert shape == (4, 5, 4)
+    assert (flat.reshape(4, 5, 4) == rgba).all()
+    # every filter type crosses the 2-byte unit: tall image cycles 0..4
+    tall = rng.randint(0, 65536, size=(11, 3, 3)).astype(np.uint16)
+    shape, flat = _decode_png_pixels(encode_png16(tall, 2))
+    assert (flat.reshape(11, 3, 3) == tall).all()
+    # 16-bit palette: invalid data, loud
+    with pytest.raises(ValueError, match="palette"):
+        _decode_png_pixels(_hand_png(1, 1, [(0, [0])], ctype=3, depth=16))
