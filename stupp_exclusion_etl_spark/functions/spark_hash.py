@@ -111,10 +111,27 @@ def _spark_hash_step(value, dtype: str, seed: int) -> int | None:
     return None
 
 
+def spark_hash_row(values, dtypes) -> int | None:
+    """Spark SQL ``hash(c1, c2, ...)``: the seed chains through the
+    columns left to right (hash_i seeds hash_{i+1}; initial seed 42) —
+    what HashPartitioning computes for a multi-column key. None when
+    any column can't be mirrored."""
+    h = SPARK_HASH_SEED
+    for v, t in zip(values, dtypes):
+        h = _spark_hash_step(v, t, h)
+        if h is None:
+            return None
+    return h
+
+
 def spark_bucket(value, dtype: str, n_buckets: int) -> int | None:
     """The partition ``repartition(n_buckets, col)`` sends a row with
     this single-column key to: pmod(hash, n). None ⇒ can't mirror."""
-    h = spark_hash_value(value, dtype)
+    return spark_bucket_row([value], [dtype], n_buckets)
+
+
+def spark_bucket_row(values, dtypes, n_buckets: int) -> int | None:
+    h = spark_hash_row(values, dtypes)
     if h is None:
         return None
     return ((h % n_buckets) + n_buckets) % n_buckets

@@ -1552,32 +1552,46 @@ class AtomicParquetTable:
         a literal the driver-side hash mirror refuses). Sound: derived
         with the exact Spark hash the layout was written with."""
         layout = record.get("layout")
-        if not layout or len(layout.get("bucket_keys", ())) != 1:
+        if not layout or not layout.get("bucket_keys"):
             return None
         from stupp_exclusion_etl_spark.functions.spark_hash import (
-            spark_bucket,
+            spark_bucket_row,
         )
 
-        bkey = layout["bucket_keys"][0]
+        bkeys = list(layout["bucket_keys"])
         nb = layout["n_buckets"]
-        dtype = _ddl_field_type(record.get("schema_ddl", ""), bkey)
-        if dtype is None:
+        ddl = record.get("schema_ddl", "")
+        dtypes = [_ddl_field_type(ddl, k) for k in bkeys]
+        if any(t is None for t in dtypes):
             return None
-        allowed = None
-        for pred in where:
-            col, op, vals = _normalize_predicate(pred)
-            if col != bkey or op not in ("=", "in"):
-                continue
-            bs = set()
-            for v in vals:
-                b = spark_bucket(v, dtype, nb)
-                if b is None:
-                    bs = None
-                    break
-                bs.add(b)
-            if bs is None:
-                continue
-            allowed = bs if allowed is None else allowed & bs
+        # per-key candidate literal sets from = / IN conjuncts; every
+        # bucket key must be pinned (the hash chains across ALL of
+        # them), and the tuple fan-out stays bounded
+        per_key: list[list] = []
+        for k in bkeys:
+            vals = None
+            for pred in where:
+                col, op, pv = _normalize_predicate(pred)
+                if col != k or op not in ("=", "in"):
+                    continue
+                s = list(pv)
+                vals = s if vals is None else [v for v in vals if v in s]
+            if vals is None:
+                return None
+            per_key.append(vals)
+        import itertools
+
+        n_tuples = 1
+        for vs in per_key:
+            n_tuples *= len(vs)
+            if n_tuples > 4096:
+                return None  # fan-out too wide to enumerate cheaply
+        allowed = set()
+        for tup in itertools.product(*per_key):
+            b = spark_bucket_row(list(tup), dtypes, nb)
+            if b is None:
+                return None  # unmirrorable literal: no pruning at all
+            allowed.add(b)
         return allowed
 
     def _prune_files(

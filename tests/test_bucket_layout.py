@@ -257,3 +257,72 @@ def test_time_travel_and_cdc_on_bucketed_table(spark, table):
     light = table._manifest_light(table.current_version())
     assert light["layout"] == {"bucket_keys": ["k"], "n_buckets": B}
     assert table.read(where=[("k", "=", 5)]).collect()[0].v == 5.0
+
+
+def test_multi_key_bucket_layout_and_chained_hash(spark, tmp_path):
+    """Multi-column bucket keys: Spark chains the per-column hashes
+    (hash_i seeds hash_{i+1}, initial 42); the driver-side mirror
+    must reproduce the chain, and pruning applies only when EVERY
+    bucket key is pinned by =/IN conjuncts — a partial pin can't
+    bound the chained hash and must degrade to no-prune, never to an
+    unsound skip."""
+    from stupp_exclusion_etl_spark.functions.spark_hash import (
+        spark_bucket_row,
+        spark_hash_row,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 7}", float(i)) for i in range(60)],
+        "k1 long, k2 string, v double",
+    ).select(
+        "k1", "k2", F.hash("k1", "k2").alias("h"),
+        F.pmod(F.hash("k1", "k2"), F.lit(8)).alias("b"),
+    )
+    for r in df.collect():
+        assert spark_hash_row([r.k1, r.k2], ["bigint", "string"]) == r.h
+        assert spark_bucket_row(
+            [r.k1, r.k2], ["bigint", "string"], 8
+        ) == r.b
+    # real placement under the composite key
+    from pyspark.sql.functions import spark_partition_id
+
+    d = (
+        spark.createDataFrame(
+            [(i, f"s{i % 7}") for i in range(200)], "k1 long, k2 string"
+        )
+        .repartition(8, "k1", "k2")
+        .withColumn("p", spark_partition_id())
+    )
+    for r in d.collect():
+        assert spark_bucket_row(
+            [r.k1, r.k2], ["bigint", "string"], 8
+        ) == r.p
+
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "mk"), keys=["k1", "k2"], bucket_by=8
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(i, f"s{i % 7}", float(i), 0) for i in range(300)],
+            "k1 long, k2 string, v double, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    # both keys pinned → bucket-pruned
+    rep = t.skipping_report([("k1", "=", 42), ("k2", "=", "s0")])
+    assert rep["files_kept"] < rep["files_total"], rep
+    bk = spark_bucket_row([42, "s0"], ["bigint", "string"], 8)
+    man = t._manifest(t.current_version())
+    assert all(man["stats"][f]["bucket"] == bk for f in rep["kept"])
+    assert [
+        (r.k1, r.k2)
+        for r in t.read(
+            where=[("k1", "=", 42), ("k2", "=", "s0")]
+        ).collect()
+    ] == [(42, "s0")]
+    # only one key pinned → chained hash unbounded → no bucket claim
+    assert t._allowed_buckets(
+        t._manifest_light(t.current_version()), [("k1", "=", 42)]
+    ) is None
+    # ...and the read is still exact through the unpruned path
+    assert t.read(where=[("k1", "=", 42)]).count() == 1
