@@ -71,15 +71,25 @@ class PersistedIvfIndex:
         k_cells: int = 8,
         n_probe: int = 3,
         trainer: str = "modmean",
+        pq: tuple[int, int] | None = None,
     ) -> None:
         if trainer not in ("modmean", "kmeans"):
             raise ValueError(f"unknown trainer {trainer!r}")
+        if pq is not None:
+            m, kc = pq
+            if m < 1 or kc < 2:
+                raise ValueError(f"pq=(m, k) must have m>=1, k>=2: {pq}")
         self.spark = spark
         self.id_col = id_col
         self.vec_col = vec_col
         self.k_cells = k_cells
         self.n_probe = n_probe
         self.trainer = trainer
+        # optional product quantization: the serving layout stores m
+        # small ints per vector alongside its cell, and ADC serving
+        # reads ONLY (id, cell, codes) — at 100 TB the probed-cell
+        # scan is m bytes/vector instead of the raw embedding
+        self.pq = pq
         self.corpus = AtomicParquetTable(spark, corpus_path, keys=[id_col])
         self.centroids = AtomicParquetTable(
             spark, index_root.rstrip("/") + "/centroids", keys=["cell"]
@@ -95,6 +105,14 @@ class PersistedIvfIndex:
         )
         self.meta = AtomicParquetTable(
             spark, index_root.rstrip("/") + "/meta", keys=["key"]
+        )
+        self.codebook = (
+            AtomicParquetTable(
+                spark, index_root.rstrip("/") + "/codebook",
+                keys=["s", "c"],
+            )
+            if pq is not None
+            else None
         )
 
     # -- training -----------------------------------------------------
@@ -150,6 +168,81 @@ class PersistedIvfIndex:
             )
         )
 
+    def _train_codebook(self, snapshot: DataFrame) -> list:
+        """codebook[s][c]: modmean seeds subvector centroids from the
+        k smallest-id vectors (deterministic, SQL-restatable — the
+        generalization of operators.similarity.pq_seed_codebook's
+        ids-1..k convention); kmeans learns them per subspace."""
+        m, kc = self.pq
+        if self.trainer == "kmeans":
+            from stupp_exclusion_etl_spark.operators.similarity import (
+                pq_kmeans_codebook,
+            )
+
+            return pq_kmeans_codebook(
+                snapshot, m=m, k=kc, vec_col=self.vec_col
+            )
+        rows = (
+            snapshot.select(self.id_col, self.vec_col)
+            .orderBy(self.id_col)
+            .limit(kc)
+            .collect()
+        )
+        if len(rows) < kc:
+            raise ValueError(
+                f"PQ needs >= {kc} corpus vectors to seed, got {len(rows)}"
+            )
+        dim = len(rows[0][1])
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by pq m={m}")
+        d = dim // m
+        return [
+            [
+                [float(x) for x in rows[c][1][s * d : (s + 1) * d]]
+                for c in range(kc)
+            ]
+            for s in range(m)
+        ]
+
+    def _store_codebook(self, book: list, ts: int) -> None:
+        rows = [
+            (s, c, book[s][c], ts)
+            for s in range(len(book))
+            for c in range(len(book[s]))
+        ]
+        self.codebook.upsert(
+            self.spark.createDataFrame(
+                rows, "s int, c int, centroid array<double>, ts long"
+            ),
+            [F.col("ts").desc()],
+        )
+
+    def _load_codebook(self) -> list:
+        """The persisted codebook as codebook[s][c] — an m×k-row
+        collect, metadata-scale like the centroid probe."""
+        rows = self.codebook.read()
+        if rows is None:
+            raise ValueError("index not built: no codebook committed")
+        got = rows.select("s", "c", "centroid").collect()
+        m = 1 + max(r.s for r in got)
+        kc = 1 + max(r.c for r in got)
+        book = [[None] * kc for _ in range(m)]
+        for r in got:
+            book[r.s][r.c] = [float(x) for x in r.centroid]
+        return book
+
+    def _with_codes(self, routed: DataFrame, vectors: DataFrame, book):
+        """Join PQ codes (frozen codebook, map-only encode) onto the
+        routed assignment rows."""
+        from stupp_exclusion_etl_spark.operators.similarity import (
+            pq_encode,
+        )
+
+        codes = pq_encode(
+            vectors, book, id_col=self.id_col, vec_col=self.vec_col
+        )
+        return routed.join(codes, self.id_col)
+
     def _put_meta(self, pairs: dict[str, float], ts: int) -> None:
         self.meta.upsert(
             self.spark.createDataFrame(
@@ -191,6 +284,12 @@ class PersistedIvfIndex:
         assigned = self._assign(
             snap.select(self.id_col, self.vec_col)
         ).withColumn("ts", F.lit(head).cast("long"))
+        if self.pq is not None:
+            book = self._train_codebook(snap)
+            self._store_codebook(book, ts=head)
+            assigned = self._with_codes(
+                assigned, snap.select(self.id_col, self.vec_col), book
+            )
         stale = None
         prev = self.assignments.read()
         if prev is not None:
@@ -236,6 +335,12 @@ class PersistedIvfIndex:
             routed = self._assign(changed).drop("cent_cos").withColumn(
                 "ts", F.lit(head).cast("long")
             )
+            if self.pq is not None:
+                # changed vectors re-encode through the FROZEN
+                # codebook — O(churn), like the cell re-route
+                routed = self._with_codes(
+                    routed, changed, self._load_codebook()
+                )
             self.assignments.upsert(routed, [F.col("ts").desc()])
         self._put_meta({_META_APPLIED: head}, ts=head)
         return {"from": applied, "to": head,
@@ -315,3 +420,32 @@ class PersistedIvfIndex:
         return scored.orderBy(
             F.col("cos_sim").desc_nulls_last(), F.col(self.id_col)
         ).limit(k)
+
+    def topk_adc(
+        self,
+        query_vec: list[float],
+        k: int = 10,
+        n_probe: int | None = None,
+    ) -> DataFrame:
+        """PQ-ADC serving from the persisted codes: probe cells, then
+        asymmetric-distance top-k over ONLY the probed cells'
+        (id, codes) rows — the billion-vector layout (IVF routes, PQ
+        codes score): the candidate scan reads m small ints per
+        vector, never the raw embeddings."""
+        if self.pq is None:
+            raise ValueError("index built without pq=(m, k)")
+        from stupp_exclusion_etl_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        q = self.spark.createDataFrame(
+            [([float(x) for x in query_vec],)], "q array<float>"
+        )
+        cells = self.probe_cells(q, n_probe)
+        cand = self.assignments.read(
+            where=[("cell", "in", cells)]
+        ).select(self.id_col, "codes")
+        return pq_adc_topk(
+            cand, self._load_codebook(), [float(x) for x in query_vec],
+            k=k, id_col=self.id_col,
+        )

@@ -254,3 +254,68 @@ def test_kmeans_trainer_same_plane(spark, tmp_path):
     r = idx.refresh()
     assert (r["n_upserted"], r["n_deleted"]) == (1, 0)
     assert 999 in {r.vec_id for r in idx.assignments.read().collect()}
+
+
+def test_pq_codes_persisted_and_adc_serving(spark, tmp_path):
+    """pq=(m, k): the codebook and per-vector codes persist as index
+    artifacts; refresh re-encodes ONLY changed vectors through the
+    frozen codebook; full-probe ADC from the persisted codes equals
+    ADC over a from-scratch encode of the final corpus (the
+    maintenance-correctness oracle); a fresh handle serves without
+    retraining."""
+    from stupp_exclusion_etl_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+    )
+
+    root = str(tmp_path)
+    corpus = _mk_corpus(spark, root + "/corpus")
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index",
+        k_cells=N_CLUSTERS, n_probe=2, pq=(4, 8),
+    )
+    idx.build()
+    # codebook persisted: m*k rows
+    assert idx.codebook.read().count() == 4 * 8
+    book = idx._load_codebook()
+    assert len(book) == 4 and len(book[0]) == 8 and len(book[0][0]) == 2
+
+    # churn: updates + insert + delete, maintained incrementally
+    corpus.upsert(
+        spark.createDataFrame(
+            [(i, _vec((i + 1) % N_CLUSTERS, i + 3), 1) for i in (2, 9, 33)]
+            + [(777, _vec(1, 5), 1)],
+            "vec_id long, embedding array<float>, ts long",
+        ),
+        [F.col("ts").desc()],
+    )
+    corpus.delete_keys(spark.createDataFrame([(4,)], "vec_id long"))
+    r = idx.refresh()
+    assert r["n_upserted"] == 4 and r["n_deleted"] == 1
+
+    qv = [float(x) for x in _vec(1, 321)]
+    served = sorted(
+        (r.vec_id, r.adc_score)
+        for r in idx.topk_adc(qv, k=10, n_probe=N_CLUSTERS).collect()
+    )
+    fresh_codes = pq_encode(corpus.read(), book)
+    want = sorted(
+        (r.vec_id, r.adc_score)
+        for r in pq_adc_topk(fresh_codes, book, qv, k=10).collect()
+    )
+    assert served == want, "persisted codes diverged from re-encode"
+
+    # pruned ADC probe reads only probed cells' rows and stays sane
+    top1 = idx.topk_adc(qv, k=1, n_probe=1).collect()
+    assert len(top1) == 1
+
+    # durability: a new handle loads the codebook from its table
+    idx2 = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index",
+        k_cells=N_CLUSTERS, n_probe=2, pq=(4, 8),
+    )
+    served2 = sorted(
+        (r.vec_id, r.adc_score)
+        for r in idx2.topk_adc(qv, k=10, n_probe=N_CLUSTERS).collect()
+    )
+    assert served2 == served
