@@ -267,7 +267,7 @@ class PersistedIvfIndex:
         O(corpus) operation besides an explicit rebuild."""
         head = self.corpus.current_version()
         snap = self.corpus.read(version=head)
-        if snap is None:
+        if snap is None or snap.limit(1).count() == 0:
             raise ValueError("empty corpus: nothing to index")
         cents = self._train_centroids(snap).withColumn(
             "ts", F.lit(head).cast("long")

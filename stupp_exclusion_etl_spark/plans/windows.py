@@ -1048,7 +1048,14 @@ def atomic_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows", "total",
         )
     )
-    pk = int(t.read().agg(F.min("o_orderkey")).collect()[0][0])
+    pk_row = t.read().agg(F.min("o_orderkey")).collect()[0][0]
+    if pk_row is None:
+        # empty source tables: the oracle yields zero rows too
+        point = spark.createDataFrame(
+            [], "section string, grp string, n_rows long, total double"
+        )
+        return head.unionByName(point)
+    pk = int(pk_row)
     rep = t.skipping_report([("o_orderkey", "=", pk)])
     assert 0 < rep["files_kept"] < rep["files_total"], (
         "bucket prune must keep a strict subset of files"

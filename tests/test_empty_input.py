@@ -24,6 +24,8 @@ TABLES = (
 DATA_DEPENDENT = {
     "sim_pq_adc_topk": "need vec ids 1..16 as PQ seeds",
     "sim_ivf_pq_topk": "need vec ids 1..16 as PQ seeds",
+    # building an ANN index over nothing is the documented refusal
+    "sim_index_incremental": "empty corpus: nothing to index",
 }
 
 

@@ -57,10 +57,14 @@ def test_fingerprint_iff_normalized_equal(spark, a, b):
     )
 
     def norm(s: str) -> str:
-        # Mirror fingerprint() exactly: Spark trim strips SPACES only
-        # (not \t), lower, then java-\s+ collapse — python strip()
-        # would wrongly equate "" with "\t".
-        return re.sub(r"[ \t\n\r\f\x0b]+", " ", s.strip(" ").lower())
+        # Mirror fingerprint() exactly: it REGEX-trims the full java
+        # \s class at both ends (functions/text.py — not Spark trim(),
+        # which strips spaces only), lowers, then collapses \s+ runs;
+        # so '' and '\n' MUST normalize (and fingerprint) equal. The
+        # old space-only strip() mirror dated from a trim()-based
+        # implementation and falsified on exactly that pair.
+        s = re.sub(r"^[ \t\n\r\f\x0b]+|[ \t\n\r\f\x0b]+$", "", s)
+        return re.sub(r"[ \t\n\r\f\x0b]+", " ", s.lower())
 
     same_norm = norm(a) == norm(b)
     same_fp = rows[0].fp == rows[1].fp

@@ -61,6 +61,11 @@ HEAVY = [
     "atomic_merge_read",
     "dedup_embedding_cosine",
     "sim_knn_join",
+    # r12: the bucketed 1-exchange merge and the persisted-index
+    # lifecycle, each a real multi-commit write workload at 15M keys /
+    # 200k vectors over real executor JVMs
+    "atomic_bucketed_merge",
+    "sim_index_incremental",
 ]
 
 MID = "/tmp/scaled/sf1"
