@@ -154,6 +154,7 @@ HEADLINE = [
     "sim_index_incremental",
     "atomic_bucketed_merge",
     "mm_png16_decode_stats",
+    "mm_png_packed_decode_stats",
 ]
 
 

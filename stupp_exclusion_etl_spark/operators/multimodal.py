@@ -2252,13 +2252,16 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     PLTE → (h, w, 3), or (h, w, 4) when tRNS supplies per-entry alpha
     (entries past the tRNS length are opaque 255, per spec);
     gray+alpha → (h, w, 4); RGBA stays (h, w, 4). Returns
-    ((h, w, c), flat float64, top-down). Depth 16 (scientific/medical
-    corpora) decodes natively for color types 0/2/4/6 — filtering is
-    byte-level with a 2-byte unit per the spec, samples reassemble
-    big-endian to raw 0..65535 values (never rescaled: stats oracles
-    recompute exact closed forms). Honest guard for the variants out
-    of scope here: 1/2/4-bit packed depths raise NotImplementedError
-    (production: PIL in the same Arrow stage)."""
+    ((h, w, c), flat float64, top-down). EVERY spec-legal
+    (color type, depth) pair decodes (r12): depth 16
+    (scientific/medical corpora) filters byte-level with a 2-byte
+    unit and reassembles big-endian to raw 0..65535; the packed
+    sub-byte depths (1/2/4-bit gray and palette — fax scans, icons,
+    screenshots) unpack MSB-first bit groups from byte-padded rows
+    with a one-byte filter unit. Raw sample values are never
+    rescaled: stats oracles recompute exact closed forms. Non-spec
+    (ctype, depth) combinations are invalid data and fail loudly —
+    no coverage guards remain in the PNG path."""
     import struct
     import zlib as _z
 
@@ -2294,56 +2297,75 @@ def _decode_png_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, ctype, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"{depth}-bit PNG (8- and 16-bit supported; 1/2/4-bit "
-            "packed depths via PIL in the same Arrow stage)"
-        )
+    #: spec-legal depths per color type (PNG spec table 11.1)
+    legal = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+             4: (8, 16), 6: (8, 16)}
     if ctype not in _PNG_CTYPE_BPP:
         raise ValueError(f"invalid PNG color type {ctype}")
     if ctype == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
-    if ctype == 3 and depth == 16:
-        raise ValueError("16-bit palette PNG is not spec-valid")
+    if depth not in legal[ctype]:
+        raise ValueError(
+            f"{depth}-bit depth is not spec-valid for color type {ctype}"
+        )
     if comp != 0 or filt != 0:
         raise ValueError("invalid PNG compression/filter method")
     if interlace not in (0, 1):
         raise ValueError(f"invalid PNG interlace method {interlace}")
     raw = _z.decompress(b"".join(idat))
     samples = _PNG_CTYPE_BPP[ctype]
-    sb = depth // 8  # bytes per sample
-    # spec: filtering operates on BYTES with bpp = samples × sample
-    # bytes, so depth 16 reuses the same unfilter with a 2-byte unit
-    bpp = samples * sb
+    # spec: filtering operates on BYTES with bpp = the byte-rounded
+    # pixel unit — samples×2 at depth 16, samples at 8, and ONE byte
+    # for the packed sub-byte depths (1/2/4-bit gray or palette,
+    # samples == 1 there by the legality table)
+    funit = max(1, (samples * depth) // 8)
+
+    def row_bytes(width: int) -> int:
+        return (width * samples * depth + 7) // 8
+
+    def assemble(rows, width: int, height: int):
+        """(height, row_bytes) unfiltered BYTE rows → (height, width,
+        samples) int64 samples: 16-bit combines big-endian pairs,
+        8-bit reshapes, sub-byte depths unpack MSB-first bit groups
+        (rows are padded to a byte boundary per spec). Raw values are
+        never rescaled — stats oracles recompute exact closed forms."""
+        if depth == 16:
+            b2 = rows.reshape(height, width, samples, 2)
+            return b2[:, :, :, 0] * 256 + b2[:, :, :, 1]
+        if depth == 8:
+            return rows.reshape(height, width, samples)
+        bits = np.unpackbits(
+            rows.astype(np.uint8), axis=1
+        )[:, : width * depth].reshape(height, width, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1, dtype=np.int64)
+        return (bits.astype(np.int64) * weights).sum(axis=2)[
+            :, :, None
+        ]
+
     if interlace == 0:
-        rowlen = 1 + w * bpp
+        rowlen = 1 + row_bytes(w)
         if len(raw) != h * rowlen:
             raise ValueError("PNG pixel data length mismatch")
-        out = _unfilter_scanlines(raw, h, w * bpp, bpp).reshape(
-            h, w, samples, sb
+        out = assemble(
+            _unfilter_scanlines(raw, h, row_bytes(w), funit), w, h
         )
     else:
         # Adam7: consume each pass's block, unfilter it as its own
-        # sub-image, scatter onto the stride grid
-        out = np.empty((h, w, samples, sb), dtype=np.int64)
+        # sub-image (sub-byte passes pad each PASS row to a byte
+        # boundary independently, per spec), scatter onto the grid
+        out = np.empty((h, w, samples), dtype=np.int64)
         pos = 0
         for y0, x0, dy, dx in _ADAM7:
             ph = len(range(y0, h, dy))
             pw = len(range(x0, w, dx))
             if ph == 0 or pw == 0:
                 continue
-            block = raw[pos : pos + ph * (1 + pw * bpp)]
-            pos += ph * (1 + pw * bpp)
-            sub = _unfilter_scanlines(block, ph, pw * bpp, bpp)
-            out[y0::dy, x0::dx, :, :] = sub.reshape(ph, pw, samples, sb)
+            block = raw[pos : pos + ph * (1 + row_bytes(pw))]
+            pos += ph * (1 + row_bytes(pw))
+            sub = _unfilter_scanlines(block, ph, row_bytes(pw), funit)
+            out[y0::dy, x0::dx, :] = assemble(sub, pw, ph)
         if pos != len(raw):
             raise ValueError("PNG pixel data length mismatch")
-    # big-endian sample assembly: 8-bit collapses the size-1 axis,
-    # 16-bit combines (hi, lo) → 0..65535 raw values (no rescale —
-    # stats oracles recompute the exact sample closed forms)
-    out = out[:, :, :, 0] if sb == 1 else (
-        out[:, :, :, 0] * 256 + out[:, :, :, 1]
-    )
     bpp = samples
     # expand to the uniform pixel space
     if ctype == 0:  # gray → RGB replication
@@ -2399,6 +2421,104 @@ def encode_png16(samples, ctype: int, filter_for_row=None) -> bytes:
         + _png_chunk(b"IDAT", _z.compress(body, 6))
         + _png_chunk(b"IEND", b"")
     )
+
+
+def encode_png_packed(
+    samples, depth: int, ctype: int, plte=None, trns=None,
+    filter_for_row=None,
+) -> bytes:
+    """Spec-valid non-interlaced sub-byte PNG from (h, w) sample
+    values — depth 1/2/4, color type 0 (grayscale) or 3 (palette
+    indices): bits pack MSB-first, rows pad to a byte boundary, the
+    filter unit is ONE byte, filter types cycle 0..4 by default so
+    every spec filter crosses the packed path."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    if depth not in (1, 2, 4):
+        raise ValueError(f"packed encoder: depth must be 1/2/4, got {depth}")
+    if ctype not in (0, 3):
+        raise ValueError(f"packed depths are spec-legal for ctype 0/3 only")
+    px = np.asarray(samples, dtype=np.int64)
+    h, w = px.shape
+    if px.min(initial=0) < 0 or px.max(initial=0) >= (1 << depth):
+        raise ValueError(f"sample out of range for depth {depth}")
+    # MSB-first bit groups, each row padded to a whole byte
+    bits = (
+        (px[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+    ).reshape(h, w * depth).astype(np.uint8)
+    rows = np.packbits(bits, axis=1).astype(np.int64)
+    pick = filter_for_row or (lambda y: y % 5)
+    body = _filter_scanlines(rows, 1, pick)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(
+            b"PLTE", np.asarray(plte, dtype=np.uint8).tobytes()
+        )
+    if trns is not None:
+        out += _png_chunk(b"tRNS", bytes(bytearray(trns)))
+    return (
+        out
+        + _png_chunk(b"IDAT", _z.compress(body, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_packed_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Arrow-batched sub-byte PNG writer over (id, w, h, seed) rows:
+    EVEN ids become 4-bit PALETTE streams (16-entry closed-form
+    palette ((i*17)%256, (i*29)%256, (i*41)%256), index plane
+    (seed + p) % 16); ODD ids 2-bit GRAYSCALE (g(p) = (seed + 3p) % 4).
+    Closed forms, so oracles recompute decoded values without
+    touching bytes."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        pal = np.stack(
+            [
+                (np.arange(16) * 17) % 256,
+                (np.arange(16) * 29) % 256,
+                (np.arange(16) * 41) % 256,
+            ],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                i, w, h, seed = int(i), int(w), int(h), int(seed)
+                if i % 2 == 0:
+                    idx = (
+                        seed + np.arange(h * w, dtype=np.int64)
+                    ).reshape(h, w) % 16
+                    payloads.append(
+                        encode_png_packed(idx, 4, 3, plte=pal)
+                    )
+                else:
+                    g = (
+                        seed + 3 * np.arange(h * w, dtype=np.int64)
+                    ).reshape(h, w) % 4
+                    payloads.append(encode_png_packed(g, 2, 0))
+                ids.append(i)
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")
 
 
 def png16_synthesize(

@@ -1048,3 +1048,64 @@ def mm_png16_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "mm_png_packed_decode_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 5 + doc_id % 5 AS w, 6 + doc_id % 4 AS h,
+             doc_id % 97 AS seed
+      FROM documents WHERE doc_id < 160),
+    v AS (
+      SELECT g.doc_id, CAST(p.p % 3 AS INT) AS ch, p.p AS pos,
+             CAST(CASE WHEN g.doc_id % 2 = 0 THEN
+                    (((g.seed + p.p // 3) % 16)
+                     * CASE p.p % 3 WHEN 0 THEN 17 WHEN 1 THEN 29 ELSE 41 END)
+                    % 256
+                  ELSE (g.seed + 3 * (p.p // 3)) % 4
+                  END AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, g.w * g.h * 3)) AS p(p))
+    SELECT doc_id, ch, ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * pos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1, 2
+    """,
+    tags=("B15", "B5"),
+)
+def mm_png_packed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUB-BYTE packed PNG round trip (r12 — retires the LAST PNG
+    guard: every spec-legal (color type, depth) pair now decodes):
+    even docs synthesize 4-bit PALETTE streams (16-entry closed-form
+    PLTE, packed two indices per byte), odd docs 2-bit GRAYSCALE
+    (four samples per byte); rows pad to byte boundaries, bits unpack
+    MSB-first, the filter unit is one byte, and grayscale raw values
+    (0..3) replicate to RGB UNRESCALED. The oracle recomputes every
+    decoded value from the closed forms — a bit-order slip, a padding
+    error, or a sneaky rescale shifts values and fails the hash; the
+    position-weighted checksum breaks on any pixel permutation.
+    Adam7 + packed placement is pinned by a hand-assembled stream in
+    tests/test_multimodal.py."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        png_packed_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 160)
+    geom = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 5).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 4).alias("h"),
+        (F.col("doc_id") % 97).alias("seed"),
+    )
+    payloads = png_packed_synthesize(geom, "doc_id", "w", "h", "seed")
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id", (F.col("pos") % 3).cast("int").alias("ch"))
+        .agg(
+            F.round(F.avg("col"), 4).alias("mean_val"),
+            F.sum(F.col("col") * F.col("pos")).cast("long").alias(
+                "pos_weighted"
+            ),
+        )
+    )

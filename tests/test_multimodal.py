@@ -833,9 +833,9 @@ def test_png_guards_and_corruption():
     )
 
     row = [(0, [0, 0, 0])]
-    # depth 16 DECODES since r12; the packed sub-byte depths remain
-    # the honest guard
-    with pytest.raises(NotImplementedError, match="4-bit"):
+    # every spec-legal (ctype, depth) pair DECODES since r12; a
+    # non-spec combination (4-bit truecolor) is invalid DATA
+    with pytest.raises(ValueError, match="not spec-valid"):
         _decode_png_pixels(_hand_png(1, 1, row, depth=4))
     # every SPEC color type decodes since r11; non-spec values are
     # invalid data, not a coverage guard
@@ -1310,3 +1310,85 @@ def test_png16_round_trip_all_color_types():
     # 16-bit palette: invalid data, loud
     with pytest.raises(ValueError, match="palette"):
         _decode_png_pixels(_hand_png(1, 1, [(0, [0])], ctype=3, depth=16))
+
+
+def test_png_packed_depths_round_trip():
+    """1/2/4-bit packed PNG (r12 — the last PNG guard retired): bits
+    unpack MSB-first from byte-padded rows, the filter unit is one
+    byte, palette indices map through PLTE (+tRNS), grayscale raw
+    values replicate to RGB unrescaled. Widths chosen so rows need
+    bit padding; heights so every spec filter appears."""
+    import numpy as np
+    import pytest
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_png_pixels,
+        encode_png_packed,
+    )
+
+    rng = np.random.RandomState(5)
+    pal = np.stack([(np.arange(16) * 17) % 256,
+                    (np.arange(16) * 29) % 256,
+                    (np.arange(16) * 41) % 256], axis=1).astype(np.uint8)
+    for depth in (1, 2, 4):
+        g = rng.randint(0, 1 << depth, size=(11, 13))
+        shape, flat = _decode_png_pixels(encode_png_packed(g, depth, 0))
+        assert shape == (11, 13, 3)
+        assert (flat.reshape(11, 13, 3)
+                == np.repeat(g[:, :, None], 3, axis=2)).all()
+        idx = rng.randint(0, min(16, 1 << depth), size=(7, 9))
+        shape, flat = _decode_png_pixels(
+            encode_png_packed(idx, depth, 3, plte=pal)
+        )
+        assert shape == (7, 9, 3)
+        assert (flat.reshape(7, 9, 3) == pal[idx]).all()
+    # palette + tRNS at depth 2: per-entry alpha, opaque past length
+    idx = (np.arange(6 * 5) % 4).reshape(6, 5)
+    shape, flat = _decode_png_pixels(
+        encode_png_packed(idx, 2, 3, plte=pal[:4], trns=[9, 200])
+    )
+    assert shape == (6, 5, 4)
+    out = flat.reshape(6, 5, 4)
+    assert (out[:, :, 3] == np.where(idx == 0, 9,
+                                     np.where(idx == 1, 200, 255))).all()
+    # non-spec combination is invalid data
+    with pytest.raises(ValueError, match="range"):
+        encode_png_packed(np.full((2, 2), 4), 2, 0)
+
+
+def test_png_packed_adam7_placement():
+    """Adam7 + packed depth: each PASS packs its own rows to a byte
+    boundary independently (spec) — a hand-assembled interlaced 1-bit
+    stream must scatter back to the exact sequential image."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _ADAM7,
+        _decode_png_pixels,
+        _png_chunk,
+    )
+
+    rng = np.random.RandomState(9)
+    w, h, depth = 10, 9, 1
+    img = rng.randint(0, 2, size=(h, w))
+    body = b""
+    for y0, x0, dy, dx in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            bits = np.zeros(((len(row) + 7) // 8) * 8, dtype=np.uint8)
+            bits[: len(row)] = row
+            packed = np.packbits(bits).tobytes()
+            body += b"\x00" + packed  # filter 0 per scanline
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+    b = (sig + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", zlib.compress(body))
+         + _png_chunk(b"IEND", b""))
+    shape, flat = _decode_png_pixels(b)
+    assert shape == (h, w, 3)
+    assert (flat.reshape(h, w, 3)[:, :, 0] == img).all()
