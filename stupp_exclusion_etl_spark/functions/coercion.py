@@ -64,9 +64,12 @@ def decimal_re(scale: int) -> str:
     if scale < 0:
         raise ValueError(f"decimal scale must be >= 0, got {scale}")
     if scale == 0:
-        # whole-unit currencies (JPY, KRW): integer strings only — the
-        # generic template would emit the invalid quantifier {1,0}
-        return r"^[+-]?[0-9]+$"
+        # whole-unit currencies (JPY, KRW): integer strings, with the
+        # trailing-dot form ("5.") admitted for consistency with every
+        # scale>=1 pattern (whose {0,scale} quantifier accepts zero
+        # fraction digits after the dot) — the generic template would
+        # emit the invalid quantifier {1,0}
+        return r"^[+-]?[0-9]+\.?$"
     return rf"^[+-]?([0-9]+(\.[0-9]{{0,{scale}}})?|\.[0-9]{{1,{scale}}})$"
 
 

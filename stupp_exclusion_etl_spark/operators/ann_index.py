@@ -363,6 +363,12 @@ class PersistedIvfIndex:
             .agg(F.avg("c").alias("q"))
             .collect()
         )
+        if row[0][0] is None:
+            # avg over zero assignment rows is NULL (churn deleted the
+            # whole corpus) — drift is undefined, not a TypeError
+            raise ValueError(
+                "index is empty: no assignment rows to score"
+            )
         return float(row[0][0])
 
     def maybe_rebuild(self, max_drop: float = 0.05) -> bool:
@@ -373,6 +379,17 @@ class PersistedIvfIndex:
         base = self._get_meta(_META_BASELINE_Q)
         if base is None:
             raise ValueError("index not built")
+        a = self.assignments.read()
+        if a is None or a.limit(1).count() == 0:
+            # churn drained the index: quality() is undefined (NULL
+            # aggregate). Decide instead of crashing — an empty index
+            # over an empty corpus is trivially in sync; a non-empty
+            # corpus with a drained index needs the rebuild.
+            corpus = self.corpus.read()
+            if corpus is None or corpus.limit(1).count() == 0:
+                return False
+            self.build()
+            return True
         if base - self.quality() <= max_drop:
             return False
         self.build()

@@ -1033,6 +1033,7 @@ def atomic_bucketed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.delete_keys(o.filter(k % 17 == 0).select("o_orderkey"))
     assert t._manifest_light(t.current_version())["layout"] == {
         "bucket_keys": ["o_orderkey"], "n_buckets": 16,
+        "key_types": ["bigint"],
     }, "bucketed churn must keep the layout claim"
 
     head = (

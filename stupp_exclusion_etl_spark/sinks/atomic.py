@@ -1564,6 +1564,15 @@ class AtomicParquetTable:
         dtypes = [_ddl_field_type(ddl, k) for k in bkeys]
         if any(t is None for t in dtypes):
             return None
+        # dtype fence: files were routed under the CLAIMED key dtypes;
+        # if the record's schema carries different (widened) dtypes
+        # the two hashes disagree — refuse to prune rather than drop
+        # rows routed under the narrower type (our writer never
+        # commits such a record, but a hand-edited or corrupted claim
+        # must degrade to a full scan, never to a silent miss)
+        kt = layout.get("key_types")
+        if kt is not None and list(kt) != dtypes:
+            return None
         # per-key candidate literal sets from = / IN conjuncts; every
         # bucket key must be pinned (the hash chains across ALL of
         # them), and the tuple fan-out stays bounded
@@ -1760,14 +1769,48 @@ class AtomicParquetTable:
         return by_part
 
     def _layout(self) -> dict | None:
-        """The hash-bucket layout descriptor this table would claim,
-        or None when unbucketed. A commit record carrying it asserts
-        EVERY live file of that snapshot holds exactly the rows
-        pmod(hash(keys), n_buckets) routes to its recorded bucket."""
+        """The hash-bucket layout descriptor this table would claim
+        (logical part: keys + bucket count), or None when unbucketed.
+        A commit record carrying it asserts EVERY live file of that
+        snapshot holds exactly the rows pmod(hash(keys), n_buckets)
+        routes to its recorded bucket. The claim as COMMITTED also
+        records ``key_types`` — Spark's hash() is dtype-sensitive
+        (hash(1 AS int) != hash(1 AS bigint)), so a claim is only
+        meaningful together with the dtypes the rows were hashed
+        under; _commit stamps them from the committed schema."""
         if not self.bucket_count:
             return None
         return {"bucket_keys": list(self.keys),
                 "n_buckets": self.bucket_count}
+
+    def _layout_live(self, record: dict | None) -> bool:
+        """Does ``record`` claim THIS table's logical layout (same
+        keys, same bucket count)? dtype agreement is checked
+        separately — a live-but-widened claim must fall back to the
+        full re-merge, never to bucket-scoped work under a different
+        hash."""
+        lo = None if record is None else record.get("layout")
+        return bool(
+            lo
+            and lo.get("bucket_keys") == list(self.keys)
+            and lo.get("n_buckets") == self.bucket_count
+        )
+
+    def _layout_key_types(self, schema_ddl: str) -> list:
+        """simpleString dtype of each bucket key under ``schema_ddl``
+        — the dtypes a merge committed under that schema hashes
+        with."""
+        return [_ddl_field_type(schema_ddl, k) for k in self.keys]
+
+    def _claimed_key_types(self, record: dict) -> list:
+        """The dtypes ``record``'s layout claim routed rows under.
+        Pre-key_types claims (older history) recorded none; their
+        writer hashed with the record's own schema dtypes, so that is
+        the faithful reconstruction."""
+        kt = (record.get("layout") or {}).get("key_types")
+        if kt is not None:
+            return list(kt)
+        return self._layout_key_types(record.get("schema_ddl", ""))
 
     def _commit(
         self,
@@ -1893,10 +1936,14 @@ class AtomicParquetTable:
         # layout claim: only a commit whose writer bucket-routed its
         # new files asks (claim_layout), and only when the claim
         # covers EVERY live file — the parent already claimed the same
-        # layout (carried survivors inherit their bucket stats), or
-        # nothing pre-existing survived (full rewrite adopts it). A
-        # rebase re-evaluates against the actual parent, so a racing
-        # layout-breaking commit (e.g. compact) drops the claim.
+        # layout UNDER THE SAME KEY DTYPES (carried survivors inherit
+        # their bucket stats, which only stay sound if this commit
+        # hashed with the dtypes they were routed under — hash(int)
+        # != hash(bigint) for equal values), or nothing pre-existing
+        # survived (full rewrite adopts it, stamping the committed
+        # schema's dtypes). A rebase re-evaluates against the actual
+        # parent, so a racing layout-breaking commit (e.g. compact)
+        # drops the claim.
         layout = None
         if claim_layout and self.bucket_count:
             new_files = {f for fl in new_by_part.values() for f in fl}
@@ -1905,11 +1952,16 @@ class AtomicParquetTable:
                 for fl in pool_parts.values()
                 for f in fl
             )
-            if (
-                not leftover
-                or (pl is not None and pl.get("layout") == self._layout())
+            kt = self._layout_key_types(schema_ddl)
+            parent_same = (
+                pl is not None
+                and self._layout_live(pl)
+                and self._claimed_key_types(pl) == kt
+            )
+            if (not leftover or parent_same) and all(
+                t is not None for t in kt
             ):
-                layout = self._layout()
+                layout = {**self._layout(), "key_types": kt}
         chunk_entries = carried + self._write_chunks(
             pool_parts, pool_stats
         )
@@ -2493,7 +2545,17 @@ class AtomicParquetTable:
         routed write. ``repartition(B, keys)`` puts a row in partition
         pmod(hash(keys), B) == the write task index == the staged
         file's part-NNNNN number, so the bucket id rides in the name
-        Spark itself chose (empty buckets write no file)."""
+        Spark itself chose (empty buckets write no file).
+
+        That name↔bucket coupling rides on Spark's writer task naming
+        and on partition ids surviving keep_latest + localCheckpoint —
+        pinned by tests on the CURRENT Spark, but a version/AQE
+        behavior change would corrupt bucket stats silently. So every
+        commit cross-checks ONE staged file at runtime: min/max
+        pmod(hash(keys), B) over its rows (hashed at the file's own
+        written dtypes — exactly what repartition routed with) must
+        both equal the parsed part index, failing loudly on
+        mismatch. One bucket-sized file scan per commit."""
         out: dict[str, int] = {}
         for files in by_part.values():
             for f in files:
@@ -2504,16 +2566,48 @@ class AtomicParquetTable:
                         "bucket routing cannot be recorded"
                     )
                 out[f] = int(m.group(1))
+        if out:
+            rel, bid = min(out.items())
+            bcol = F.pmod(
+                F.hash(*[F.col(k) for k in self.keys]),
+                F.lit(self.bucket_count),
+            )
+            row = (
+                self.spark.read.parquet(f"{self.path}/{DATA_DIR}/{rel}")
+                .select(F.min(bcol).alias("lo"), F.max(bcol).alias("hi"))
+                .collect()[0]
+            )
+            if row.lo is not None and not (row.lo == row.hi == bid):
+                raise RuntimeError(
+                    f"bucket-routing invariant violated: staged file "
+                    f"{rel!r} (part index {bid}) holds rows hashing to "
+                    f"buckets [{row.lo}, {row.hi}] — Spark's writer "
+                    f"naming no longer mirrors repartition placement; "
+                    f"refusing to record corrupt bucket stats"
+                )
         return out
 
-    def _batch_buckets(self, batch: DataFrame) -> list[int]:
+    def _batch_buckets(
+        self, batch: DataFrame, key_types: list | None = None
+    ) -> list[int]:
         """Distinct bucket ids a batch's keys route to — a ≤n_buckets
         row collect no matter how large the batch (the same Spark
-        hash the layout was written with, so exact by construction)."""
-        bcol = F.pmod(
-            F.hash(*[F.col(k) for k in self.keys]),
-            F.lit(self.bucket_count),
-        )
+        hash the layout was written with, so exact by construction).
+        ``key_types`` casts the batch's keys to the CLAIMED layout
+        dtypes before hashing: hash() is dtype-sensitive, so a
+        narrower batch (int keys against a bigint-claimed layout)
+        must hash under the layout's types to select the right
+        candidate buckets. try_cast: a value that cannot be
+        represented under the claimed dtype cannot equal any stored
+        key, so its (NULL-hashed) bucket is a harmless extra
+        candidate, never a miss."""
+        cols = [F.col(k) for k in self.keys]
+        if key_types:
+            cols = [
+                c.try_cast(t) if t else c
+                for c, t in zip(cols, key_types)
+            ]
+        bcol = F.pmod(F.hash(*cols), F.lit(self.bucket_count))
         return sorted(
             r[0] for r in batch.select(bcol.alias("b")).distinct().collect()
         )
@@ -2558,14 +2652,21 @@ class AtomicParquetTable:
         buckets' files — and re-merging a bucket wholly is
         self-compacting (each touched bucket comes out as one file).
         When the parent record doesn't claim this layout (legacy
-        history, post-compact), the whole table re-merges once and the
-        commit adopts the claim."""
+        history, post-compact), or claims it under DIFFERENT key
+        dtypes than this batch's merge would hash with (a bucket key
+        widening int→bigint flips every hash), the whole table
+        re-merges once and the commit (re-)adopts the claim under the
+        merged dtypes."""
         B = self.bucket_count
         pl = self._manifest_light(parent)
         man = self._manifest(parent)
-        if pl.get("layout") == self._layout():
+        claimed_kt = self._claimed_key_types(pl)
+        merged_kt = self._layout_key_types(
+            _union_ddl(man["schema_ddl"], _ddl(new_data))
+        )
+        if self._layout_live(pl) and claimed_kt == merged_kt:
             cand = self._bucket_candidates(
-                man, self._batch_buckets(new_data)
+                man, self._batch_buckets(new_data, claimed_kt)
             )
             cand_paths = [
                 f"{self.path}/{DATA_DIR}/{f}"
@@ -2622,10 +2723,18 @@ class AtomicParquetTable:
         B = self.bucket_count
         pl = self._manifest_light(parent)
         man = self._manifest(parent)
-        layout_live = pl.get("layout") == self._layout()
+        # the kept-rows rewrite hashes with the parent SCHEMA's key
+        # dtypes, so bucket-scoped work additionally needs the claim's
+        # dtypes to equal them (always true for claims our writer
+        # commits; a mismatch degrades to the full-candidate path)
+        layout_live = (
+            self._layout_live(pl)
+            and self._claimed_key_types(pl)
+            == self._layout_key_types(man["schema_ddl"])
+        )
         if layout_live:
             cand = self._bucket_candidates(
-                man, self._batch_buckets(doomed)
+                man, self._batch_buckets(doomed, self._claimed_key_types(pl))
             )
         else:
             cand = {

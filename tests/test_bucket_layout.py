@@ -103,7 +103,9 @@ def test_bucketed_merge_plan_has_one_exchange(spark, table):
 
 def test_churn_oracle_parity_and_bucket_scoped_rewrites(spark, table):
     light0 = table._manifest_light(table.current_version())
-    assert light0["layout"] == {"bucket_keys": ["k"], "n_buckets": B}
+    assert light0["layout"] == {
+        "bucket_keys": ["k"], "n_buckets": B, "key_types": ["bigint"],
+    }
     man0 = table._manifest(table.current_version())
     files0 = {f for fl in man0["partitions"].values() for f in fl}
     stats0 = man0["stats"]
@@ -199,7 +201,10 @@ def test_layout_claim_drops_on_compact_and_readopts(spark, table):
         # next upsert detects the dead claim → full re-merge re-adopts
         table.upsert(_mk(spark, [(5, 5.5, 2)]), [F.col("ts").desc()])
         light2 = table._manifest_light(table.current_version())
-        assert light2["layout"] == {"bucket_keys": ["k"], "n_buckets": B}
+        assert light2["layout"] == {
+            "bucket_keys": ["k"], "n_buckets": B,
+            "key_types": ["bigint"],
+        }
         man = table._manifest(table.current_version())
         assert all(
             (man["stats"].get(f) or {}).get("bucket") is not None
@@ -255,8 +260,111 @@ def test_time_travel_and_cdc_on_bucketed_table(spark, table):
     # restore carries the layout claim with the restored files
     table.restore(version=v0)
     light = table._manifest_light(table.current_version())
-    assert light["layout"] == {"bucket_keys": ["k"], "n_buckets": B}
+    assert light["layout"] == {
+        "bucket_keys": ["k"], "n_buckets": B, "key_types": ["bigint"],
+    }
     assert table.read(where=[("k", "=", 5)]).collect()[0].v == 5.0
+
+
+def test_bucket_key_dtype_widening_stays_sound(spark, tmp_path):
+    """r12 ADVICE (medium): Spark's hash() is dtype-sensitive —
+    hash(1 AS int) != hash(1 AS bigint) — so a bucket key widening
+    across commits must NOT take the bucket-scoped merge (it would
+    select the wrong candidate buckets, leaving duplicate keys) and
+    must NOT prune reads with the wrong-dtype hash (it would silently
+    drop matching rows). The layout claim records its key dtypes; a
+    widening batch falls back to the full re-merge and re-adopts the
+    claim under the widened dtypes."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "w"), keys=["k"], bucket_by=8
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(k, float(k), 0) for k in range(50)], "k int, v double, ts int"
+        ),
+        [F.col("ts").desc()],
+    )
+    l0 = t._manifest_light(t.current_version())
+    assert l0["layout"]["key_types"] == ["int"]
+    # hashes genuinely disagree for these keys under int vs bigint —
+    # the scenario is live, not hypothetical
+    assert any(
+        spark_hash_value(k, "int") != spark_hash_value(k, "bigint")
+        for k in range(50)
+    )
+
+    # widening batch: same logical keys as bigint, updated values
+    t.upsert(
+        spark.createDataFrame(
+            [(k, -float(k), 1) for k in range(0, 50, 2)]
+            + [(100, 100.0, 1)],
+            "k long, v double, ts int",
+        ),
+        [F.col("ts").desc()],
+    )
+    l1 = t._manifest_light(t.current_version())
+    assert l1["schema_ddl"].startswith("k bigint")
+    assert l1["layout"] == {
+        "bucket_keys": ["k"], "n_buckets": 8, "key_types": ["bigint"],
+    }
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 51, "duplicate keys survived the widening merge"
+    assert got[4] == -4.0 and got[5] == 5.0 and got[100] == 100.0
+
+    # point reads through the (re-adopted, bigint-hashed) pruned path
+    for k, want in [(4, -4.0), (5, 5.0), (100, 100.0)]:
+        rows = t.read(where=[("k", "=", k)]).collect()
+        assert [(r.k, r.v) for r in rows] == [(k, want)]
+    assert t.read(where=[("k", "=", 999)]).count() == 0
+
+    # a record claiming dtypes that disagree with its schema must
+    # refuse to prune (sound fallback for tampered/corrupt claims)
+    rec = dict(l1)
+    rec["layout"] = {**l1["layout"], "key_types": ["int"]}
+    assert t._allowed_buckets(rec, [("k", "=", 4)]) is None
+
+    # time travel at v0 still prunes correctly under the OLD claim
+    assert [
+        (r.k, r.v) for r in t.read(version=0, where=[("k", "=", 4)])
+        .collect()
+    ] == [(4, 4.0)]
+
+    # narrower-than-claimed batch (int keys against the now-bigint
+    # layout): candidate buckets must come from the CLAIMED dtype's
+    # hash, so the merge still retires the old rows
+    t.upsert(
+        spark.createDataFrame([(7, 777.0, 2)], "k int, v double, ts int"),
+        [F.col("ts").desc()],
+    )
+    rows = t.read(where=[("k", "=", 7)]).collect()
+    assert [(r.k, r.v) for r in rows] == [(7, 777.0)]
+    assert t.read().count() == 51
+    l2 = t._manifest_light(t.current_version())
+    assert l2["layout"]["key_types"] == ["bigint"]
+
+
+def test_delete_keys_with_widened_dtype_batch(spark, tmp_path):
+    """Keyed delete whose doomed-keys frame is WIDER than the claimed
+    layout dtype: bucket candidates hash under the claimed dtype (a
+    value unrepresentable in it cannot match and is a no-op), and the
+    delete stays exact."""
+    t = AtomicParquetTable(
+        spark, str(tmp_path / "dw"), keys=["k"], bucket_by=8
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(k, float(k), 0) for k in range(40)], "k int, v double, ts int"
+        ),
+        [F.col("ts").desc()],
+    )
+    t.delete_keys(
+        spark.createDataFrame([(3,), (2**40,)], "k long")
+    )
+    assert t.read().count() == 39
+    assert t.read(where=[("k", "=", 3)]).count() == 0
+    assert t._manifest_light(t.current_version())["layout"][
+        "key_types"
+    ] == ["int"]
 
 
 def test_multi_key_bucket_layout_and_chained_hash(spark, tmp_path):

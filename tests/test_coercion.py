@@ -167,8 +167,11 @@ def test_typify_decimal_exactness_contract(spark):
 def test_typify_decimal_scale_zero(spark):
     """Scale-0 decimals (whole-unit currencies like JPY): the generic
     regex template would emit the invalid quantifier {1,0} (r11 ADVICE);
-    the scale-0 branch admits integer strings only — any fractional
-    part, even '.0', fails the exactness gate."""
+    the scale-0 branch admits integer strings plus the trailing-dot
+    form '5.' — the same boundary every scale>=1 pattern draws via its
+    {0,scale} quantifier (r12 ADVICE: a consistent over-scale contract
+    across scales). Any fractional DIGIT, even '.0', still fails the
+    exactness gate."""
     from decimal import Decimal
 
     import pytest
@@ -178,14 +181,14 @@ def test_typify_decimal_scale_zero(spark):
         typify_decimal,
     )
 
-    assert decimal_re(0) == r"^[+-]?[0-9]+$"
+    assert decimal_re(0) == r"^[+-]?[0-9]+\.?$"
     with pytest.raises(ValueError):
         decimal_re(-1)
-    rows = [("1200",), (" -45 ",), ("+7",), ("12.0",), ("12.5",),
-            ("1E3",), ("abc",), (None,)]
+    rows = [("1200",), (" -45 ",), ("+7",), ("5.",), ("12.0",),
+            ("12.5",), ("1E3",), ("abc",), (".",), (None,)]
     df = spark.createDataFrame(rows, "s string").select(
         typify_decimal(F.col("s"), 12, 0).alias("d")
     )
     got = [r.d for r in df.collect()]
     assert got == [Decimal("1200"), Decimal("-45"), Decimal("7"),
-                   None, None, None, None, None]
+                   Decimal("5"), None, None, None, None, None, None]
