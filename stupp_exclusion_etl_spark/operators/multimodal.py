@@ -1850,29 +1850,7 @@ def decode_media(
             for i, payload in zip(pdf["id"], pdf["p"]):
                 if payload is None:  # NULL media decodes to nothing
                     continue
-                b = bytes(payload)
-                if b[:2] == b"BM":
-                    shape, flat = _decode_bmp_pixels(b)
-                    kind, rate = "bmp", None
-                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-                    shape, rate, flat = _decode_wav_samples(b)
-                    kind = "wav"
-                elif b[:2] == b"\xff\xd8":
-                    shape, flat = _decode_jpeg_pixels(b)
-                    kind, rate = "jpeg", None
-                elif b[:8] == _PNG_SIG:
-                    shape, flat = _decode_png_pixels(b)
-                    kind, rate = "png", None
-                elif b[:3] == b"GIF":
-                    shape, flat = _decode_gif_pixels(b)
-                    kind, rate = "gif", None
-                else:
-                    raise NotImplementedError(
-                        "payload is not BMP, WAV, PNG, GIF, or baseline "
-                        "JPEG; codec-library formats (H.264/AV1) are out "
-                        "of scope in this container — see decode_media "
-                        "docstring"
-                    )
+                kind, shape, rate, flat = _dispatch_decode(bytes(payload))
                 ids.append(int(i))
                 kinds.append(kind)
                 shapes.append(list(shape))
@@ -1886,6 +1864,117 @@ def decode_media(
         F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
     ).repartition("id")
     return src.mapInPandas(decode, _DECODE_SCHEMA)
+
+
+def _dispatch_decode(b: bytes):
+    """Magic-byte dispatch shared by decode_media (raise-on-failure)
+    and decode_audit (per-record quarantine): (kind, shape, rate,
+    flat) for the supported container formats."""
+    if b[:2] == b"BM":
+        shape, flat = _decode_bmp_pixels(b)
+        return "bmp", shape, None, flat
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        shape, rate, flat = _decode_wav_samples(b)
+        return "wav", shape, rate, flat
+    if b[:2] == b"\xff\xd8":
+        shape, flat = _decode_jpeg_pixels(b)
+        return "jpeg", shape, None, flat
+    if b[:8] == _PNG_SIG:
+        shape, flat = _decode_png_pixels(b)
+        return "png", shape, None, flat
+    if b[:3] == b"GIF":
+        shape, flat = _decode_gif_pixels(b)
+        return "gif", shape, None, flat
+    raise NotImplementedError(
+        "payload is not BMP, WAV, PNG, GIF, or baseline "
+        "JPEG; codec-library formats (H.264/AV1) are out "
+        "of scope in this container — see decode_media "
+        "docstring"
+    )
+
+
+_AUDIT_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("reason", StringType()),
+        StructField("kind", StringType()),
+        StructField("shape", ArrayType(IntegerType())),
+        StructField("rate", IntegerType()),
+        StructField("data", ArrayType(DoubleType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def decode_audit(
+    df: DataFrame, id_col: str, payload_col: str = "payload"
+) -> DataFrame:
+    """Quarantine-channel decode (VERDICT r12 task #2 — the media twin
+    of the ingest dead-letter contract): same dispatch, same Arrow
+    ``mapInPandas`` stage as decode_media, but every record yields
+    exactly ONE row — an ok row carrying the decoded tensor, or an
+    error row carrying a deterministic reject ``reason`` plus the
+    exception detail — so one poisoned blob in 100 TB of scraped
+    media becomes an audited reject row instead of a task failure
+    Spark retries twice and then kills the job with.
+
+    Reasons (coarse taxonomy, deterministic for a given payload —
+    what a rollup oracle can restate; ``error`` carries the precise
+    exception for operators):
+
+    - ``ok`` — decoded; kind/shape/rate/data as decode_media
+    - ``null_payload`` — NULL media column (decode_media silently
+      skips these; the audit channel accounts for every record)
+    - ``unsupported_format`` — no known magic bytes / guarded codec
+      variant (NotImplementedError)
+    - ``corrupt_payload`` — known container, broken body: truncation,
+      CRC mismatch, invalid entropy stream, desynced segments (any
+      other exception)
+    """
+    import pandas as pd
+
+    def decode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf["id"], pdf["p"]):
+                rid = int(i)
+                if payload is None:
+                    rows.append(
+                        (rid, "null_payload", None, None, None, None, None)
+                    )
+                    continue
+                try:
+                    kind, shape, rate, flat = _dispatch_decode(
+                        bytes(payload)
+                    )
+                    rows.append(
+                        (rid, "ok", kind, list(shape), rate,
+                         flat.tolist(), None)
+                    )
+                except NotImplementedError as e:
+                    rows.append(
+                        (rid, "unsupported_format", None, None, None,
+                         None, f"{type(e).__name__}: {str(e)[:160]}")
+                    )
+                except Exception as e:  # noqa: BLE001 — per-record
+                    # quarantine IS the contract: any decoder failure
+                    # becomes a reject row, never a task failure
+                    rows.append(
+                        (rid, "corrupt_payload", None, None, None,
+                         None, f"{type(e).__name__}: {str(e)[:160]}")
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "reason", "kind", "shape", "rate", "data",
+                    "error",
+                ],
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"), F.col(payload_col).alias("p")
+    ).repartition("id")
+    return src.mapInPandas(decode, _AUDIT_SCHEMA)
 
 
 def _bmp_header_bytes(w: int, h: int) -> bytes:

@@ -1109,3 +1109,88 @@ def mm_png_packed_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "mm_decode_reject_audit",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 5 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+             doc_id % 251 AS seed, CAST(doc_id % 5 AS INT) AS cls
+      FROM documents WHERE doc_id < 250),
+    px AS (
+      SELECT CAST((g.seed + p.p) % 256 AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, CAST(g.w * g.h * 3 AS BIGINT))) AS p(p)
+      WHERE g.cls = 0),
+    r AS (
+      SELECT CASE cls WHEN 0 THEN 'ok'
+                  WHEN 1 THEN 'corrupt_payload'
+                  WHEN 2 THEN 'corrupt_payload'
+                  WHEN 3 THEN 'unsupported_format'
+                  ELSE 'null_payload' END AS reason
+      FROM g)
+    SELECT reason, CAST(count(*) AS BIGINT) AS n_docs,
+           CASE WHEN reason = 'ok'
+                THEN (SELECT ROUND(AVG(val), 4) FROM px) END AS mean_px
+    FROM r GROUP BY 1
+    """,
+    tags=("B15", "A18"),
+)
+def mm_decode_reject_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-media quarantine channel (VERDICT r12 task #2 — the
+    media twin of ingest_reject_audit): synthesize a valid 8-bit RGB
+    PNG per document, then DETERMINISTICALLY poison four of every
+    five — mid-IHDR truncation (doc_id%5==1), a zeroed IHDR CRC field
+    (==2, the bit-rot shape), unknown magic bytes (==3), NULL payload
+    (==4) — and route the mix through operators.multimodal.
+    decode_audit: the same Arrow mapInPandas stage as decode_media,
+    but every record yields ok_row(tensor) | error_row(reason,
+    detail), so the poisoned blobs become audited reject rows instead
+    of task failures. Output: per-reason doc counts plus the mean
+    pixel value over the successfully-decoded rows — the oracle
+    restates both (reject classes from doc_id arithmetic; ok pixels
+    from the generator's closed form), so a decoder that silently
+    'succeeds' on a corrupt payload, or quarantines a valid one,
+    fails the hash."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_audit,
+        png_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 250)
+    geom = d.select(
+        "doc_id",
+        (F.lit(5) + F.col("doc_id") % 4).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 3).alias("h"),
+        (F.col("doc_id") % 251).alias("seed"),
+    )
+    payloads = png_synthesize(geom, "doc_id", "w", "h", "seed")
+    cls = F.col("id") % 5
+    poisoned = payloads.withColumn(
+        "payload",
+        F.when(cls == 1, F.substring(F.col("payload"), 1, 20))
+        .when(
+            cls == 2,
+            F.overlay(
+                F.col("payload"), F.lit(b"\x00\x00\x00\x00"), F.lit(30)
+            ),
+        )
+        .when(cls == 3, F.lit(b"\x00" * 8))
+        .when(cls == 4, F.lit(None).cast("binary"))
+        .otherwise(F.col("payload")),
+    )
+    aud = decode_audit(poisoned, "id")
+    # per-doc pixel sums via one higher-order-function pass (no
+    # explode blowup), then one rollup: n_docs per reason + the mean
+    # pixel value over every ok row's tensor
+    per_doc = aud.select(
+        "reason",
+        F.aggregate(
+            "data", F.lit(0.0), lambda acc, x: acc + x
+        ).alias("px_sum"),
+        F.when(F.col("data").isNotNull(), F.size("data")).alias("px_n"),
+    )
+    return per_doc.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum("px_sum") / F.sum("px_n"), 4).alias("mean_px"),
+    )

@@ -194,6 +194,18 @@ def main() -> int:
     # snapshots are what the test will see
     spark = get_spark(app_name="tests", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
+    if len(sys.argv) > 2 and sys.argv[1] == "--capture-to":
+        # capture-only mode for the pytest guard: the final adaptive
+        # plan of a runtime-adaptive query is sensitive to accumulated
+        # session state (the r12 full-suite flake), so the guard
+        # captures in THIS fresh process — the exact environment the
+        # committed snapshots were generated in — and asserts back in
+        # the pytest process
+        snaps = capture(spark)
+        with open(sys.argv[2], "w") as fh:
+            json.dump(snaps, fh, indent=1, sort_keys=True)
+        print(f"captured {len(snaps)} plans to {sys.argv[2]}")
+        return 0
     snaps = capture(spark)
     for name, plan in snaps.items():
         for tok in FORBIDDEN:
