@@ -438,6 +438,144 @@ class PersistedIvfIndex:
             F.col("cos_sim").desc_nulls_last(), F.col(self.id_col)
         ).limit(k)
 
+    def _batch_routes(
+        self,
+        queries: DataFrame,
+        n_probe: int,
+        qid_col: str,
+        qvec_col: str,
+    ) -> tuple[DataFrame, list]:
+        """(routes, probed_cells) for a query TABLE: one broadcast
+        join of the k-row centroid table onto the queries, window
+        top-n_probe cells per query — no per-query driver round-trip.
+        The ONLY collect is the union of probed cells (≤ k_cells
+        values regardless of the batch size), which drives the
+        chunk/file-pruned assignments read."""
+        cents = self.centroids.read()
+        if cents is None:
+            raise ValueError("index not built: no centroids committed")
+        scored = (
+            queries.select(qid_col, qvec_col)
+            .crossJoin(F.broadcast(cents.select("cell", "centroid")))
+            .withColumn(
+                "__pc", cosine(F.col(qvec_col), F.col("centroid"))
+            )
+        )
+        wp = Window.partitionBy(qid_col).orderBy(
+            F.col("__pc").desc_nulls_last(), F.col("cell").asc()
+        )
+        routes = (
+            scored.withColumn("__rn", F.row_number().over(wp))
+            .filter(F.col("__rn") <= n_probe)
+            .select(qid_col, "cell", qvec_col)
+        )
+        cells = sorted(
+            r[0] for r in routes.select("cell").distinct().collect()
+        )
+        return routes, cells
+
+    def topk_batch(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int | None = None,
+        qid_col: str = "qid",
+        qvec_col: str = "q",
+    ) -> DataFrame:
+        """Batched index-backed serving (VERDICT r12 task #3): top-k
+        for a query TABLE with ZERO per-query driver work — ``topk``
+        collects probe cells once per query (10k queries = 10k driver
+        round-trips); here ALL queries route to their probe cells via
+        one broadcast join against the k-row centroid table, one
+        bounded collect takes the UNION of probed cells (≤ k_cells
+        values however large the batch) into the chunk/file-pruned
+        assignments read, and the per-query candidate sets re-form by
+        joining the (query, cell) routes against the pruned
+        candidates on cell (routes broadcast: a query batch is tiny
+        next to the corpus). One window top-k per query. Per-query
+        results are EXACTLY ``topk``'s — same cosine expression, same
+        rounding, same tie-break — pinned by tests/test_ann_index.py.
+
+        ``queries``: (qid_col, qvec_col) rows. Output: (qid, id,
+        cell, cos_sim), k rows per query."""
+        n = self.n_probe if n_probe is None else n_probe
+        routes, cells = self._batch_routes(queries, n, qid_col, qvec_col)
+        cand = self.assignments.read(where=[("cell", "in", cells)])
+        scored = cand.join(F.broadcast(routes), "cell").select(
+            qid_col,
+            self.id_col,
+            "cell",
+            F.round(
+                cosine(F.col(self.vec_col), F.col(qvec_col)), 6
+            ).alias("cos_sim"),
+        )
+        ws = Window.partitionBy(qid_col).orderBy(
+            F.col("cos_sim").desc_nulls_last(), F.col(self.id_col).asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
+    def topk_batch_adc(
+        self,
+        queries: DataFrame,
+        k: int = 10,
+        n_probe: int | None = None,
+        qid_col: str = "qid",
+        qvec_col: str = "q",
+    ) -> DataFrame:
+        """Batched PQ-ADC serving: same zero-per-query routing as
+        ``topk_batch``, but the candidate scan reads ONLY (id, cell,
+        codes) — m small ints per vector, never the raw embeddings —
+        and scores each (query, candidate) pair asymmetrically
+        against the frozen codebook, embedded as per-subspace centroid
+        literals. The accumulation order (0-seeded left-to-right
+        per-subspace dot, subspace terms added left to right, round 6)
+        is bit-identical to ``topk_adc``'s driver-side LUT — the LUT
+        contraction simply happens row-wise against the query column
+        instead of folding to literals; tests pin per-query equality."""
+        if self.pq is None:
+            raise ValueError("index built without pq=(m, k)")
+        from stupp_exclusion_etl_spark.operators.similarity import _dlit
+
+        book = self._load_codebook()
+        m = len(book)
+        kc = len(book[0])
+        d = len(book[0][0])
+        n = self.n_probe if n_probe is None else n_probe
+        routes, cells = self._batch_routes(queries, n, qid_col, qvec_col)
+        cand = self.assignments.read(
+            where=[("cell", "in", cells)]
+        ).select(self.id_col, "cell", "codes")
+        joined = cand.join(F.broadcast(routes), "cell")
+        terms = []
+        for s in range(m):
+            cents_lit = "array(" + ", ".join(
+                "array(" + ", ".join(_dlit(x) for x in book[s][c]) + ")"
+                for c in range(kc)
+            ) + ")"
+            sub = f"slice({qvec_col}, {s * d + 1}, {d})"
+            terms.append(
+                f"aggregate(zip_with({sub}, "
+                f"element_at({cents_lit}, codes[{s}] + 1), "
+                f"(a, b) -> CAST(a AS DOUBLE) * b), "
+                f"0.0D, (acc, x) -> acc + x)"
+            )
+        score = " + ".join(terms)
+        out = joined.selectExpr(
+            qid_col, self.id_col, f"round({score}, 6) AS adc_score"
+        )
+        ws = Window.partitionBy(qid_col).orderBy(
+            F.col("adc_score").desc(), F.col(self.id_col).asc()
+        )
+        return (
+            out.withColumn("__rn", F.row_number().over(ws))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def topk_adc(
         self,
         query_vec: list[float],

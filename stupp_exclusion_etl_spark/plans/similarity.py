@@ -656,3 +656,99 @@ def sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("q")
     )
     return idx.topk(q, k=10, n_probe=3)
+
+
+def _index_batch_oracle(
+    k_cells: int = 8, n_probe: int = 3, topk: int = 5
+) -> str:
+    """SQL restatement of batched index-backed serving: frozen modmean
+    centroids, argmax assignment, PER-QUERY probe of n_probe cells,
+    per-query exact top-k over the probed cells' rows."""
+    asg_cos = _cos("f.embedding", "c.centroid")
+    probe_cos = _cos("c.centroid", "q.qe")
+    serve_cos = _cos("c.embedding", "c.qe")
+    return f"""
+    WITH corp AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 7),
+    comp AS (
+      SELECT CAST(vec_id % {k_cells} AS INT) AS cell, u.i AS i,
+             AVG(CAST(embedding[u.i] AS DOUBLE)) AS m
+      FROM corp, UNNEST(range(1, {_DIM}+1)) AS u(i)
+      GROUP BY CAST(vec_id % {k_cells} AS INT), u.i),
+    cent AS (
+      SELECT cell, list(m ORDER BY i) AS centroid FROM comp GROUP BY cell),
+    assign AS (
+      SELECT vec_id, cell, embedding FROM (
+        SELECT f.vec_id, c.cell, f.embedding,
+               row_number() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY ({asg_cos}) DESC NULLS LAST, c.cell) AS rn
+        FROM corp f CROSS JOIN cent c) WHERE rn = 1),
+    q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id % 50 = 7),
+    probe AS (
+      SELECT qid, cell FROM (
+        SELECT q.qid, c.cell,
+               row_number() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ({probe_cos}) DESC NULLS LAST, c.cell) AS rn
+        FROM cent c CROSS JOIN q) WHERE rn <= {n_probe}),
+    cand AS (
+      SELECT p.qid, a.vec_id, a.cell, a.embedding, q.qe
+      FROM assign a JOIN probe p USING (cell) JOIN q ON q.qid = p.qid)
+    SELECT qid, vec_id, cell, cos_sim FROM (
+      SELECT c.qid, c.vec_id, c.cell,
+             ROUND({serve_cos}, 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY c.qid
+               ORDER BY ROUND({serve_cos}, 6) DESC NULLS LAST,
+                        c.vec_id) AS rn
+      FROM cand c) WHERE rn <= {topk}
+    """
+
+
+@register(
+    "sim_index_batch_topk",
+    oracle=_index_batch_oracle(),
+    tags=("B13", "C16"),
+)
+def sim_index_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched index-backed ANN serving (VERDICT r12 task #3): build
+    the persisted IVF index over the corpus (every embedding except
+    the query stripe), then serve top-5 for the WHOLE query stripe
+    (vec_id % 50 == 7 — 10 queries at sf0.01, 100 at sf0.1) in ONE
+    plan: queries route to probe cells via a broadcast join against
+    the k-row centroid table (no per-query driver collect — the
+    looped ``topk`` pays one round-trip per query), one bounded
+    collect takes the union of probed cells into the chunk/file-
+    pruned assignments read, and a window top-k per query finishes.
+    The oracle restates centroids, assignment, per-query probe, and
+    per-query serve; tests/test_ann_index.py additionally pins
+    per-query equality with the looped ``topk`` and that the job
+    count stays FLAT as the batch grows."""
+    import tempfile
+
+    from stupp_exclusion_etl_spark.operators.ann_index import (
+        PersistedIvfIndex,
+    )
+    from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = tempfile.mkdtemp(prefix="ann_batch_")
+    corpus = AtomicParquetTable(spark, root + "/corpus", keys=["vec_id"])
+    corpus.upsert(
+        e.filter(F.col("vec_id") % 50 != 7).withColumn(
+            "ts", F.lit(0).cast("long")
+        ),
+        [F.col("ts").desc()],
+    )
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index",
+        k_cells=8, n_probe=3, trainer="modmean",
+    )
+    idx.build()
+    queries = e.filter(F.col("vec_id") % 50 == 7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q")
+    )
+    return idx.topk_batch(queries, k=5, n_probe=3)
