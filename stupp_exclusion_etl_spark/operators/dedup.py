@@ -629,3 +629,98 @@ def connected_components_star(
     return edges.select(
         F.col("l").alias("doc_id"), F.col("s").alias("group_id")
     ).unionByName(roots.select("doc_id", F.col("doc_id").alias("group_id")))
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal across documents (the Lee et al.
+    exact-substring dedup verb, shuffle-bounded — no suffix array):
+    every run of >= ``n`` whitespace tokens appearing in two or more
+    documents is cut from every document except its OWNER (the
+    smallest id containing it — keep-first), and surviving tokens
+    reassemble in order, single-space joined. Returns
+    (id, n_removed bigint, cleaned string); NULL/empty/short texts
+    yield (0, '').
+
+    Stages, each a bounded shuffle: n-token sliding windows bucket by
+    xxhash64 of the window text (8-byte shuffle key at 100 TB; the
+    window string rides once per occurrence so in-bucket verification
+    is exact — hash equality alone never cuts), owners resolve with
+    map-side-combinable MIN/MAX per gram (cross-doc ⟺ MIN(id) <>
+    MAX(id), no countDistinct), marked windows explode to covered
+    token positions, and an anti-join + ordered reassembly rebuilds
+    the text. Overlapping duplicate windows merge at token-coverage
+    level, i.e. maximal-span semantics. Within-doc repeats alone are
+    NOT cut (cross-document contract)."""
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        tokens(F.coalesce(F.col(text_col), F.lit(""))).alias("toks"),
+    )
+    win = (
+        base.select(
+            "__id",
+            "toks",
+            F.explode(
+                F.when(
+                    F.size("toks") >= n,
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "__id",
+            "pos",
+            F.array_join(
+                F.expr(f"slice(toks, pos + 1, {n})"), " "
+            ).alias("gram"),
+        )
+        .withColumn("h", F.xxhash64("gram"))
+    )
+    grp = (
+        win.groupBy("h", "gram")
+        .agg(
+            F.min("__id").alias("owner"),
+            F.max("__id").alias("maxd"),
+        )
+        .filter(F.col("owner") != F.col("maxd"))
+        .select("h", "gram", "owner")
+    )
+    mark = win.join(grp, ["h", "gram"]).filter(
+        F.col("__id") != F.col("owner")
+    )
+    cover = mark.select(
+        "__id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+        ).alias("tp"),
+    ).distinct()
+    toku = base.select("__id", F.posexplode("toks").alias("tp", "tok"))
+    kept = toku.join(cover, ["__id", "tp"], "left_anti")
+    cleaned = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("cleaned")
+    )
+    nrem = cover.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_removed")
+    )
+    return (
+        base.select("__id")
+        .join(nrem, "__id", "left")
+        .join(cleaned, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("n_removed"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+        )
+    )

@@ -766,3 +766,111 @@ def ml_logreg_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("p"), 6).alias("avg_p_en"),
         )
     )
+
+
+# Cross-document duplicate-span removal (VERDICT r12 task #5 — the
+# Lee et al. "Deduplicating Training Data Makes Language Models
+# Better" exact-substring verb, re-expressed shuffle-bounded: rolling
+# windows bucketed by hash instead of a corpus-wide suffix array).
+# Planted boilerplate spans, shared textually with the oracle, give
+# the fixture guaranteed cross-doc duplicates on top of whatever the
+# synthetic corpus repeats naturally.
+_DUP_N = 8
+_DUP_PLANTS = (
+    "this website uses cookies to improve your experience please "
+    "accept our policy today",
+    "all rights reserved unauthorized reproduction of this content "
+    "is strictly prohibited by law",
+    "subscribe to our newsletter for the latest updates delivered "
+    "straight to your inbox",
+)
+
+
+def _dup_span_oracle(n: int = _DUP_N) -> str:
+    p0, p1, p2 = _DUP_PLANTS
+    toks_wt = (
+        r"list_filter(regexp_split_to_array(wt, '[ \t\n\x0B\f\r]+'), "
+        r"t -> length(t) > 0)"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, COALESCE(
+        CASE WHEN doc_id % 7 IN (2, 4) THEN text || ' ' ||
+                  CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN '{p0}' WHEN 1 THEN '{p1}'
+                    ELSE '{p2}' END
+             ELSE text END, '') AS wt
+      FROM documents WHERE doc_id < 300),
+    tok AS (SELECT doc_id, {toks_wt} AS toks FROM base),
+    win AS (
+      SELECT doc_id, u.p AS pos,
+             array_to_string(toks[u.p+1:u.p+{n}], ' ') AS gram
+      FROM tok, UNNEST(range(0, len(toks) - {n - 1})) AS u(p)),
+    grp AS (
+      SELECT gram, MIN(doc_id) AS owner
+      FROM win GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)),
+    mark AS (
+      SELECT w.doc_id, w.pos FROM win w JOIN grp g ON w.gram = g.gram
+      WHERE w.doc_id <> g.owner),
+    cover AS (
+      SELECT DISTINCT m.doc_id, m.pos + u.i AS tp
+      FROM mark m, UNNEST(range(0, {n})) AS u(i)),
+    toku AS (
+      SELECT t.doc_id, u.i AS tp, t.toks[u.i+1] AS tok
+      FROM tok t, UNNEST(range(0, len(t.toks))) AS u(i)),
+    kept AS (
+      SELECT k.* FROM toku k
+      ANTI JOIN cover c ON c.doc_id = k.doc_id AND c.tp = k.tp)
+    SELECT b.doc_id,
+           CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+           COALESCE(a.cleaned, '') AS cleaned
+    FROM base b
+    LEFT JOIN (SELECT doc_id, count(*) AS n_removed
+               FROM cover GROUP BY 1) r USING (doc_id)
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS cleaned
+               FROM kept GROUP BY 1) a USING (doc_id)
+    """
+
+
+@register(
+    "text_dup_span_removal",
+    oracle=_dup_span_oracle(),
+    tags=("B12", "B9"),
+)
+def text_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN removal across documents (VERDICT r12
+    task #5 — detection existed via rolling fingerprints / n-gram
+    containment, but nothing REMOVED the shared bytes): every run of
+    >= N tokens appearing in two or more documents is cut from every
+    document except its owner (the smallest doc_id containing it —
+    the keep-first rule), and the surviving tokens reassemble in
+    order. The fixture plants three boilerplate sentences across
+    doc_id classes, so cross-doc duplicates are guaranteed; natural
+    corpus repeats dedup identically on both sides.
+
+    Shape, not a suffix array: N-token sliding windows bucket by
+    xxhash64 of the window text (8-byte shuffle key at 100 TB; the
+    window string rides once per occurrence for in-bucket
+    verification — hash equality alone never cuts anything), owners
+    resolve with map-side-combinable MIN/MAX per gram (cross-doc ⟺
+    MIN(doc) <> MAX(doc); no countDistinct), marked windows explode
+    to covered token positions, and an anti-join + ordered
+    reassembly rebuilds the cleaned text. Every stage is a bounded
+    shuffle on (hash, gram) or (doc, pos) — nothing is ever
+    all-pairs, and overlapping duplicate windows merge naturally at
+    the token-coverage level (maximal-span semantics)."""
+    from stupp_exclusion_etl_spark.operators.dedup import remove_dup_spans
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    plant = (
+        F.when((F.col("doc_id") % 3) == 0, F.lit(_DUP_PLANTS[0]))
+        .when((F.col("doc_id") % 3) == 1, F.lit(_DUP_PLANTS[1]))
+        .otherwise(F.lit(_DUP_PLANTS[2]))
+    )
+    wt = F.when(
+        (F.col("doc_id") % 7).isin(2, 4),
+        F.concat(F.col("text"), F.lit(" "), plant),
+    ).otherwise(F.col("text"))
+    return remove_dup_spans(
+        d.select("doc_id", wt.alias("text")), "doc_id", "text", n=_DUP_N
+    )

@@ -69,3 +69,42 @@ def test_dedup_operators_survive_degenerate_docs(spark, adv):
     ):
         for p in pairs:
             assert p.id1 not in (1, 2, 3, 10) and p.id2 not in (1, 2, 3, 10)
+
+
+def test_dup_span_removal_adversarial(spark):
+    """remove_dup_spans (VERDICT r12 task #5) over the degenerate doc
+    classes: unicode spans dedup byte-exact, NULL/empty/short docs
+    pass through untouched, within-doc repeats alone are NOT cut
+    (cross-document contract), the owner (smallest id) keeps its
+    copy, and overlapping duplicate windows merge into one maximal
+    cut."""
+    from stupp_exclusion_etl_spark.operators.dedup import remove_dup_spans
+
+    uni = "héllo wörld ünïcode ✓ 中文 токен ε ζ"  # 8 unicode tokens
+    rows = [
+        (1, ""), (2, "   "), (3, None),
+        (4, "short doc under n tokens"),
+        # within-doc repeat only: the 8-gram repeats INSIDE doc 5
+        (5, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),
+        # unicode cross-doc span: doc 6 owns it, doc 7 loses it
+        (6, "lead " + uni),
+        (7, uni + " tail1 tail2"),
+        # overlapping duplicates: docs 8/9 share a 10-token run (three
+        # overlapping 8-gram windows) -> one maximal cut in doc 9
+        (8, "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10"),
+        (9, "pre1 s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 post1"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_removed, r.cleaned)
+        for r in remove_dup_spans(docs, "doc_id", "text", n=8).collect()
+    }
+    assert len(got) == len(rows)
+    for did in (1, 2, 3):
+        assert got[did] == (0, ""), did
+    assert got[4] == (0, "short doc under n tokens")
+    assert got[5][0] == 0, "within-doc repeat must not cut"
+    assert got[6] == (0, "lead " + uni), "owner keeps its copy"
+    assert got[7] == (8, "tail1 tail2"), got[7]
+    assert got[8][0] == 0
+    assert got[9] == (10, "pre1 post1"), "overlap must merge maximally"
