@@ -419,12 +419,65 @@ class PersistedIvfIndex:
         query: DataFrame,
         k: int = 10,
         n_probe: int | None = None,
+        recall_target: float | None = None,
+        max_n_probe: int | None = None,
     ) -> DataFrame:
         """Serve top-k from the PERSISTED index: probe cells against
         the k-row centroid table, then an exact-cosine scan of ONLY
         the probed cells' assignment rows — a chunk/file-pruned
         ``read(where=[("cell","in",...)])``, never the corpus.
-        ``query`` is a 1-row DataFrame with column ``q``."""
+        ``query`` is a 1-row DataFrame with column ``q``.
+
+        ``recall_target`` (VERDICT r12 task #6 — the recall contract,
+        wired from operators.recall like the knn-join reroute): a
+        bounded deterministic sample of assignment rows estimates
+        recall@k per probe depth (fraction of the sample's exact
+        top-m whose assigned cell is probed), and the serve ESCALATES
+        n_probe — up to ``max_n_probe`` (default: all cells, which is
+        exact over the index) — until the estimate clears the target.
+        The decision is surfaced via recall.last_reroute_info
+        ('persisted_ivf_topk') and warnings.warn when the target is
+        unreachable within the cap. Opt-in: it adds one ~256-row
+        sample collect per served query."""
+        if recall_target is not None:
+            from stupp_exclusion_etl_spark.operators import recall as _rc
+
+            n = self.n_probe if n_probe is None else n_probe
+            cap = self.k_cells if max_n_probe is None else min(
+                max_n_probe, self.k_cells
+            )
+            order = self.probe_cells(query, self.k_cells)
+            a = self.assignments.read()
+            rows = (
+                a.select(self.id_col, "cell", self.vec_col)
+                .orderBy(
+                    F.xxhash64(F.col(self.id_col)), F.col(self.id_col)
+                )
+                .limit(256)
+                .collect()
+            )
+            sample = [
+                (r[0], r[1], [float(x) for x in r[2]]) for r in rows
+            ]
+            qv = [float(x) for x in query.select("q").collect()[0][0]]
+            info = _rc.choose_ivf_probe(
+                sample, qv, k, order, n, recall_target, cap
+            )
+            _rc.record_probe_decision(
+                "persisted_ivf_topk", info, recall_target
+            )
+            cells = order[: info["n_probe"]]
+            cand = self.assignments.read(where=[("cell", "in", cells)])
+            scored = cand.crossJoin(F.broadcast(query)).select(
+                F.col(self.id_col),
+                F.col("cell"),
+                F.round(
+                    cosine(F.col(self.vec_col), F.col("q")), 6
+                ).alias("cos_sim"),
+            )
+            return scored.orderBy(
+                F.col("cos_sim").desc_nulls_last(), F.col(self.id_col)
+            ).limit(k)
         cells = self.probe_cells(query, n_probe)
         cand = self.assignments.read(where=[("cell", "in", cells)])
         scored = cand.crossJoin(F.broadcast(query)).select(

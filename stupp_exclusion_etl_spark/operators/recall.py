@@ -406,3 +406,92 @@ def record_reroute(op: str, info: dict, recall_target: float | None) -> None:
             f"budget or raise the budget for an exact answer.",
             stacklevel=3,
         )
+
+
+# ----------------------------------------------------------------------
+# persisted IVF index serving (PersistedIvfIndex.topk, recall_target=)
+# ----------------------------------------------------------------------
+
+
+def estimate_ivf_recall(
+    sample: list, query_vec: list, k: int, probed_cells
+) -> tuple[float | None, int]:
+    """(estimated recall@k of probing ``probed_cells``, top size
+    used): exact top-m of the query within the sampled assignment
+    rows (m = max(k, _MIN_SAMPLE_PAIRS), capped at the sample — k
+    alone is too few observations for a stable fraction), then the
+    fraction of those whose ASSIGNED cell is probed. ``sample`` rows
+    are (id, cell, vector). None on an empty sample."""
+    if not sample:
+        return None, 0
+    v = np.asarray([x[2] for x in sample], dtype=np.float64)
+    m = min(max(k, _MIN_SAMPLE_PAIRS), len(v))
+    q = np.asarray(query_vec, dtype=np.float64)
+    nv = np.linalg.norm(v, axis=1)
+    nv[nv == 0] = 1.0
+    nq = np.linalg.norm(q)
+    if nq == 0:
+        nq = 1.0
+    cos = (v @ q) / (nv * nq)
+    top = np.argsort(-cos)[:m]
+    probed = set(probed_cells)
+    return (
+        float(np.mean([sample[i][1] in probed for i in top])),
+        int(m),
+    )
+
+
+def choose_ivf_probe(
+    sample: list,
+    query_vec: list,
+    k: int,
+    cell_order: list,
+    n_probe: int,
+    recall_target: float,
+    max_n_probe: int,
+) -> dict:
+    """Smallest probe depth >= ``n_probe`` whose estimated recall
+    clears the target, else the feasible argmax (at a full probe the
+    estimate is 1.0 by construction — every cell is probed, and the
+    served answer is exact over the index)."""
+    best = None
+    for p in range(n_probe, max_n_probe + 1):
+        r, m = estimate_ivf_recall(sample, query_vec, k, cell_order[:p])
+        cand = {
+            "n_probe": p,
+            "recall_est": r,
+            "sample_top": m,
+            "escalated": p > n_probe,
+        }
+        if r is not None and r >= recall_target:
+            return cand
+        eff = r if r is not None else 0.0
+        if best is None or eff > best[0]:
+            best = (eff, cand)
+    return best[1]
+
+
+def record_probe_decision(
+    op: str, info: dict, recall_target: float | None
+) -> None:
+    """IVF twin of record_reroute: persist the probe decision; warn
+    when the estimate is missing or the target is unreachable within
+    the probe cap."""
+    _LAST_REROUTE[op] = info
+    r = info.get("recall_est")
+    if r is None:
+        warnings.warn(
+            f"{op}: recall could not be estimated (empty assignment "
+            f"sample); serving at n_probe={info['n_probe']} without a "
+            f"fence.",
+            stacklevel=3,
+        )
+    elif recall_target is not None and r < recall_target:
+        warnings.warn(
+            f"{op}: even at n_probe={info['n_probe']} (the probe cap), "
+            f"estimated recall {r:.2f} < target {recall_target:.2f}. "
+            f"Raise max_n_probe (a full probe is exact over the index) "
+            f"or rebuild with more cells; results are incomplete to "
+            f"roughly this degree.",
+            stacklevel=3,
+        )

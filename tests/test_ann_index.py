@@ -430,3 +430,93 @@ def test_batch_topk_driver_work_is_flat_in_batch_size(spark, tmp_path):
     # looped driver work scales with the batch; batched does not
     assert jl9 >= jl3 + 6, (jl3, jl9)
     assert jb9 < jl9, (jb9, jl9)
+
+
+def test_recall_contract_on_persisted_topk(spark, tmp_path):
+    """VERDICT r12 task #6: serving with recall_target= estimates
+    recall per probe depth from a bounded sample and ESCALATES
+    n_probe until the estimate clears the target. Low-locality
+    fixture (pseudo-random vectors, so modmean cells carry no
+    geometry): n_probe=1 misses most true neighbors; the fenced serve
+    escalates, reports its estimate, and the estimate tracks the
+    recall measured against brute force."""
+    import warnings as _w
+
+    from stupp_exclusion_etl_spark.operators.recall import (
+        last_reroute_info,
+    )
+
+    root = str(tmp_path)
+    rows = [
+        (
+            i,
+            [float(((i * 37 + d * 101) % 17) - 8) for d in range(DIM)],
+            0,
+        )
+        for i in range(1, 301)
+    ]
+    corpus = AtomicParquetTable(spark, root + "/corpus", keys=["vec_id"])
+    corpus.upsert(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, ts long"
+        ),
+        [F.col("ts").desc()],
+    )
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index", k_cells=8, n_probe=1
+    )
+    idx.build()
+    qv = [float(((d * 53) % 15) - 7) for d in range(DIM)]
+
+    def measured_recall(served_ids):
+        truth = {i for i, _c in _brute(spark, corpus, qv, k=10)}
+        return len(set(served_ids) & truth) / len(truth)
+
+    # unfenced n_probe=1: low-locality routing misses true neighbors
+    base_ids = [
+        r.vec_id
+        for r in idx.topk(
+            spark.createDataFrame([(qv,)], "q array<float>"), k=10,
+            n_probe=1,
+        ).collect()
+    ]
+    base_recall = measured_recall(base_ids)
+    assert base_recall < 0.9, base_recall
+
+    # fenced serve: escalates past n_probe=1, reports its estimate
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        served = idx.topk(
+            spark.createDataFrame([(qv,)], "q array<float>"), k=10,
+            n_probe=1, recall_target=0.7,
+        ).collect()
+    info = last_reroute_info("persisted_ivf_topk")
+    assert info is not None and info["escalated"], info
+    assert info["n_probe"] > 1
+    assert info["recall_est"] >= 0.7
+    got_recall = measured_recall([r.vec_id for r in served])
+    assert got_recall >= base_recall
+    # the estimate tracks reality (sample-sized tolerance)
+    assert abs(info["recall_est"] - got_recall) <= 0.3, (
+        info["recall_est"], got_recall,
+    )
+
+    # unreachable target within a hard cap -> argmax config + warning
+    with pytest.warns(UserWarning, match="estimated recall"):
+        idx.topk(
+            spark.createDataFrame([(qv,)], "q array<float>"), k=10,
+            n_probe=1, recall_target=0.999, max_n_probe=2,
+        ).collect()
+    capped = last_reroute_info("persisted_ivf_topk")
+    assert capped["n_probe"] == 2
+
+    # full-probe target is always reachable: estimate hits 1.0 and the
+    # served set IS the brute-force set
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        full = idx.topk(
+            spark.createDataFrame([(qv,)], "q array<float>"), k=10,
+            n_probe=1, recall_target=1.0,
+        ).collect()
+    assert last_reroute_info("persisted_ivf_topk")["recall_est"] == 1.0
+    assert measured_recall([r.vec_id for r in full]) == 1.0
