@@ -155,6 +155,10 @@ HEADLINE = [
     "atomic_bucketed_merge",
     "mm_png16_decode_stats",
     "mm_png_packed_decode_stats",
+    # r13 additions
+    "mm_decode_reject_audit",
+    "sim_index_batch_topk",
+    "text_dup_span_removal",
 ]
 
 

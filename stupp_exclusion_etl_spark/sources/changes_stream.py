@@ -654,6 +654,10 @@ class AtomicChangesStreamReader(DataSourceStreamReader):
             )
 
     def stop(self) -> None:
+        # intentionally a no-op: the reader is stateless between calls
+        # (offsets live in the engine's checkpoint; each partitions()
+        # plans from the manifest on demand), so there is nothing to
+        # release — the DataSource API still requires the hook
         pass
 
 

@@ -63,6 +63,10 @@ class UserTypeHistogram(StatefulProcessor):
         )
 
     def close(self) -> None:
+        # intentionally a no-op: the processor holds no resources
+        # outside the engine-managed state store (no files, sockets,
+        # or thread pools to release) — the engine still requires the
+        # hook to exist (StatefulProcessor ABC)
         pass
 
 
