@@ -66,6 +66,11 @@ HEAVY = [
     # 200k vectors over real executor JVMs
     "atomic_bucketed_merge",
     "sim_index_incremental",
+    # r13: batched index-backed serving (route+join+window over the
+    # whole query stripe) and the token-window dup-span removal (the
+    # gram shuffle is the 100 TB risk surface — N x token volume)
+    "sim_index_batch_topk",
+    "text_dup_span_removal",
 ]
 
 MID = "/tmp/scaled/sf1"
