@@ -123,12 +123,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact_fingerprint",
     "dedup_minhash_lsh",
     "pipeline_near_dedup",
-    # text analysis — B12
-    "text_doc_stats",
+    # text analysis — B12 (+ r13: the Lee et al. exact-substring
+    # dedup verb — planted cross-doc spans cut and byte-exact cleaned
+    # text hashed; token stats stay preflight-green as text_doc_stats)
+    "text_dup_span_removal",
     "text_quality_score",
     "text_lang_id_ngram",
-    # similarity search — B13 (brute-force + PQ-ADC)
-    "sim_cosine_topk",
+    # similarity search — B13 (PQ-ADC + r13 batched index-backed
+    # serving; brute-force cosine stays preflight-green as
+    # sim_cosine_topk — the batch serve exercises the same cosine on
+    # top of the full persisted-index lifecycle)
+    "sim_index_batch_topk",
     "sim_pq_adc_topk",
     # event/stream semantics in batch — A14, B14
     "events_tumbling_window",
@@ -136,11 +141,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # corpus / training-mix — the composite LLM pipeline
     "corpus_mix_weights",
     "pipeline_training_mix",
-    # multimodal — B15; r7: replaced the BMP decode (uncompressed
-    # pixels, the family's weakest evidence; B15/B5 kept by the PNG
-    # stats query above) with the Adam7-interlaced PNG round trip and
-    # its position-weighted checksum
-    "mm_png_adam7_decode_stats",
+    # multimodal — B15; r7 gave this slot to the Adam7 round trip;
+    # r13 upgrades it to the corrupt-media quarantine channel (the
+    # A18-shaped robustness contract: poisoned blobs become audited
+    # reject rows, decoded stats + per-reason counts both hashed —
+    # Adam7 stays preflight-green as mm_png_adam7_decode_stats)
+    "mm_decode_reject_audit",
     # subqueries + analytics representative
     "subquery_exists",
     "analytics_shipping_priority",
