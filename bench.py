@@ -159,6 +159,7 @@ HEADLINE = [
     "mm_decode_reject_audit",
     "sim_index_batch_topk",
     "text_dup_span_removal",
+    "mm_gif_animated_stats",
 ]
 
 

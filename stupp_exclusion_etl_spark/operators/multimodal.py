@@ -2914,29 +2914,61 @@ def encode_gif_indexed(
     return bytes(out)
 
 
-def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
-    """Decode a GIF87a/89a first frame to (h, w, 3) RGB float64:
-    screen/color-table walk, extension skip, sub-block reassembly, LZW
-    inflate, four-pass de-interlace when the descriptor flags it, and
-    palette mapping. Frames smaller than the logical screen raise
-    NotImplementedError (production: PIL in the same Arrow stage)."""
+def _decode_gif_pixels(b: bytes):
+    """Decode a GIF87a/89a to RGB float64 — ALL frames, composited
+    (r13: the partial-frame guard is retired): screen/color-table
+    walk, graphic-control extensions (transparency + disposal),
+    sub-block reassembly, LZW inflate, four-pass de-interlace when a
+    descriptor flags it, palette mapping, and per-frame compositing
+    onto the logical-screen canvas at each frame's (left, top) rect.
+
+    Disposal methods per GIF89a §23: 0/1 leave the rendered frame in
+    place; 2 restores the frame's rect to the background color after
+    the frame is emitted; 3 (restore-to-previous) raises — it needs
+    unbounded canvas history and no synthetic/scraped corpus we
+    model emits it. A transparent index (GCE flag) leaves the
+    underlying canvas pixel unchanged. The canvas starts as the
+    header's background color (GCT[bg]; zeros without a GCT).
+
+    Returns ((h, w, 3), flat) for a single-frame stream — the
+    pre-r13 contract, byte-identical for every existing oracle — and
+    ((n_frames, h, w, 3), flat of the composited canvas AFTER each
+    frame) for animations."""
     import struct
 
     import numpy as np
 
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
-    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    w, h, packed, bg, _ar = struct.unpack("<HHBBB", b[6:13])
     pos = 13
     gct = None
     if packed & 0x80:
         n = 2 << (packed & 7)
         gct = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
         pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else (0, 0, 0)
+    canvas = np.empty((h, w, 3), dtype=np.float64)
+    canvas[:, :] = bg_rgb
+    frames = []
+    transparent = None  # from the pending GCE, consumed per frame
+    disposal = 0
     while pos < len(b):
         blk = b[pos]
         if blk == 0x21:  # extension: label + sub-blocks
+            label = b[pos + 1]
             pos += 2
+            if label == 0xF9 and b[pos] >= 4:
+                flags = b[pos + 1]
+                tidx = b[pos + 4]
+                disposal = (flags >> 2) & 0x7
+                transparent = tidx if flags & 0x1 else None
+                if disposal == 3:
+                    raise NotImplementedError(
+                        "GIF restore-to-previous disposal (method 3) "
+                        "needs unbounded canvas history; production: "
+                        "PIL in the same Arrow stage"
+                    )
             while b[pos] != 0:
                 pos += 1 + b[pos]
             pos += 1
@@ -2949,8 +2981,8 @@ def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 pal = [tuple(b[pos + 3 * i : pos + 3 * i + 3]) for i in range(n)]
                 pos += 3 * n
             interlaced = bool(ipacked & 0x40)
-            if (left, top, iw, ih) != (0, 0, w, h):
-                raise NotImplementedError("partial-frame GIF")
+            if left + iw > w or top + ih > h:
+                raise ValueError("GIF frame rect exceeds logical screen")
             if pal is None:
                 raise ValueError("GIF frame with no color table")
             min_code = b[pos]
@@ -2962,23 +2994,38 @@ def _decode_gif_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 pos += 1 + ln
             pos += 1
             idx = _lzw_decode(bytes(data), min_code)
-            if len(idx) < w * h:
+            if len(idx) < iw * ih:
                 raise ValueError("GIF pixel data underrun")
-            idx = idx[: w * h]
+            idx = idx[: iw * ih]
             if interlaced:
-                rows = [None] * h
-                for stored, actual in enumerate(_gif_interlace_order(h)):
-                    rows[actual] = idx[stored * w : (stored + 1) * w]
+                rows = [None] * ih
+                for stored, actual in enumerate(_gif_interlace_order(ih)):
+                    rows[actual] = idx[stored * iw : (stored + 1) * iw]
                 idx = [i for row in rows for i in row]
-            arr = np.array(
-                [pal[i] for i in idx], dtype=np.float64
-            ).reshape(h, w, 3)
-            return (h, w, 3), arr.reshape(-1)
+            ia = np.array(idx, dtype=np.int64).reshape(ih, iw)
+            rect = canvas[top : top + ih, left : left + iw]
+            pal_arr = np.array(pal, dtype=np.float64)
+            rendered = pal_arr[ia]
+            if transparent is not None:
+                mask = ia != transparent
+                rect[mask] = rendered[mask]
+            else:
+                rect[:, :] = rendered
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top : top + ih, left : left + iw] = bg_rgb
+            transparent = None
+            disposal = 0
         elif blk == 0x3B:
             break
         else:
             raise ValueError(f"unknown GIF block 0x{blk:02x}")
-    raise ValueError("GIF contains no image frame")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    if len(frames) == 1:
+        return (h, w, 3), frames[0].reshape(-1)
+    out = np.stack(frames)
+    return (len(frames), h, w, 3), out.reshape(-1)
 
 
 def gif_synthesize(
@@ -3006,6 +3053,99 @@ def gif_synthesize(
                 ids.append(int(i))
                 payloads.append(
                     encode_gif_indexed(w, h, idx, n_colors, interlace)
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")
+
+
+def gif_frame_rects(w: int, h: int, n_frames: int) -> list[tuple]:
+    """Deterministic partial-frame rects (left, top, fw, fh) for
+    frames 1..n_frames-1 of the animated fixture — closed form of the
+    screen geometry, shared with the SQL oracle. Requires w >= 7,
+    h >= 5 so every rect is non-empty."""
+    rects = [(1, 2, w - 2, h - 3), (3, 1, w - 4, h - 2)]
+    return rects[: n_frames - 1]
+
+
+def encode_gif_animated(
+    w: int,
+    h: int,
+    seed: int,
+    n_frames: int = 3,
+    n_colors: int = 16,
+    transparent_from: int | None = None,
+) -> bytes:
+    """Spec-valid GIF89a ANIMATION: logical screen + global color
+    table (_gif_palette), then frame 0 full-screen and frames
+    1..n_frames-1 as PARTIAL rects (gif_frame_rects), each preceded
+    by a graphic-control extension (disposal=1, do-not-dispose).
+    Frame f's index at rect-relative (x, y) = (seed + 17*f +
+    y*fw + x) % n_colors — closed form for the oracle. Real LZW per
+    frame. ``transparent_from``: when set, frames >= 1 declare that
+    palette index transparent in their GCE, so matching pixels leave
+    the canvas unchanged (the compositing edge the hand unit test
+    pins; the oracled query leaves it None)."""
+    import struct
+
+    assert n_colors in (2, 4, 8, 16, 32, 64, 128, 256)
+    depth = max(1, n_colors.bit_length() - 1)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) & 7), 0, 0)
+    for r, g, b in _gif_palette(n_colors):
+        out += bytes((r, g, b))
+    frames = [(0, 0, w, h)] + gif_frame_rects(w, h, n_frames)
+    min_code = max(2, depth)
+    for f, (left, top, fw, fh) in enumerate(frames):
+        if f > 0:
+            tflag = 1 if transparent_from is not None else 0
+            tidx = transparent_from or 0
+            # GCE: disposal=1 (leave in place), delay 0
+            out += bytes((0x21, 0xF9, 4, (1 << 2) | tflag, 0, 0, tidx, 0))
+        out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        out.append(min_code)
+        idx = [
+            (seed + 17 * f + p) % n_colors for p in range(fw * fh)
+        ]
+        data = _lzw_encode(idx, min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_animated_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+    n_frames: int = 3,
+    n_colors: int = 16,
+) -> DataFrame:
+    """Arrow-batched animated-GIF writer over (id, w, h, seed) rows —
+    the partial-frame fixture generator (encode_gif_animated)."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                ids.append(int(i))
+                payloads.append(
+                    encode_gif_animated(
+                        int(w), int(h), int(seed),
+                        n_frames=n_frames, n_colors=n_colors,
+                    )
                 )
             yield pd.DataFrame({"id": ids, "payload": payloads})
 

@@ -1448,3 +1448,118 @@ def test_decode_audit_quarantines_per_record(spark):
 
     with _pytest.raises(Exception):
         decode_media(poisoned.filter(cls == 2), "id").collect()
+
+
+def test_gif_partial_frame_compositing_and_disposal():
+    """r13: the partial-frame GIF guard is retired. Multi-frame GIF89a
+    with sub-rect frames composites onto the logical screen
+    (disposal 1 leaves frames in place; a GCE transparent index
+    leaves underlying pixels unchanged; disposal 2 restores the rect
+    to background after the frame) — decoded canvases equal the
+    numpy compositing model frame for frame."""
+    import struct
+
+    import numpy as np
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        _gif_palette,
+        _lzw_encode,
+        encode_gif_animated,
+        gif_frame_rects,
+    )
+
+    w, h, seed, nc, nf = 9, 7, 5, 16, 3
+    pal = np.array(_gif_palette(nc), float)
+    shape, flat = _decode_gif_pixels(
+        encode_gif_animated(w, h, seed, n_frames=nf, n_colors=nc)
+    )
+    assert shape == (nf, h, w, 3)
+    canvas = np.empty((h, w, 3))
+    canvas[:, :] = pal[0]
+    want = []
+    for f, (l, t, fw, fh) in enumerate(
+        [(0, 0, w, h)] + gif_frame_rects(w, h, nf)
+    ):
+        idx = np.array(
+            [(seed + 17 * f + p) % nc for p in range(fw * fh)]
+        ).reshape(fh, fw)
+        canvas[t : t + fh, l : l + fw] = pal[idx]
+        want.append(canvas.copy())
+    assert np.array_equal(np.asarray(flat), np.stack(want).reshape(-1))
+
+    # transparency: frames >= 1 declare index 3 transparent — those
+    # pixels must show through from the prior canvas
+    shape2, flat2 = _decode_gif_pixels(
+        encode_gif_animated(w, h, seed, n_frames=2, n_colors=nc,
+                            transparent_from=3)
+    )
+    canvas = np.empty((h, w, 3))
+    canvas[:, :] = pal[0]
+    want2 = []
+    for f, (l, t, fw, fh) in enumerate(
+        [(0, 0, w, h)] + gif_frame_rects(w, h, 2)
+    ):
+        idx = np.array(
+            [(seed + 17 * f + p) % nc for p in range(fw * fh)]
+        ).reshape(fh, fw)
+        rect = canvas[t : t + fh, l : l + fw]
+        if f >= 1:
+            m = idx != 3
+            rect[m] = pal[idx][m]
+        else:
+            rect[:, :] = pal[idx]
+        want2.append(canvas.copy())
+    assert shape2 == (2, h, w, 3)
+    assert np.array_equal(np.asarray(flat2), np.stack(want2).reshape(-1))
+
+    # disposal 2 (restore to background), hand-assembled 4x3 stream:
+    # frame 0 full, frame 1 rect (1,1,2,2) all color 3 under
+    # disposal=2, frame 2 single pixel (0,0) color 2 — frame 2's
+    # canvas must show the rect RESTORED to the background color 1
+    sw, sh, bg = 4, 3, 1
+    pal4 = np.array(_gif_palette(4), float)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)
+    for r, g, bl in _gif_palette(4):
+        out += bytes((r, g, bl))
+
+    def frame(left, top, fw, fh, idx, disposal=0):
+        seg = bytearray()
+        if disposal:
+            seg += bytes((0x21, 0xF9, 4, disposal << 2, 0, 0, 0, 0))
+        seg += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
+        seg.append(2)
+        data = _lzw_encode(idx, 2)
+        for i in range(0, len(data), 255):
+            seg.append(len(data[i : i + 255]))
+            seg += data[i : i + 255]
+        seg += b"\x00"
+        return seg
+
+    f0 = [p % 4 for p in range(sw * sh)]
+    out += frame(0, 0, sw, sh, f0)
+    out += frame(1, 1, 2, 2, [3, 3, 3, 3], disposal=2)
+    out += frame(0, 0, 1, 1, [2])
+    out += b"\x3b"
+    shape3, flat3 = _decode_gif_pixels(bytes(out))
+    assert shape3 == (3, sh, sw, 3)
+    got = np.asarray(flat3).reshape(3, sh, sw, 3)
+    c0 = pal4[np.array(f0).reshape(sh, sw)]
+    assert np.array_equal(got[0], c0)
+    c1 = c0.copy()
+    c1[1:3, 1:3] = pal4[3]
+    assert np.array_equal(got[1], c1)
+    c2 = c0.copy()
+    c2[1:3, 1:3] = pal4[bg]  # disposal 2 restored the rect
+    c2[0, 0] = pal4[2]
+    assert np.array_equal(got[2], c2)
+
+    # restore-to-previous (disposal 3) stays honestly guarded
+    bad = bytearray(b"GIF89a")
+    bad += struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)
+    for r, g, bl in _gif_palette(4):
+        bad += bytes((r, g, bl))
+    bad += bytes((0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0))
+    with pytest.raises(NotImplementedError, match="restore-to-previous"):
+        _decode_gif_pixels(bytes(bad))
