@@ -160,6 +160,7 @@ HEADLINE = [
     "sim_index_batch_topk",
     "text_dup_span_removal",
     "mm_gif_animated_stats",
+    "mm_jpeg_lossless_stats",
 ]
 
 

@@ -883,6 +883,7 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
     frame = None  # (h, w, [(comp_id, qid)])
     scans: list[dict] = []
     ri = 0  # restart interval in MCUs; 0 = none
+    lossless = False  # SOF3 (r13): predictive, no DCT
     pos = 2
     while pos + 2 <= len(b):
         if b[pos] != 0xFF:
@@ -918,8 +919,15 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
                 vals = tuple(body[i + 17 : i + 17 + nvals])
                 huff[(cls, tid)] = _huff_canonical(bits, vals)
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
-            if body[0] not in (8, 12):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # +SOF3 lossless (r13)
+            if marker == 0xC3:
+                lossless = True
+                if not 2 <= body[0] <= 16:
+                    raise ValueError(
+                        f"{body[0]}-bit precision is not spec-valid "
+                        "for lossless JPEG (2-16)"
+                    )
+            elif body[0] not in (8, 12):
                 raise NotImplementedError(
                     f"{body[0]}-bit JPEG sample precision"
                 )
@@ -931,6 +939,12 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             for c in range(body[5]):
                 cid, hv, qid = body[6 + 3 * c : 9 + 3 * c]
                 hh, vv = hv >> 4, hv & 0x0F
+                if marker == 0xC3 and (hh, vv) != (1, 1):
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG (sampling is "
+                        "spec-legal but no archival corpus we model "
+                        "emits it)"
+                    )
                 if hh not in (1, 2) or vv not in (1, 2):
                     raise NotImplementedError(
                         f"JPEG sampling factors {hh}x{vv} (1x1/2x1/1x2/"
@@ -941,10 +955,10 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             if len(comps) not in (1, 3):
                 raise NotImplementedError(f"{len(comps)}-component JPEG")
             frame = (h, w, comps, samp, precision)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "lossless/arithmetic/hierarchical JPEG (SOF3+)"
+                "arithmetic/hierarchical JPEG (SOF5+)"
             )
         elif marker == 0xDD:
             ri = int.from_bytes(body[:2], "big")
@@ -985,6 +999,8 @@ def _decode_jpeg_pixels(b: bytes) -> tuple[tuple[int, int, int], "object"]:
             })
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
+    if lossless:
+        return _decode_jpeg_lossless(frame, scans)
     h, w, comps, samp, precision = frame
     shift = float(1 << (precision - 1))  # level shift: 128 / 2048
     maxv = (1 << precision) - 1
@@ -1078,6 +1094,186 @@ class _JpegBitWriter:
         if self.n:
             self.bits((1 << (8 - self.n)) - 1, 8 - self.n)
         return bytes(self.out)
+
+
+def _decode_jpeg_lossless(frame, scans):
+    """T.81 Annex H lossless (SOF3, process 14) reconstruction —
+    r13: the lossless guard is retired for the 1x1-sampled,
+    single-scan shape archival corpora actually emit. DC-class
+    Huffman categories 0-16 (16 = no appended bits, DIFF ≡ 32768),
+    the seven spec predictors with the Annex H.1.2 boundary rules
+    (first sample 2^(P-Pt-1); first row uses the left neighbor,
+    first column the one above), modulo-2^16 reconstruction, and the
+    point transform's final <<Pt. Interleaved multi-component MCUs
+    (one sample per component at 1x1) decode with independent
+    per-component prediction state. Output samples are RAW (no level
+    shift, no clipping — the decode IS exact)."""
+    import numpy as np
+
+    h, w, comps, _samp, precision = frame
+    if len(scans) != 1:
+        raise NotImplementedError("multi-scan lossless JPEG")
+    sc = scans[0]
+    if sc["ri"] or len(sc["segments"]) != 1:
+        raise NotImplementedError(
+            "lossless JPEG with restart intervals"
+        )
+    pred_sel, pt = sc["ss"], sc["al"]
+    if not 1 <= pred_sel <= 7:
+        raise ValueError(f"invalid lossless predictor {pred_sel}")
+    order = []  # scan order, mapped onto frame component planes
+    frame_idx = {cid: i for i, (cid, _qid) in enumerate(comps)}
+    for cid, td, _ta in sc["comps"]:
+        order.append((frame_idx[cid], sc["tabs"][(0, td)]))
+    reader = _JpegBitReader(sc["segments"][0])
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in comps]
+    default = 1 << (precision - pt - 1)
+    for r in range(h):
+        for c in range(w):
+            for ci, tab in order:
+                s = reader.huff(tab)
+                if s == 16:
+                    diff = 32768
+                elif s:
+                    diff = _jpeg_extend(reader.bits(s), s)
+                else:
+                    diff = 0
+                p_ = planes[ci]
+                if r == 0 and c == 0:
+                    pred = default
+                elif r == 0:
+                    pred = int(p_[0, c - 1])
+                elif c == 0:
+                    pred = int(p_[r - 1, 0])
+                else:
+                    a = int(p_[r, c - 1])
+                    bb = int(p_[r - 1, c])
+                    cc = int(p_[r - 1, c - 1])
+                    pred = (
+                        a, bb, cc, a + bb - cc,
+                        a + ((bb - cc) >> 1), bb + ((a - cc) >> 1),
+                        (a + bb) >> 1,
+                    )[pred_sel - 1]
+                p_[r, c] = (pred + diff) & 0xFFFF
+    out = np.stack(
+        [pl << pt for pl in planes], axis=-1
+    ).astype(np.float64)
+    return (h, w, len(comps)), out.reshape(-1)
+
+
+def _encode_jpeg_lossless(
+    px, predictor: int = 1, precision: int = 8, point_transform: int = 0
+) -> bytes:
+    """Spec-valid single-component SOF3 lossless JPEG (the encode twin
+    of _decode_jpeg_lossless): one full-coverage DC-class Huffman
+    table (categories 0-16 at a single code length), the selected
+    predictor in the SOS Ss field, the point transform in Al, DIFFs
+    reduced mod 2^16 into [-32768, 32767] with the category-16
+    no-appended-bits special case. Round trip is EXACT by
+    construction — that is the point of the process."""
+    import numpy as np
+
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"predictor must be 1-7, got {predictor}")
+    if not 2 <= precision <= 16:
+        raise ValueError(f"precision must be 2-16, got {precision}")
+    px = np.asarray(px, dtype=np.int64)
+    if point_transform:
+        px = px >> point_transform
+    h, w = px.shape
+    dc_bits = (0, 0, 0, 0, 0, 17) + (0,) * 10
+    dc_vals = tuple(range(17))
+    enc = {
+        sym: (code, length)
+        for (length, code), sym in _huff_canonical(
+            dc_bits, dc_vals
+        ).items()
+    }
+    head = b"\xff\xd8"
+    head += _jpeg_seg(
+        0xC3,
+        bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + b"\x01" + b"\x01\x11\x00",
+    )
+    head += _jpeg_seg(0xC4, b"\x00" + bytes(dc_bits) + bytes(dc_vals))
+    head += _jpeg_seg(
+        0xDA, b"\x01\x01\x00" + bytes([predictor, 0, point_transform])
+    )
+    wtr = _JpegBitWriter()
+    default = 1 << (precision - point_transform - 1)
+    for r in range(h):
+        for c in range(w):
+            if r == 0 and c == 0:
+                pred = default
+            elif r == 0:
+                pred = int(px[0, c - 1])
+            elif c == 0:
+                pred = int(px[r - 1, 0])
+            else:
+                a = int(px[r, c - 1])
+                bb = int(px[r - 1, c])
+                cc = int(px[r - 1, c - 1])
+                pred = (
+                    a, bb, cc, a + bb - cc,
+                    a + ((bb - cc) >> 1), bb + ((a - cc) >> 1),
+                    (a + bb) >> 1,
+                )[predictor - 1]
+            diff = ((int(px[r, c]) - pred + 32768) & 0xFFFF) - 32768
+            if diff == -32768:
+                code, length = enc[16]
+                wtr.bits(code, length)
+                continue
+            s = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+            code, length = enc[s]
+            wtr.bits(code, length)
+            if s:
+                wtr.bits(
+                    diff if diff >= 0 else diff + (1 << s) - 1, s
+                )
+    return head + bytes(wtr.finish()) + b"\xff\xd9"
+
+
+def jpeg_lossless_synthesize(
+    df: DataFrame,
+    id_col: str,
+    width_col: str = "w",
+    height_col: str = "h",
+    seed_col: str = "seed",
+) -> DataFrame:
+    """Arrow-batched lossless-JPEG writer over (id, w, h, seed) rows:
+    pixel p (raster order) = (seed + 7p) mod 2^P with P = 8 for even
+    ids and 12 for odd (archival/medical bit depths), predictor
+    1 + id%7 — every spec predictor exercised across a corpus. No
+    8-multiple dimension requirement (lossless has no block grid)."""
+    import pandas as pd
+
+    def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for i, w, h, seed in zip(pdf["id"], pdf["w"], pdf["h"], pdf["s"]):
+                i, w, h, seed = int(i), int(w), int(h), int(seed)
+                prec = 8 + 4 * (i % 2)
+                px = (
+                    (seed + 7 * np.arange(w * h, dtype=np.int64))
+                    % (1 << prec)
+                ).reshape(h, w)
+                ids.append(i)
+                payloads.append(
+                    _encode_jpeg_lossless(
+                        px, predictor=1 + i % 7, precision=prec
+                    )
+                )
+            yield pd.DataFrame({"id": ids, "payload": payloads})
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(width_col).cast("int").alias("w"),
+        F.col(height_col).cast("int").alias("h"),
+        F.col(seed_col).cast("long").alias("s"),
+    ).repartition("id")
+    return src.mapInPandas(synth, "id long, payload binary")
 
 
 def _jpeg_enc_tables():

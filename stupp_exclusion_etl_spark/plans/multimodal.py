@@ -1273,3 +1273,59 @@ def mm_gif_animated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos_weighted"
         ),
     )
+
+
+@register(
+    "mm_jpeg_lossless_stats",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 6 + doc_id % 5 AS w, 5 + doc_id % 4 AS h,
+             doc_id % 251 AS seed,
+             CASE WHEN doc_id % 2 = 0 THEN 256 ELSE 4096 END AS m
+      FROM documents WHERE doc_id < 150),
+    v AS (
+      SELECT doc_id, p.p AS pos,
+             CAST((seed + p.p * 7) % m AS DOUBLE) AS val
+      FROM g, UNNEST(range(0, CAST(g.w * g.h AS BIGINT))) AS p(p))
+    SELECT doc_id, ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * pos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1
+    """,
+    tags=("B15", "B5"),
+)
+def mm_jpeg_lossless_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS JPEG round trip (r13 — retires the SOF3 guard): each
+    document synthesizes a predictive lossless JPEG (predictor
+    1 + doc%7, so all seven spec predictors run across the corpus;
+    8-bit for even docs, 12-bit for odd — the archival/medical
+    depths; no block grid, so dimensions are arbitrary) and decodes
+    it back through operators.multimodal._decode_jpeg_lossless. The
+    decode is EXACT by the process's definition, so the oracle
+    recomputes raw sample values from the generator's closed form
+    with no tolerance at all — a one-bit slip in any predictor,
+    boundary rule, or DIFF category fails the hash; the
+    position-weighted checksum breaks on pixel permutations."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        jpeg_lossless_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    geom = d.select(
+        "doc_id",
+        (F.lit(6) + F.col("doc_id") % 5).alias("w"),
+        (F.lit(5) + F.col("doc_id") % 4).alias("h"),
+        (F.col("doc_id") % 251).alias("seed"),
+    )
+    payloads = jpeg_lossless_synthesize(geom, "doc_id", "w", "h", "seed")
+    dec = decode_media(payloads, "id")
+    return (
+        dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg("col"), 4).alias("mean_val"),
+            F.sum(F.col("col") * F.col("pos")).cast("long").alias(
+                "pos_weighted"
+            ),
+        )
+    )

@@ -1563,3 +1563,55 @@ def test_gif_partial_frame_compositing_and_disposal():
     bad += bytes((0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0))
     with pytest.raises(NotImplementedError, match="restore-to-previous"):
         _decode_gif_pixels(bytes(bad))
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """r13: the lossless-JPEG guard is retired. SOF3 round trip is
+    EXACT (the point of process 14) for every spec predictor 1-7 at
+    8/12/16-bit precision, with the point transform, and through the
+    extreme-DIFF category-16 path; boundary prediction follows Annex
+    H.1.2 (default first sample, left on row 0, above on column 0)."""
+    import numpy as np
+
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg_lossless,
+    )
+
+    rng = np.random.RandomState(7)
+    for pred in range(1, 8):
+        for prec in (8, 12, 16):
+            h, w = 9, 11
+            px = rng.randint(0, 1 << prec, size=(h, w))
+            shape, flat = _decode_jpeg_pixels(
+                _encode_jpeg_lossless(px, predictor=pred, precision=prec)
+            )
+            assert shape == (h, w, 1)
+            assert np.array_equal(
+                np.asarray(flat).reshape(h, w).astype(np.int64), px
+            ), (pred, prec)
+    # point transform: Al low bits drop at encode, decode scales back
+    px = rng.randint(0, 256, size=(6, 5))
+    _shape, flat = _decode_jpeg_pixels(
+        _encode_jpeg_lossless(px, predictor=4, precision=8,
+                              point_transform=2)
+    )
+    assert np.array_equal(
+        np.asarray(flat).reshape(6, 5).astype(np.int64), (px >> 2) << 2
+    )
+    # extreme alternation at 16-bit exercises the +-32768 wrap
+    px = np.zeros((4, 4), np.int64)
+    px[::2, ::2] = 65535
+    px[1::2, 1::2] = 65535
+    _shape, flat = _decode_jpeg_pixels(
+        _encode_jpeg_lossless(px, predictor=1, precision=16)
+    )
+    assert np.array_equal(
+        np.asarray(flat).reshape(4, 4).astype(np.int64), px
+    )
+    # genuinely-out-of-scope shapes stay guarded
+    b = bytearray(_encode_jpeg_lossless(px, predictor=1, precision=16))
+    sof = b.find(b"\xff\xc3")
+    b[sof + 1] = 0xC5  # SOF5: differential sequential (hierarchical)
+    with pytest.raises(NotImplementedError, match="hierarchical"):
+        _decode_jpeg_pixels(bytes(b))
