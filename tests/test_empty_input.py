@@ -26,6 +26,7 @@ DATA_DEPENDENT = {
     "sim_ivf_pq_topk": "need vec ids 1..16 as PQ seeds",
     # building an ANN index over nothing is the documented refusal
     "sim_index_incremental": "empty corpus: nothing to index",
+    "sim_index_batch_topk": "empty corpus: nothing to index",
 }
 
 
