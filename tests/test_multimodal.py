@@ -397,9 +397,17 @@ def test_jpeg_decoder_rejects_out_of_scope_features():
     oversampled[sof + 11] = 0x33  # 3x3 sampling factors: out of scope
     with pytest.raises(NotImplementedError, match="sampling factors"):
         _decode_jpeg_pixels(bytes(oversampled))
-    lossless = bytes(payload[:sof + 1]) + b"\xc3" + bytes(payload[sof + 2:])
-    with pytest.raises(NotImplementedError, match="lossless"):
-        _decode_jpeg_pixels(lossless)
+    # SOF3 decodes since r13 (test_jpeg_lossless_roundtrip_all_
+    # predictors); the still-out-of-scope SOFs remain guarded
+    arith = bytes(payload[:sof + 1]) + b"\xc9" + bytes(payload[sof + 2:])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        _decode_jpeg_pixels(arith)
+    # subsampled lossless is spec-legal but guarded
+    sub = bytearray(payload)
+    sub[sof + 1] = 0xC3
+    sub[sof + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled lossless"):
+        _decode_jpeg_pixels(bytes(sub))
 
 
 def test_jpeg_12bit_precision_decode():
