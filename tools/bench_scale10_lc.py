@@ -186,6 +186,18 @@ def main() -> int:
 
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "09")
     out_path = os.path.join(REPO, f"BENCH_SCALE10_LC_r{rnd}.json")
+    # delta sweeps: SPARK_GRAFT_SWEEP_ONLY=a,b re-runs just the named
+    # queries (e.g. the round's NEW heavy entries when the rest of the
+    # surface is unchanged and the prior round's numbers stand)
+    only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+    heavy = HEAVY
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in HEAVY]
+        if unknown:
+            print(f"not in HEAVY: {unknown}")
+            return 2
+        heavy = names
     try:
         with open(os.path.join(REPO, "BENCH_SCALE10_r08.json")) as fh:
             local32 = json.load(fh)["queries"]
@@ -196,7 +208,7 @@ def main() -> int:
     errors: dict[str, str] = {}
     flagged = []
     t_all = time.time()
-    for name in HEAVY:
+    for name in heavy:
         rec = None
         for exec_mb in (8192, 16384):
             p = subprocess.run(
