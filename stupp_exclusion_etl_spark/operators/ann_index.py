@@ -51,6 +51,10 @@ from pyspark.sql.window import Window
 from stupp_exclusion_etl_spark.functions.vectors import cosine
 from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
 
+#: Queries sampled for the once-per-batch recall escalation decision
+#: (_batch_probe_escalation) — bounded however large the batch.
+_BATCH_SAMPLE_QUERIES = 8
+
 _META_APPLIED = "applied_version"
 _META_TRAINED = "trained_version"
 _META_BASELINE_Q = "baseline_quality"
@@ -402,6 +406,8 @@ class PersistedIvfIndex:
         contract as operators.similarity.ivf_probe_cells."""
         n = self.n_probe if n_probe is None else n_probe
         cents = self.centroids.read()
+        if cents is None:
+            raise ValueError("index not built")
         rows = (
             cents.crossJoin(F.broadcast(query))
             .select(
@@ -446,8 +452,18 @@ class PersistedIvfIndex:
             cap = self.k_cells if max_n_probe is None else min(
                 max_n_probe, self.k_cells
             )
+            if cap < 1:
+                raise ValueError(
+                    "max_n_probe must be >= 1 (got %r)" % (max_n_probe,)
+                )
+            # The cap wins over the index default: a caller ceiling
+            # tighter than self.n_probe must not produce an empty
+            # escalation range (ADVICE r13, recall.py choose_ivf_probe).
+            n = min(n, cap)
             order = self.probe_cells(query, self.k_cells)
             a = self.assignments.read()
+            if a is None:
+                raise ValueError("index not built")
             rows = (
                 a.select(self.id_col, "cell", self.vec_col)
                 .orderBy(
@@ -527,6 +543,95 @@ class PersistedIvfIndex:
         )
         return routes, cells
 
+    def _batch_probe_escalation(
+        self,
+        queries: DataFrame,
+        k: int,
+        n: int,
+        recall_target: float,
+        max_n_probe: int | None,
+        qid_col: str,
+        qvec_col: str,
+        op: str,
+    ) -> int:
+        """Batch twin of the single-query recall fence (VERDICT r13
+        next-round #4): the escalation is decided ONCE per batch from
+        a bounded deterministic sample of queries — never per query,
+        so a 10k-query serve pays the same two small collects as a
+        1-query serve. A ~256-row assignment sample estimates
+        recall@k per probe depth for each of ≤ ``_BATCH_SAMPLE_QUERIES``
+        sampled queries (xxhash64-ordered: deterministic,
+        content-spread); the served depth is the smallest at which the
+        WORST sampled query clears the target, capped at
+        ``max_n_probe`` (default: all cells — exact over the index).
+        The decision is surfaced via recall.last_reroute_info(op) and
+        warnings.warn when the target is unreachable within the cap.
+        Probe-cell orders for the sampled queries are computed
+        driver-side over the k_cells-row centroid collect — same
+        k-row metadata the routing join broadcasts."""
+        from stupp_exclusion_etl_spark.operators import recall as _rc
+
+        cap = self.k_cells if max_n_probe is None else min(
+            max_n_probe, self.k_cells
+        )
+        if cap < 1:
+            raise ValueError(
+                "max_n_probe must be >= 1 (got %r)" % (max_n_probe,)
+            )
+        n = min(n, cap)
+        cents = self.centroids.read()
+        if cents is None:
+            raise ValueError("index not built")
+        a = self.assignments.read()
+        if a is None:
+            raise ValueError("index not built")
+        crows = cents.select("cell", "centroid").collect()
+        srows = (
+            a.select(self.id_col, "cell", self.vec_col)
+            .orderBy(F.xxhash64(F.col(self.id_col)), F.col(self.id_col))
+            .limit(256)
+            .collect()
+        )
+        sample = [
+            (r[0], r[1], [float(x) for x in r[2]]) for r in srows
+        ]
+        qrows = (
+            queries.select(qid_col, qvec_col)
+            .orderBy(
+                F.xxhash64(F.col(qid_col).cast("string")),
+                F.col(qid_col),
+            )
+            .limit(_BATCH_SAMPLE_QUERIES)
+            .collect()
+        )
+        import numpy as np
+
+        cellids = [r[0] for r in crows]
+        C = np.asarray(
+            [[float(x) for x in r[1]] for r in crows], dtype=np.float64
+        )
+        nC = np.linalg.norm(C, axis=1)
+        nC[nC == 0] = 1.0
+        qvecs, orders = [], []
+        for r in qrows:
+            qv = [float(x) for x in r[1]]
+            q = np.asarray(qv, dtype=np.float64)
+            nq = float(np.linalg.norm(q)) or 1.0
+            cs = (C @ q) / (nC * nq)
+            order = [
+                c
+                for _neg, c in sorted(
+                    zip((-cs).tolist(), cellids)
+                )
+            ]
+            qvecs.append(qv)
+            orders.append(order)
+        info = _rc.choose_ivf_probe_batch(
+            sample, qvecs, k, orders, n, recall_target, cap
+        )
+        _rc.record_probe_decision(op, info, recall_target)
+        return int(info["n_probe"])
+
     def topk_batch(
         self,
         queries: DataFrame,
@@ -534,6 +639,8 @@ class PersistedIvfIndex:
         n_probe: int | None = None,
         qid_col: str = "qid",
         qvec_col: str = "q",
+        recall_target: float | None = None,
+        max_n_probe: int | None = None,
     ) -> DataFrame:
         """Batched index-backed serving (VERDICT r12 task #3): top-k
         for a query TABLE with ZERO per-query driver work — ``topk``
@@ -550,8 +657,18 @@ class PersistedIvfIndex:
         rounding, same tie-break — pinned by tests/test_ann_index.py.
 
         ``queries``: (qid_col, qvec_col) rows. Output: (qid, id,
-        cell, cos_sim), k rows per query."""
+        cell, cos_sim), k rows per query.
+
+        ``recall_target`` (VERDICT r13 #4): the single-query fence's
+        batch twin — ONE escalation decision for the whole batch from
+        a bounded query sample (_batch_probe_escalation), surfaced at
+        recall.last_reroute_info('persisted_ivf_topk_batch')."""
         n = self.n_probe if n_probe is None else n_probe
+        if recall_target is not None:
+            n = self._batch_probe_escalation(
+                queries, k, n, recall_target, max_n_probe,
+                qid_col, qvec_col, "persisted_ivf_topk_batch",
+            )
         routes, cells = self._batch_routes(queries, n, qid_col, qvec_col)
         cand = self.assignments.read(where=[("cell", "in", cells)])
         scored = cand.join(F.broadcast(routes), "cell").select(
@@ -578,6 +695,8 @@ class PersistedIvfIndex:
         n_probe: int | None = None,
         qid_col: str = "qid",
         qvec_col: str = "q",
+        recall_target: float | None = None,
+        max_n_probe: int | None = None,
     ) -> DataFrame:
         """Batched PQ-ADC serving: same zero-per-query routing as
         ``topk_batch``, but the candidate scan reads ONLY (id, cell,
@@ -598,6 +717,13 @@ class PersistedIvfIndex:
         kc = len(book[0])
         d = len(book[0][0])
         n = self.n_probe if n_probe is None else n_probe
+        if recall_target is not None:
+            # same once-per-batch escalation as topk_batch (routing
+            # is identical; only candidate scoring differs)
+            n = self._batch_probe_escalation(
+                queries, k, n, recall_target, max_n_probe,
+                qid_col, qvec_col, "persisted_ivf_topk_batch_adc",
+            )
         routes, cells = self._batch_routes(queries, n, qid_col, qvec_col)
         cand = self.assignments.read(
             where=[("cell", "in", cells)]

@@ -453,9 +453,12 @@ def choose_ivf_probe(
     """Smallest probe depth >= ``n_probe`` whose estimated recall
     clears the target, else the feasible argmax (at a full probe the
     estimate is 1.0 by construction — every cell is probed, and the
-    served answer is exact over the index)."""
+    served answer is exact over the index). When ``max_n_probe`` is
+    below ``n_probe`` the cap wins: the loop starts at the cap so a
+    caller-supplied ceiling tighter than the index default still
+    yields one feasible candidate instead of an empty range."""
     best = None
-    for p in range(n_probe, max_n_probe + 1):
+    for p in range(min(n_probe, max_n_probe), max_n_probe + 1):
         r, m = estimate_ivf_recall(sample, query_vec, k, cell_order[:p])
         cand = {
             "n_probe": p,
@@ -466,7 +469,59 @@ def choose_ivf_probe(
         if r is not None and r >= recall_target:
             return cand
         eff = r if r is not None else 0.0
-        if best is None or eff > best[0]:
+        # ties prefer the DEEPER probe: probing more cells can never
+        # lower true recall, so the argmax fallback is conservative
+        if best is None or eff >= best[0]:
+            best = (eff, cand)
+    return best[1]
+
+
+def choose_ivf_probe_batch(
+    sample: list,
+    query_vecs: list,
+    k: int,
+    cell_orders: list,
+    n_probe: int,
+    recall_target: float,
+    max_n_probe: int,
+) -> dict:
+    """ONE escalation decision for a whole query batch (VERDICT r13
+    #4): the smallest probe depth >= ``n_probe`` at which the WORST
+    sampled query's estimated recall clears the target, else the
+    feasible argmax — the batch twin of choose_ivf_probe, sharing
+    estimate_ivf_recall. ``query_vecs``/``cell_orders`` are the
+    bounded per-sampled-query vectors and probe-cell orders; the
+    reported ``recall_est`` is the min across sampled queries
+    (conservative), ``sampled_queries`` records the sample size. An
+    empty query sample or empty assignment sample yields
+    recall_est=None (record_probe_decision warns, serving proceeds
+    unfenced at the floor depth)."""
+    best = None
+    for p in range(min(n_probe, max_n_probe), max_n_probe + 1):
+        ests = [
+            estimate_ivf_recall(sample, qv, k, order[:p])
+            for qv, order in zip(query_vecs, cell_orders)
+        ]
+        rs = [r for r, _m in ests]
+        r = (
+            None
+            if not rs or any(x is None for x in rs)
+            else min(rs)
+        )
+        m = min((mm for _r, mm in ests), default=0)
+        cand = {
+            "n_probe": p,
+            "recall_est": r,
+            "sample_top": m,
+            "escalated": p > n_probe,
+            "sampled_queries": len(query_vecs),
+        }
+        if r is not None and r >= recall_target:
+            return cand
+        eff = r if r is not None else 0.0
+        # ties prefer the DEEPER probe: probing more cells can never
+        # lower true recall, so the argmax fallback is conservative
+        if best is None or eff >= best[0]:
             best = (eff, cand)
     return best[1]
 

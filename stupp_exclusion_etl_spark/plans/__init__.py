@@ -31,5 +31,6 @@ from stupp_exclusion_etl_spark.plans import corpus  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import analytics  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import graph  # noqa: E402,F401
 from stupp_exclusion_etl_spark.plans import profile  # noqa: E402,F401
+from stupp_exclusion_etl_spark.plans import ml  # noqa: E402,F401
 
 __all__ = ["DRIVER_WINDOW", "REGISTRY", "Query", "ordered_registry", "register"]

@@ -69,6 +69,12 @@ def _km_oracle() -> str:
     final_cx = "CASE cl WHEN 0 THEN any_value(m0x) WHEN 1 THEN any_value(m1x) ELSE any_value(m2x) END"
     final_cy = "CASE cl WHEN 0 THEN any_value(m0y) WHEN 1 THEN any_value(m1y) ELSE any_value(m2y) END"
     final_d = "CASE cl WHEN 0 THEN d0 WHEN 1 THEN d1 ELSE d2 END"
+    # the centroid columns must be PROJECTED through both derived
+    # tables — the final CASEs read them after grouping (a prior
+    # version recomputed {dists} in the outer query against a
+    # subquery that only exposed x/y/d0..d2: DuckDB BinderException,
+    # VERDICT r13 What's-wrong #1)
+    ms = ", ".join(f"m{i}{ax}" for i in range(3) for ax in ("x", "y"))
     return f"""
     WITH {", ".join(ctes)}
     SELECT CAST(cl AS BIGINT) AS cluster,
@@ -76,8 +82,9 @@ def _km_oracle() -> str:
            {final_cx} AS cx,
            {final_cy} AS cy,
            ROUND(avg({final_d}), 6) AS avg_sqdist
-    FROM (SELECT x, y, {assign} AS cl, {dists.replace(" AS d0", " AS d0")}
-          FROM (SELECT x, y, {dists} FROM d CROSS JOIN c{_KM_ITERS}))
+    FROM (SELECT {assign} AS cl, d0, d1, d2, {ms}
+          FROM (SELECT x, y, {dists}, {ms}
+                FROM d CROSS JOIN c{_KM_ITERS}))
     GROUP BY cl
     ORDER BY cluster
     """

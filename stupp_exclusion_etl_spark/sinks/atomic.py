@@ -497,6 +497,26 @@ def _decode_chunk_payload(name: str, raw: bytes) -> dict:
     return json.loads(raw.decode("utf-8"))
 
 
+def _qualify_uri(spark, path: str) -> str:
+    """Resolve a possibly scheme-less path through the SAME Hadoop
+    filesystem the driver metadata reads use (fs.defaultFS), so the
+    executor-side byte reads in distributed planning
+    (_read_bytes_executor, which has no JVM gateway) target the same
+    store the driver wrote to. Without this, a scheme-less table
+    path on a cluster whose defaultFS is not the local filesystem
+    would make planning tasks open() a non-existent local path
+    (loud FileNotFoundError — ADVICE r13). URI-qualified paths pass
+    through untouched; must be called on the DRIVER."""
+    if "://" in path or path.startswith("file:"):
+        return path
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    return fs.makeQualified(jpath).toString()
+
+
 def _read_bytes_executor(uri: str) -> bytes:
     """Byte read that works ON EXECUTORS (no JVM gateway): plain
     ``open`` for local/``file:`` paths, pyarrow.fs for object-store
@@ -1405,7 +1425,9 @@ class AtomicParquetTable:
         (the unpredicated full-table read, which never consults
         stats) returns file names only, dropping the per-file
         min/max/bloom payload that dominates manifest bytes."""
-        chunks_dir = f"{self.path}/{CHUNKS_DIR}"
+        chunks_dir = (
+            f"{_qualify_uri(self.spark, self.path)}/{CHUNKS_DIR}"
+        )
         pb = list(self.partition_by)
         wh = list(where or ())
         ab = allowed_buckets

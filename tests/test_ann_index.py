@@ -520,3 +520,164 @@ def test_recall_contract_on_persisted_topk(spark, tmp_path):
         ).collect()
     assert last_reroute_info("persisted_ivf_topk")["recall_est"] == 1.0
     assert measured_recall([r.vec_id for r in full]) == 1.0
+
+
+def test_recall_cap_below_default_n_probe(spark, tmp_path):
+    """ADVICE r13 (medium): max_n_probe BELOW the effective n_probe
+    must not crash choose_ivf_probe with an empty escalation range —
+    the cap wins and the serve runs at the capped depth."""
+    import warnings as _w
+
+    from stupp_exclusion_etl_spark.operators.recall import (
+        choose_ivf_probe,
+        last_reroute_info,
+    )
+
+    # unit level: empty-range regression (n_probe=3 > max_n_probe=2)
+    sample = [
+        (i, i % 3, [float((i * 7 + d) % 5) for d in range(4)])
+        for i in range(30)
+    ]
+    info = choose_ivf_probe(
+        sample, [1.0, 0.0, 2.0, 1.0], 5, [0, 1, 2], 3, 0.9, 2
+    )
+    assert info is not None and info["n_probe"] <= 2
+
+    root = str(tmp_path)
+    _mk_corpus(spark, root + "/corpus")
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index", k_cells=4, n_probe=3
+    )
+    idx.build()
+    q = spark.createDataFrame([(_vec(1, 999),)], "q array<float>")
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        rows = idx.topk(
+            q, k=5, recall_target=0.9, max_n_probe=2
+        ).collect()
+    assert len(rows) == 5
+    assert last_reroute_info("persisted_ivf_topk")["n_probe"] <= 2
+    with pytest.raises(ValueError, match="max_n_probe"):
+        idx.topk(q, k=5, recall_target=0.9, max_n_probe=0)
+
+
+def test_recall_fence_on_never_built_index(spark, tmp_path):
+    """ADVICE r13 (low): the recall_target branch on a never-built
+    index raises the same 'index not built' ValueError as the
+    unfenced path, not AttributeError on a None assignments read."""
+    root = str(tmp_path)
+    _mk_corpus(spark, root + "/corpus")
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index", k_cells=4, n_probe=1
+    )
+    q = spark.createDataFrame([(_vec(0, 7),)], "q array<float>")
+    with pytest.raises(ValueError, match="index not built"):
+        idx.topk(q, k=5, recall_target=0.9).collect()
+
+
+def test_recall_contract_on_batched_serving(spark, tmp_path):
+    """VERDICT r13 next-round #4: topk_batch(recall_target=) shares
+    topk's estimate-and-escalate machinery with the escalation
+    decided ONCE per batch. Low-locality fixture (pseudo-random
+    vectors): the batch path escalates n_probe past the floor, the
+    reported (conservative, min-over-sampled-queries) estimate
+    tracks recall measured against brute force, and the unfenced
+    batch result is unchanged by the feature's existence."""
+    import warnings as _w
+
+    from stupp_exclusion_etl_spark.operators.recall import (
+        last_reroute_info,
+    )
+
+    root = str(tmp_path)
+    rows = [
+        (
+            i,
+            [float(((i * 37 + d * 101) % 17) - 8) for d in range(DIM)],
+            0,
+        )
+        for i in range(1, 301)
+    ]
+    corpus = AtomicParquetTable(spark, root + "/corpus", keys=["vec_id"])
+    corpus.upsert(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, ts long"
+        ),
+        [F.col("ts").desc()],
+    )
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/index", k_cells=8, n_probe=1
+    )
+    idx.build()
+    qvs = [
+        (j, [float(((d * 53 + j * 11) % 15) - 7) for d in range(DIM)])
+        for j in range(1, 4)
+    ]
+    qdf = spark.createDataFrame(qvs, "qid long, q array<float>")
+
+    def recalls(served_rows):
+        by_q = {}
+        for r in served_rows:
+            by_q.setdefault(r.qid, set()).add(r.vec_id)
+        out = {}
+        for qid, qv in qvs:
+            truth = {i for i, _c in _brute(spark, corpus, qv, k=10)}
+            out[qid] = len(by_q.get(qid, set()) & truth) / len(truth)
+        return out
+
+    base = idx.topk_batch(qdf, k=10, n_probe=1).collect()
+    base_rec = recalls(base)
+    assert min(base_rec.values()) < 0.9, base_rec
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        fenced = idx.topk_batch(
+            qdf, k=10, n_probe=1, recall_target=0.7
+        ).collect()
+    info = last_reroute_info("persisted_ivf_topk_batch")
+    assert info is not None and info["escalated"], info
+    assert info["n_probe"] > 1
+    assert info["recall_est"] >= 0.7
+    assert info["sampled_queries"] == 3
+    fr = recalls(fenced)
+    # conservative min-estimate: every query's measured recall is
+    # within sample tolerance of the reported floor
+    for qid in fr:
+        assert fr[qid] >= base_rec[qid] - 1e-9, (qid, fr, base_rec)
+    assert abs(info["recall_est"] - min(fr.values())) <= 0.3, (
+        info, fr,
+    )
+
+    # full-probe target: served set IS brute force for every query
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        full = idx.topk_batch(
+            qdf, k=10, n_probe=1, recall_target=1.0
+        ).collect()
+    assert last_reroute_info("persisted_ivf_topk_batch")[
+        "recall_est"
+    ] == 1.0
+    assert all(v == 1.0 for v in recalls(full).values())
+
+    # unreachable target under a hard cap -> warning + capped depth
+    with pytest.warns(UserWarning, match="estimated recall"):
+        idx.topk_batch(
+            qdf, k=10, n_probe=1, recall_target=0.999, max_n_probe=2
+        ).collect()
+    assert last_reroute_info("persisted_ivf_topk_batch")["n_probe"] == 2
+
+    # ADC twin records under its own op key
+    root2 = str(tmp_path / "pq")
+    idxp = PersistedIvfIndex(
+        spark, root + "/corpus", root2, k_cells=8, n_probe=1,
+        pq=(4, 8),
+    )
+    idxp.build()
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        adc = idxp.topk_batch_adc(
+            qdf, k=10, n_probe=1, recall_target=0.7
+        ).collect()
+    inf2 = last_reroute_info("persisted_ivf_topk_batch_adc")
+    assert inf2 is not None and inf2["n_probe"] > 1
+    assert len(adc) == 30

@@ -66,3 +66,35 @@ def test_harness_compare_detects_injected_wrongness():
     assert compare(base, base[["v", "k"]].copy()) == []
     # row order must NOT matter (order-insensitive hash)
     assert compare(base, base.iloc[::-1].reset_index(drop=True)) == []
+
+
+def test_every_register_module_is_imported():
+    """Registry-reachability guard (VERDICT r13 What's-wrong #1: the
+    tag-based guard above provably cannot catch a dead module —
+    plans/ml.py registered two queries for seven rounds while
+    plans/__init__.py never imported it, so the driver, preflights,
+    bench and snapshots never saw them). Walk every module under
+    plans/ whose source contains a @register call and assert the
+    official package import reaches it: REGISTRY under the official
+    import equals REGISTRY under import-everything."""
+    import importlib
+    import pathlib
+
+    import stupp_exclusion_etl_spark.plans as plans_pkg
+    from stupp_exclusion_etl_spark.plans.registry import REGISTRY
+
+    before = set(REGISTRY)
+    pkg_dir = pathlib.Path(plans_pkg.__file__).parent
+    for py in sorted(pkg_dir.glob("*.py")):
+        if py.name.startswith("_"):
+            continue
+        src = py.read_text()
+        if "@register(" not in src:
+            continue
+        mod = f"stupp_exclusion_etl_spark.plans.{py.stem}"
+        importlib.import_module(mod)
+        assert set(REGISTRY) == before, (
+            f"{mod} registers queries but is NOT imported by "
+            f"plans/__init__.py — unreachable from the driver: "
+            f"{sorted(set(REGISTRY) - before)}"
+        )

@@ -180,3 +180,32 @@ def test_million_entry_planning_bounded_driver_alloc(spark, tmp_path):
     tracemalloc.stop()
     assert len(full["stats"]) == n
     assert slim_peak * 2 < full_peak, (slim_peak, full_peak)
+
+
+def test_qualify_uri_resolves_schemeless_paths(spark, tmp_path):
+    """ADVICE r13 (low): scheme-less table paths must reach the
+    executor-side chunk reads resolved through the SAME filesystem
+    the driver metadata path uses (fs.defaultFS) — _qualify_uri turns
+    a bare local path into a file: URI the no-gateway executor reader
+    understands, passes qualified URIs through untouched, and the
+    distributed path keeps working on a scheme-less table root."""
+    from stupp_exclusion_etl_spark.sinks.atomic import (
+        _qualify_uri,
+        _read_bytes_executor,
+    )
+
+    p = str(tmp_path / "q.bin")
+    with open(p, "wb") as fh:
+        fh.write(b"qualified")
+    q = _qualify_uri(spark, p)
+    assert q.startswith("file:"), q
+    assert _read_bytes_executor(q) == b"qualified"
+    assert _qualify_uri(spark, q) == q
+    assert _qualify_uri(spark, "s3://bkt/tbl") == "s3://bkt/tbl"
+
+    # end-to-end: a scheme-less root through the forced distributed
+    # planning path still plans and reads
+    _synth_table(spark, str(tmp_path / "t"), 64, 8)
+    t2 = _fresh(spark, str(tmp_path / "t"), 1)
+    man = t2._manifest_where(0, [("k", ">=", 0)])
+    assert sum(len(v) for v in man["partitions"].values()) == 64
