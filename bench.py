@@ -161,6 +161,11 @@ HEADLINE = [
     "text_dup_span_removal",
     "mm_gif_animated_stats",
     "mm_jpeg_lossless_stats",
+    # r14 additions
+    "mm_gif_disposal_restore",
+    "ml_kmeans_doc_features",
+    "ml_bpe_train_merges",
+    "ml_bpe_apply_tokenize",
 ]
 
 

@@ -2173,6 +2173,40 @@ def decode_audit(
     return src.mapInPandas(decode, _AUDIT_SCHEMA)
 
 
+def decode_audit_observed(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    name: str = "decode_audit",
+):
+    """A20 observability twin of the quarantine channel (VERDICT r13
+    polish #7): decode_audit with per-reason reject metrics attached
+    via ``df.observe`` — counts aggregate MAP-SIDE during whatever
+    action consumes the audit frame (zero extra jobs, zero extra
+    decode passes; Observation is the listener-backed mechanism, so
+    the same named metrics surface in QueryExecutionListener /
+    SparkListener events at production scale). Returns
+    (audited_df, observation); read ``observation.get`` after the
+    first action for {n_records, n_ok, n_null_payload,
+    n_unsupported_format, n_corrupt_payload} — the reject RATE per
+    reason without a second scan of 100 TB of media."""
+    from pyspark.sql import Observation
+
+    out = decode_audit(df, id_col, payload_col)
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_records")]
+    for r in (
+        "ok",
+        "null_payload",
+        "unsupported_format",
+        "corrupt_payload",
+    ):
+        metrics.append(
+            F.count(F.when(F.col("reason") == r, 1)).alias(f"n_{r}")
+        )
+    return out.observe(obs, *metrics), obs
+
+
 def _bmp_header_bytes(w: int, h: int) -> bytes:
     """Python-side twin of ``bmp_payload``'s Catalyst header (shared
     layout; used by the re-encode path)."""
@@ -3120,11 +3154,14 @@ def _decode_gif_pixels(b: bytes):
 
     Disposal methods per GIF89a §23: 0/1 leave the rendered frame in
     place; 2 restores the frame's rect to the background color after
-    the frame is emitted; 3 (restore-to-previous) raises — it needs
-    unbounded canvas history and no synthetic/scraped corpus we
-    model emits it. A transparent index (GCE flag) leaves the
-    underlying canvas pixel unchanged. The canvas starts as the
-    header's background color (GCT[bg]; zeros without a GCT).
+    the frame is emitted; 3 (restore-to-previous, r14 — guard
+    retired) restores the canvas to its state BEFORE the frame was
+    rendered. The spec restores to the pre-frame canvas, not
+    arbitrary history, so the bounded implementation keeps exactly
+    ONE saved canvas per frame — no unbounded history. A transparent
+    index (GCE flag) leaves the underlying canvas pixel unchanged.
+    The canvas starts as the header's background color (GCT[bg];
+    zeros without a GCT).
 
     Returns ((h, w, 3), flat) for a single-frame stream — the
     pre-r13 contract, byte-identical for every existing oracle — and
@@ -3159,12 +3196,6 @@ def _decode_gif_pixels(b: bytes):
                 tidx = b[pos + 4]
                 disposal = (flags >> 2) & 0x7
                 transparent = tidx if flags & 0x1 else None
-                if disposal == 3:
-                    raise NotImplementedError(
-                        "GIF restore-to-previous disposal (method 3) "
-                        "needs unbounded canvas history; production: "
-                        "PIL in the same Arrow stage"
-                    )
             while b[pos] != 0:
                 pos += 1 + b[pos]
             pos += 1
@@ -3199,6 +3230,9 @@ def _decode_gif_pixels(b: bytes):
                     rows[actual] = idx[stored * iw : (stored + 1) * iw]
                 idx = [i for row in rows for i in row]
             ia = np.array(idx, dtype=np.int64).reshape(ih, iw)
+            # disposal 3 restores to the PRE-frame canvas: one saved
+            # copy is the whole history the spec requires
+            saved = canvas.copy() if disposal == 3 else None
             rect = canvas[top : top + ih, left : left + iw]
             pal_arr = np.array(pal, dtype=np.float64)
             rendered = pal_arr[ia]
@@ -3210,6 +3244,8 @@ def _decode_gif_pixels(b: bytes):
             frames.append(canvas.copy())
             if disposal == 2:
                 canvas[top : top + ih, left : left + iw] = bg_rgb
+            elif disposal == 3:
+                canvas = saved
             transparent = None
             disposal = 0
         elif blk == 0x3B:
@@ -3277,11 +3313,13 @@ def encode_gif_animated(
     n_frames: int = 3,
     n_colors: int = 16,
     transparent_from: int | None = None,
+    disposal: int = 1,
 ) -> bytes:
     """Spec-valid GIF89a ANIMATION: logical screen + global color
     table (_gif_palette), then frame 0 full-screen and frames
     1..n_frames-1 as PARTIAL rects (gif_frame_rects), each preceded
-    by a graphic-control extension (disposal=1, do-not-dispose).
+    by a graphic-control extension (``disposal``, default 1 =
+    do-not-dispose; 3 = restore-to-previous for the r14 fixture).
     Frame f's index at rect-relative (x, y) = (seed + 17*f +
     y*fw + x) % n_colors — closed form for the oracle. Real LZW per
     frame. ``transparent_from``: when set, frames >= 1 declare that
@@ -3302,8 +3340,11 @@ def encode_gif_animated(
         if f > 0:
             tflag = 1 if transparent_from is not None else 0
             tidx = transparent_from or 0
-            # GCE: disposal=1 (leave in place), delay 0
-            out += bytes((0x21, 0xF9, 4, (1 << 2) | tflag, 0, 0, tidx, 0))
+            # GCE: caller-chosen disposal, delay 0
+            out += bytes(
+                (0x21, 0xF9, 4, ((disposal & 7) << 2) | tflag,
+                 0, 0, tidx, 0)
+            )
         out += b"\x2c" + struct.pack("<HHHHB", left, top, fw, fh, 0)
         out.append(min_code)
         idx = [
@@ -3327,9 +3368,12 @@ def gif_animated_synthesize(
     seed_col: str = "seed",
     n_frames: int = 3,
     n_colors: int = 16,
+    disposal: int = 1,
 ) -> DataFrame:
     """Arrow-batched animated-GIF writer over (id, w, h, seed) rows —
-    the partial-frame fixture generator (encode_gif_animated)."""
+    the partial-frame fixture generator (encode_gif_animated);
+    ``disposal`` feeds every frame's GCE (1 = leave in place, 3 =
+    restore-to-previous)."""
     import pandas as pd
 
     def synth(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -3341,6 +3385,7 @@ def gif_animated_synthesize(
                     encode_gif_animated(
                         int(w), int(h), int(seed),
                         n_frames=n_frames, n_colors=n_colors,
+                        disposal=disposal,
                     )
                 )
             yield pd.DataFrame({"id": ids, "payload": payloads})

@@ -158,12 +158,12 @@ _DUCK_TOKENS = (
 )
 
 
-def _bpe_oracle() -> str:
-    """Unrolled-CTE twin of operators.ml.bpe_learn_merges: v0 is the
-    symbolized word vocabulary; each step is a pair-count CTE (p), a
-    1-row best-pair CTE (b: count DESC, pair ASC — integer-exact) and
-    a merged-vocab CTE (v) applying the same DOUBLE non-rescanning
-    replace. All counts are integers: no float tolerance anywhere."""
+def _bpe_ctes() -> list[str]:
+    """The shared unrolled-training CTE chain (v0 symbolized vocab,
+    then per step: pair counts p{i}, 1-row best pair b{i}, merged
+    vocab v{i} via the same DOUBLE non-rescanning replace) — used by
+    both the training-trajectory oracle and the apply oracle so the
+    two restate ONE training run."""
     ctes = [
         f"w AS (SELECT u.t AS word FROM documents, {_DUCK_TOKENS})",
         r"""v0 AS (
@@ -177,7 +177,6 @@ def _bpe_oracle() -> str:
         "' ' || replace(pr, ' ', '') || ' '), ' ' || pr || ' ', "
         "' ' || replace(pr, ' ', '') || ' '))"
     )
-    finals = []
     for i in range(1, _BPE_MERGES + 1):
         ctes.append(
             f"""p{i} AS (
@@ -193,6 +192,18 @@ def _bpe_oracle() -> str:
         ctes.append(
             f"v{i} AS (SELECT {merge} AS s, cnt FROM v{i - 1} CROSS JOIN b{i})"
         )
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    """Unrolled-CTE twin of operators.ml.bpe_learn_merges: v0 is the
+    symbolized word vocabulary; each step is a pair-count CTE (p), a
+    1-row best-pair CTE (b: count DESC, pair ASC — integer-exact) and
+    a merged-vocab CTE (v) applying the same DOUBLE non-rescanning
+    replace. All counts are integers: no float tolerance anywhere."""
+    ctes = _bpe_ctes()
+    finals = []
+    for i in range(1, _BPE_MERGES + 1):
         ctes.append(
             f"""t{i} AS (
               SELECT CAST(SUM(cnt * len(string_split(s, ' '))) AS BIGINT) AS n
@@ -238,3 +249,73 @@ def ml_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges,
         schema="step long, merged_pair string, pair_count long, corpus_syms_after long",
     ).orderBy("step")
+
+
+def _bpe_apply_oracle(top: int = 25) -> str:
+    """Apply oracle: the SAME unrolled training chain (_bpe_ctes) run
+    to v6, then the corpus subword-frequency table of the FINAL
+    vocabulary — token occurrences weighted by word counts. Shares
+    every training CTE with _bpe_oracle, so a divergence anywhere in
+    learn OR apply shows up as a hash mismatch here."""
+    return f"""
+    WITH {", ".join(_bpe_ctes())}
+    SELECT t AS token, CAST(SUM(cnt) AS BIGINT) AS n_occ
+    FROM (SELECT cnt, UNNEST(string_split(s, ' ')) AS t
+          FROM v{_BPE_MERGES})
+    GROUP BY t
+    ORDER BY n_occ DESC, token
+    LIMIT {top}
+    """
+
+
+@register(
+    "ml_bpe_apply_tokenize",
+    oracle=_bpe_apply_oracle(),
+    tags=("B12", "B15"),
+)
+def ml_bpe_apply_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE tokenizer to the corpus (the tokenize
+    step that follows ml_bpe_train_merges' train step): learn the 6
+    merges, then re-apply them IN ORDER to the word vocabulary as the
+    same double-pass non-rescanning replaces, and emit the top-25
+    subword tokens by corpus occurrence (token frequency = sum of
+    word counts containing it, ties broken by token). Applying the
+    ordered merges to v0 reproduces the training chain's final
+    vocabulary exactly — training itself is that chain — so the
+    output is integer-exact against the shared unrolled oracle.
+    Scale shape: ONE corpus pass builds the word-count vocab; the
+    merge application is a chased column expression over the
+    vocab frame (bounded by distinct words, corpus-size-independent),
+    and the token rollup is a vocab-sized hash aggregate."""
+    from stupp_exclusion_etl_spark.functions.text import tokens
+    from stupp_exclusion_etl_spark.operators.ml import bpe_learn_merges
+
+    d = table(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word")).filter(
+        F.col("word").rlike("^[a-z]+$")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).select(
+        F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")).alias("s"),
+        F.col("cnt"),
+    )
+    merges = bpe_learn_merges(vocab, n_merges=_BPE_MERGES)
+    applied = F.concat(F.lit(" "), F.col("s"), F.lit(" "))
+    for _step, pair, _total, _after in merges:
+        merged = pair.replace(" ", "")
+        for _ in range(2):  # double pass: see bpe_learn_merges
+            applied = F.replace(
+                applied, F.lit(f" {pair} "), F.lit(f" {merged} ")
+            )
+    final_vocab = vocab.select(
+        F.trim(applied).alias("s"), F.col("cnt")
+    )
+    return (
+        final_vocab.select(
+            F.explode(F.split(F.col("s"), " ")).alias("token"),
+            F.col("cnt"),
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").cast("long").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("token"))
+        .limit(25)
+    )

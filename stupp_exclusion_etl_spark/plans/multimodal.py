@@ -1276,6 +1276,88 @@ def mm_gif_animated_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_gif_disposal_restore",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 7 + doc_id % 4 AS w, 6 + doc_id % 3 AS h,
+             doc_id % 97 AS seed
+      FROM documents WHERE doc_id < 150),
+    px AS (
+      SELECT g.doc_id, g.w, g.h, g.seed, f.f AS frame,
+             y.y AS y, x.x AS x, c.c AS ch
+      FROM g, UNNEST(range(0, 3)) AS f(f), UNNEST(range(0, g.h)) AS y(y),
+           UNNEST(range(0, g.w)) AS x(x), UNNEST(range(0, 3)) AS c(c)),
+    v AS (
+      SELECT doc_id, frame, CAST(ch AS INT) AS ch,
+             (y * w + x) * 3 + ch AS fpos,
+             CAST((((seed + 17 * wr +
+                   CASE wr WHEN 2 THEN (y - 1) * (w - 4) + (x - 3)
+                           WHEN 1 THEN (y - 2) * (w - 2) + (x - 1)
+                           ELSE y * w + x END) % 16)
+                  * CASE ch WHEN 0 THEN 7 WHEN 1 THEN 11 ELSE 13 END)
+                  % 256 AS DOUBLE) AS val
+      FROM (SELECT *,
+                   CASE WHEN frame = 2 AND x BETWEEN 3 AND w - 2
+                             AND y BETWEEN 1 AND h - 2 THEN 2
+                        WHEN frame = 1 AND x BETWEEN 1 AND w - 2
+                             AND y BETWEEN 2 AND h - 2 THEN 1
+                        ELSE 0 END AS wr
+            FROM px) q)
+    SELECT doc_id, CAST(frame AS INT) AS frame, ch,
+           ROUND(AVG(val), 4) AS mean_val,
+           CAST(SUM(val * fpos) AS BIGINT) AS pos_weighted
+    FROM v GROUP BY 1, 2, 3
+    """,
+    tags=("B15", "B5"),
+)
+def mm_gif_disposal_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restore-to-previous animated GIF round trip (r14 — retires
+    the last common-in-the-wild GIF guard): the same partial-frame
+    animation as mm_gif_animated_stats but every frame's
+    graphic-control extension declares disposal method 3, so after
+    each partial frame displays, the canvas reverts to its PRE-frame
+    state (one saved canvas — the spec restores to the previous
+    canvas, not arbitrary history; operators/multimodal.py
+    _decode_gif_pixels). The observable difference from disposal 1
+    is exactly the oracle's wr resolution: frame 2's canvas shows
+    frame 0 everywhere outside frame 2's OWN rect — frame 1's rect
+    is gone — whereas mm_gif_animated_stats' wr keeps frame 1's
+    writes wherever frame 2 doesn't overpaint. Same per-(doc, frame,
+    channel) mean + position-weighted checksum, so a decoder that
+    ignored disposal 3 (treating it as 1) hash-mismatches."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_media,
+        gif_animated_synthesize,
+    )
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    geom = d.select(
+        "doc_id",
+        (F.lit(7) + F.col("doc_id") % 4).alias("w"),
+        (F.lit(6) + F.col("doc_id") % 3).alias("h"),
+        (F.col("doc_id") % 97).alias("seed"),
+    )
+    payloads = gif_animated_synthesize(
+        geom, "doc_id", "w", "h", "seed", disposal=3
+    )
+    dec = decode_media(payloads, "id")
+    per = dec.select(F.col("id").alias("doc_id"), F.posexplode("data"))
+    fsz = (F.lit(7) + F.col("doc_id") % 4) * (
+        F.lit(6) + F.col("doc_id") % 3
+    ) * 3
+    return per.groupBy(
+        "doc_id",
+        F.floor(F.col("pos") / fsz).cast("int").alias("frame"),
+        (F.col("pos") % 3).cast("int").alias("ch"),
+    ).agg(
+        F.round(F.avg("col"), 4).alias("mean_val"),
+        F.sum(F.col("col") * (F.col("pos") % fsz)).cast("long").alias(
+            "pos_weighted"
+        ),
+    )
+
+
+@register(
     "mm_jpeg_lossless_stats",
     oracle="""
     WITH g AS (

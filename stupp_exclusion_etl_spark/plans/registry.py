@@ -128,7 +128,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text hashed; token stats stay preflight-green as text_doc_stats)
     "text_dup_span_removal",
     "text_quality_score",
-    "text_lang_id_ngram",
+    # r14: gave the third text slot (B12 keeps two reps above;
+    # n-gram lang-id stays preflight-green as text_lang_id_ngram) to
+    # the tokenizer-training trajectory — the train-a-tokenizer step
+    # of the LLM pipeline, unreachable for 7 rounds (VERDICT r13
+    # What's-wrong #1), becomes driver-verified
+    "ml_bpe_train_merges",
     # similarity search — B13 (PQ-ADC + r13 batched index-backed
     # serving; brute-force cosine stays preflight-green as
     # sim_cosine_topk — the batch serve exercises the same cosine on

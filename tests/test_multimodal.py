@@ -1563,14 +1563,29 @@ def test_gif_partial_frame_compositing_and_disposal():
     c2[0, 0] = pal4[2]
     assert np.array_equal(got[2], c2)
 
-    # restore-to-previous (disposal 3) stays honestly guarded
-    bad = bytearray(b"GIF89a")
-    bad += struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)
+    # restore-to-previous (disposal 3, r14 — guard retired): frame 1
+    # paints a rect under disposal=3, frame 2 a single pixel. Frame
+    # 2's canvas must show frame 1's rect RESTORED to the PRE-frame-1
+    # canvas (frame 0's pixels, NOT the background color — the
+    # distinction from disposal 2 this fixture exists to pin).
+    out3 = bytearray(b"GIF89a")
+    out3 += struct.pack("<HHBBB", sw, sh, 0x80 | 1, bg, 0)
     for r, g, bl in _gif_palette(4):
-        bad += bytes((r, g, bl))
-    bad += bytes((0x21, 0xF9, 4, 3 << 2, 0, 0, 0, 0))
-    with pytest.raises(NotImplementedError, match="restore-to-previous"):
-        _decode_gif_pixels(bytes(bad))
+        out3 += bytes((r, g, bl))
+    out3 += frame(0, 0, sw, sh, f0)
+    out3 += frame(1, 1, 2, 2, [3, 3, 3, 3], disposal=3)
+    out3 += frame(0, 0, 1, 1, [2])
+    out3 += b"\x3b"
+    shape4, flat4 = _decode_gif_pixels(bytes(out3))
+    assert shape4 == (3, sh, sw, 3)
+    got3 = np.asarray(flat4).reshape(3, sh, sw, 3)
+    assert np.array_equal(got3[0], c0)
+    d1 = c0.copy()
+    d1[1:3, 1:3] = pal4[3]
+    assert np.array_equal(got3[1], d1)
+    d2 = c0.copy()  # rect restored to frame 0's pixels, not bg
+    d2[0, 0] = pal4[2]
+    assert np.array_equal(got3[2], d2)
 
 
 def test_jpeg_lossless_roundtrip_all_predictors():
@@ -1623,3 +1638,49 @@ def test_jpeg_lossless_roundtrip_all_predictors():
     b[sof + 1] = 0xC5  # SOF5: differential sequential (hierarchical)
     with pytest.raises(NotImplementedError, match="hierarchical"):
         _decode_jpeg_pixels(bytes(b))
+
+
+def test_decode_audit_observed_metrics(spark):
+    """VERDICT r13 polish #7 (A20 twin): decode_audit_observed
+    surfaces per-reason quarantine counts through df.observe — the
+    listener-backed Observation mechanism — during the SAME action
+    that consumes the audit frame, and the metrics equal the frame's
+    own groupBy(reason) rollup (no second decode pass, no extra
+    job)."""
+    from stupp_exclusion_etl_spark.operators.multimodal import (
+        decode_audit_observed,
+        png_synthesize,
+    )
+
+    geom = spark.createDataFrame(
+        [(i, 5 + i % 4, 6 + i % 3, i % 251) for i in range(10)],
+        "doc_id long, w int, h int, seed int",
+    )
+    clean = png_synthesize(geom, "doc_id", "w", "h", "seed")
+    cls = F.col("id") % 5
+    poisoned = clean.withColumn(
+        "payload",
+        F.when(cls == 1, F.substring(F.col("payload"), 1, 20))
+        .when(cls == 2, F.overlay(
+            F.col("payload"), F.lit(b"\x00\x00\x00\x00"), F.lit(30)))
+        .when(cls == 3, F.lit(b"\x00" * 8))
+        .when(cls == 4, F.lit(None).cast("binary"))
+        .otherwise(F.col("payload")),
+    )
+    audited, obs = decode_audit_observed(poisoned, "id")
+    by_reason = {
+        r.reason: r.n
+        for r in audited.groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    m = obs.get  # populated by the action above — no extra job
+    assert m["n_records"] == 10
+    assert m["n_ok"] == by_reason["ok"] == 2
+    assert m["n_corrupt_payload"] == by_reason["corrupt_payload"] == 4
+    assert (
+        m["n_unsupported_format"]
+        == by_reason["unsupported_format"]
+        == 2
+    )
+    assert m["n_null_payload"] == by_reason["null_payload"] == 2
