@@ -71,6 +71,13 @@ HEAVY = [
     # gram shuffle is the 100 TB risk surface — N x token volume)
     "sim_index_batch_topk",
     "text_dup_span_removal",
+    # r14: the iterative full-frame trainer (3 groupBy passes over
+    # every document — the trajectory family's scale shape) and the
+    # learn+apply tokenizer pipeline (one corpus pass to the vocab,
+    # then vocab-bounded merge jobs — BPE's corpus-independence claim
+    # gets empirical sf10 evidence)
+    "ml_kmeans_doc_features",
+    "ml_bpe_apply_tokenize",
 ]
 
 MID = "/tmp/scaled/sf1"
