@@ -145,14 +145,76 @@ class PersistedIvfIndex:
         )
         return cents
 
+    #: Above this cell count the argmin fold's codegen'd CASE chain
+    #: gets unwieldy; fall back to the crossJoin+window route.
+    _ASSIGN_FOLD_MAX_CELLS = 64
+
     def _assign(self, vectors: DataFrame) -> DataFrame:
-        """Route vectors to their nearest frozen centroid: broadcast
-        the k centroid rows, argmax cosine with min-cell tie-break.
-        O(|vectors| × k) map-side work, no shuffle beyond the
-        row_number window on the (small) changed set."""
+        """Route vectors to their nearest frozen centroid. The
+        centroid table is k metadata-scale rows, so it is collected
+        once and embedded as LITERAL arrays: the k cosines project
+        into one array column and a codegen'd argmax fold (strict >,
+        ascending cell order) picks the cell — a ZERO-shuffle,
+        map-only pass. The previous shape (crossJoin the broadcast
+        centroids, row_number window per id) multiplied every vector
+        row k× and shuffled ALL of it for the window — an 8× corpus
+        exchange at build time (guide §2.3/§2.4); the fold removes the
+        exchange entirely. Tie/NULL semantics are bit-identical to
+        row_number over (cosine DESC NULLS LAST, cell ASC): a
+        candidate wins only when non-NULL and strictly greater, so
+        ties and all-NULL rows (zero vectors) keep the lowest cell.
+        Very large k (> _ASSIGN_FOLD_MAX_CELLS) keeps the join+window
+        route — codegen'd CASE chains grow O(k)."""
         cents = self.centroids.read()
         if cents is None:
             raise ValueError("index not built: no centroids committed")
+        rows = sorted(
+            cents.select("cell", "centroid").collect(), key=lambda r: r[0]
+        )
+        if not rows or len(rows) > self._ASSIGN_FOLD_MAX_CELLS:
+            return self._assign_window(vectors, cents)
+        cell_t = cents.schema["cell"].dataType.simpleString()
+        v = F.col(self.vec_col)
+        # argmax via array_max + array_position so every cosine
+        # appears in the plan EXACTLY ONCE — a nested CASE fold would
+        # duplicate the k×d centroid literals O(k²) times, and the
+        # resulting multi-hundred-KB expression tree costs seconds of
+        # py4j construction + analysis per commit (measured; guide
+        # §7.3 "very large plans"). Semantics match row_number over
+        # (cosine DESC NULLS LAST, cell ASC) exactly: array_max skips
+        # NULLs (zero vectors), array_position returns the FIRST
+        # (lowest-cell) index on bit-equal ties, and the all-NULL row
+        # coalesces to the lowest cell with a NULL cent_cos.
+        scored = vectors.select(
+            F.col(self.id_col),
+            v,
+            F.array(
+                *[
+                    cosine(v, F.lit([float(x) for x in r[1]]))
+                    for r in rows
+                ]
+            ).alias("__cs"),
+        )
+        best = F.array_max(F.col("__cs"))
+        pos = F.coalesce(
+            F.array_position(F.col("__cs"), best), F.lit(1)
+        ).cast("int")
+        cell = F.element_at(
+            F.lit([r[0] for r in rows]), pos
+        ).cast(cell_t)
+        return scored.select(
+            self.id_col,
+            cell.alias("cell"),
+            self.vec_col,
+            best.alias("cent_cos"),
+        )
+
+    def _assign_window(
+        self, vectors: DataFrame, cents: DataFrame
+    ) -> DataFrame:
+        """Join+window assignment route for very large k (see
+        _assign): broadcast the centroid rows, argmax cosine with
+        min-cell tie-break via row_number."""
         scored = vectors.crossJoin(
             F.broadcast(cents.select("cell", "centroid"))
         ).withColumn(
@@ -271,7 +333,7 @@ class PersistedIvfIndex:
         O(corpus) operation besides an explicit rebuild."""
         head = self.corpus.current_version()
         snap = self.corpus.read(version=head)
-        if snap is None or snap.limit(1).count() == 0:
+        if snap is None or snap.isEmpty():
             raise ValueError("empty corpus: nothing to index")
         cents = self._train_centroids(snap).withColumn(
             "ts", F.lit(head).cast("long")
@@ -282,7 +344,7 @@ class PersistedIvfIndex:
             # retrain: retire cells that no longer exist, then upsert
             old = self.centroids.read().select("cell")
             doomed = old.join(cents.select("cell"), "cell", "left_anti")
-            if doomed.count():
+            if not doomed.isEmpty():
                 self.centroids.delete_keys(doomed)
             self.centroids.upsert(cents, [F.col("ts").desc()])
         assigned = self._assign(
@@ -303,7 +365,7 @@ class PersistedIvfIndex:
         self.assignments.upsert(
             assigned.drop("cent_cos"), [F.col("ts").desc()]
         )
-        if stale is not None and stale.count():
+        if stale is not None and not stale.isEmpty():
             self.assignments.delete_keys(stale)
         q = self.quality()
         self._put_meta(
@@ -324,17 +386,32 @@ class PersistedIvfIndex:
         if head <= applied:
             return {"from": applied, "to": applied,
                     "n_deleted": 0, "n_upserted": 0}
-        ch = self.corpus.changes(applied, head)
-        doomed = ch.filter(F.col("_change_type") == "delete").select(
-            self.id_col
+        # Materialize the change feed once: its full-outer CDC join
+        # would otherwise re-run for every consumer below (the two
+        # change-kind counts, the delete's key probe + anti-join, the
+        # upsert's probe + merge — six evaluations measured), and both
+        # counts collapse into ONE aggregate over the materialized
+        # increment (guide §1.2: don't recompute what you already
+        # have; the feed is O(churn), never O(corpus)).
+        ch = self.corpus.changes(applied, head).localCheckpoint(
+            eager=True
         )
-        n_del = doomed.count()
+        kinds = {
+            r[0]: r[1]
+            for r in ch.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_del = int(kinds.get("delete", 0))
+        n_up = int(kinds.get("insert", 0) + kinds.get("update", 0))
         if n_del:
+            doomed = ch.filter(
+                F.col("_change_type") == "delete"
+            ).select(self.id_col)
             self.assignments.delete_keys(doomed)
         changed = ch.filter(
             F.col("_change_type").isin("insert", "update")
         ).select(self.id_col, self.vec_col)
-        n_up = changed.count()
         if n_up:
             routed = self._assign(changed).drop("cent_cos").withColumn(
                 "ts", F.lit(head).cast("long")

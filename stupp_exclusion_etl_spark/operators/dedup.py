@@ -578,6 +578,7 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     converged = edges.isEmpty()  # empty graph is trivially a fixed point
+    n_edges = None  # carried across rounds: nxt.count() is next round's
     for _ in range(max_iter):
         # Large-star over symmetric neighborhoods: (v, m) for v > u.
         sym = edges.select(F.col("s").alias("u"), F.col("l").alias("v")).unionAll(
@@ -603,11 +604,16 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
-        same_count = nxt.count() == edges.count()
+        # edges.count() is last round's nxt.count() — carry the int
+        # instead of re-running a job over the checkpointed blocks
+        if n_edges is None:
+            n_edges = edges.count()
+        n_nxt = nxt.count()
+        same_count = n_nxt == n_edges
         converged = same_count and nxt.join(
             edges, ["s", "l"], "left_anti"
         ).isEmpty()
-        edges = nxt
+        edges, n_edges = nxt, n_nxt
         if converged:
             break
     if not converged:

@@ -70,6 +70,13 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     ew = e.join(deg, "src").localCheckpoint(eager=True)
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    # Fixed iteration count and NO per-round action → the rounds chain
+    # lazily into ONE job: each round references `ranks` exactly once,
+    # so the plan is a linear join/agg chain over the checkpointed
+    # edge blocks — no replay, and none of the per-round eager
+    # materializations the loop used to pay (iters extra jobs, each a
+    # full rank-frame copy). Loops that DO act per round (convergence
+    # checks, e.g. connected_components) still checkpoint per round.
     for _ in range(iters):
         ranks = (
             ew.join(ranks, ew["src"] == ranks["node"])
@@ -77,7 +84,6 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
             .groupBy("dst")
             .agg((F.lit(base) + F.lit(damping) * F.sum("m")).alias("pr"))
             .select(F.col("dst").alias("node"), "pr")
-            .localCheckpoint(eager=True)
         )
     return ranks
 

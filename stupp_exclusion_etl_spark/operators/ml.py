@@ -55,6 +55,9 @@ def logreg_train_gd(
     aggregate job; on an empty (or all-NULL) frame the gradient is
     NULL and the weights stay at their current values."""
     w = [0.0] * len(feature_cols)
+    # same materialize-once as kmeans_train below: one pass builds the
+    # numeric feature frame, every gradient step reads the blocks
+    df = df.localCheckpoint(eager=True)
     for _ in range(iters):
         err = _sigmoid(_margin(feature_cols, w)) - F.col(label_col)
         grad_row = df.agg(
@@ -127,6 +130,13 @@ def kmeans_train(
     iteration is one column-pruned scan with map-side partial
     aggregation; nothing driver-side ever exceeds k×d floats."""
     cents = [list(map(float, c)) for c in init]
+    # One materialization of the (tiny-width) feature projection —
+    # Lloyd's re-reads it every iteration, and each groupBy action
+    # would otherwise re-run the source scan + projection per round.
+    # The standard k-means trade: a few numeric columns per row,
+    # MEMORY_AND_DISK, spill-safe (guide §5 caching: reused AND
+    # recomputation costs a full input pass per reuse).
+    df = df.localCheckpoint(eager=True)
     for _ in range(iters):
         cl = kmeans_assign(feature_cols, cents)
         rows = (
@@ -201,7 +211,15 @@ def bpe_learn_merges(
     Returns [(step, 'a b', pair_count, corpus_syms_after)] — the
     whole training trajectory, integer-exact."""
     out: list[tuple[int, str, int, int]] = []
-    cur = vocab
+    # Materialize the vocabulary ONCE: it is the product of the single
+    # corpus pass (tokenize → word counts), and every merge step runs
+    # two actions whose lineage would otherwise replay that corpus
+    # pass from scratch — 2×n_merges full corpus scans for work that
+    # is vocab-bounded by design (guide §1.2: the documented "one
+    # corpus pass" contract, now actually one pass). The checkpoint is
+    # distinct-word-sized; each step's replace chain re-applies over
+    # the materialized blocks only.
+    cur = vocab.localCheckpoint(eager=True)
     for step in range(1, n_merges + 1):
         best = (
             cur.select(F.col("cnt"), F.explode(_adjacent_pairs(F.col("s"))).alias("pr"))

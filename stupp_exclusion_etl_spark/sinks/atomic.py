@@ -980,6 +980,46 @@ def _probe_hint(keys_df: DataFrame) -> DataFrame:
     return F.broadcast(keys_df) if small else keys_df
 
 
+def _local_distinct_rows(df: DataFrame) -> list | None:
+    """Distinct rows of a frame whose OPTIMIZED plan is a
+    LocalRelation (a driver-literal batch: createDataFrame metadata,
+    collected stats), else None. Catalyst folds Project/Filter over
+    LocalRelation back into LocalRelation, and collect() on it is
+    LocalTableScanExec.executeCollect — NO Spark job — so the caller
+    gets the key set for free instead of paying the checkpoint +
+    capped-count jobs the distributed probe needs (measured: 3 of the
+    7 jobs of a metadata-sized upsert). Unhashable key values (never
+    the case for scalar key columns) fall back to the job path."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+        rows = df.collect()
+        seen: set = set()
+        out = []
+        for r in rows:
+            t = tuple(r)
+            if t not in seen:
+                seen.add(t)
+                out.append(r)
+        return out
+    except Exception:
+        return None
+
+
+def _probe_prepared_keys(df: DataFrame, keys: list[str]) -> tuple[DataFrame, bool]:
+    """_probe_prepared over ``df.select(*keys).distinct()``, with a
+    zero-job fast path when the batch is a driver-literal frame (the
+    meta/codebook commits every index refresh makes): the distinct is
+    computed driver-side from the LocalRelation and re-wrapped as a
+    new local frame, so no checkpoint, no capped-count job."""
+    proj = df.select(*keys)
+    rows = _local_distinct_rows(proj)
+    if rows is not None and len(rows) <= _PROBE_BROADCAST_CAP:
+        return df.sparkSession.createDataFrame(rows, proj.schema), True
+    return _probe_prepared(proj.distinct())
+
+
 def _probe_prepared(keys_df: DataFrame) -> tuple[DataFrame, bool]:
     """(possibly-checkpointed key frame, provably-under-cap flag) —
     see _probe_hint. Always join against the RETURNED frame, never the
@@ -1870,6 +1910,15 @@ class AtomicParquetTable:
         visibility waits for the manifest."""
         stage = f"{self.path}/{STAGE_DIR}/{txn}"
         if self.cluster_by:
+            # materialize ONCE before the range write: the
+            # repartitionByRange below launches a RangePartitioner
+            # sampling pass over its input, which would otherwise
+            # re-run the whole merge lineage (existing ∪ batch,
+            # keep-latest window) a second time. Unclustered writes
+            # skip this — their single write job IS the single pass,
+            # so the commit paths no longer checkpoint the merge
+            # themselves (one full materialization saved per commit).
+            df = df.localCheckpoint(eager=True)
             # ranges over (partition cols, cluster cols): same-dir rows
             # co-locate (few dirs per task ⇒ few files) AND each file
             # covers a narrow cluster-key range for stats skipping; the
@@ -2640,7 +2689,6 @@ class AtomicParquetTable:
             )
         else:
             merged = keep_latest(new_data, self.keys, order_by)
-        merged = merged.localCheckpoint(eager=True)
         by_part = self._stage_and_move(merged, txn)
         touched = set(cand) | set(by_part)
         # the merged frame saw only candidate files + batch; union with
@@ -2680,7 +2728,6 @@ class AtomicParquetTable:
             .parquet(*cand_paths)
         )
         kept = overlap.join(batch_keys, self.keys, "left_anti")
-        kept = kept.localCheckpoint(eager=True)
         by_part = self._stage_and_move(kept, txn)
         touched = set(cand) | set(by_part)
         return self._commit_or_rebase(
@@ -2700,7 +2747,8 @@ class AtomicParquetTable:
         Spark itself chose (empty buckets write no file).
 
         That name↔bucket coupling rides on Spark's writer task naming
-        and on partition ids surviving keep_latest + localCheckpoint —
+        and on partition ids surviving the keep_latest window into
+        the write stage (no exchange between them) —
         pinned by tests on the CURRENT Spark, but a version/AQE
         behavior change would corrupt bucket stats silently. So every
         commit cross-checks ONE staged file at runtime: min/max
@@ -2839,7 +2887,7 @@ class AtomicParquetTable:
                 src = new_data
             merged = keep_latest(
                 src.repartition(B, *self.keys), self.keys, order_by
-            ).localCheckpoint(eager=True)
+            )
             by_part = self._stage_and_move(merged, txn)
             return self._commit_or_rebase(
                 parent, by_part, set(cand) | set(by_part),
@@ -2852,7 +2900,7 @@ class AtomicParquetTable:
             existing.unionByName(new_data, allowMissingColumns=True)
             .repartition(B, *self.keys),
             self.keys, order_by,
-        ).localCheckpoint(eager=True)
+        )
         by_part = self._stage_and_move(merged, txn)
         return self._commit_or_rebase(
             parent, by_part, {""}, _ddl(merged), batch_keys, remerge,
@@ -2909,7 +2957,6 @@ class AtomicParquetTable:
         kept = overlap.join(doomed, self.keys, "left_anti").repartition(
             B, *self.keys
         )
-        kept = kept.localCheckpoint(eager=True)
         by_part = self._stage_and_move(kept, txn)
         return self._commit_or_rebase(
             parent, by_part, set(cand) | set(by_part),
@@ -3197,7 +3244,8 @@ class AtomicParquetTable:
                 return parent  # replayed micro-batch: already committed
         txn = uuid.uuid4().hex[:16]
         existing = self.read()
-        batch_keys = _probe_hint(new_data.select(*self.keys).distinct())
+        bk_raw, probe_small = _probe_prepared_keys(new_data, self.keys)
+        batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
 
         def remerge(retries: int) -> int:
             return self.upsert(
@@ -3209,7 +3257,7 @@ class AtomicParquetTable:
                 merged = keep_latest(
                     new_data.repartition(self.bucket_count, *self.keys),
                     self.keys, order_by,
-                ).localCheckpoint(eager=True)
+                )
                 by_part = self._stage_and_move(merged, txn)
                 return self._commit_or_rebase(
                     parent, by_part, set(), _ddl(merged), batch_keys,
@@ -3218,7 +3266,6 @@ class AtomicParquetTable:
                     claim_layout=True,
                 )
             merged = keep_latest(new_data, self.keys, order_by)
-            merged = merged.localCheckpoint(eager=True)
             by_part = self._stage_and_move(merged, txn)
             return self._commit_or_rebase(
                 parent, by_part, set(), _ddl(merged), batch_keys, remerge,
@@ -3257,7 +3304,7 @@ class AtomicParquetTable:
                 ),
                 self.keys,
                 order_by,
-            ).localCheckpoint(eager=True)
+            )
             by_part = self._stage_and_move(merged, txn)
             return self._commit_or_rebase(
                 parent, by_part, {""}, _ddl(merged), batch_keys, remerge,
@@ -3290,7 +3337,7 @@ class AtomicParquetTable:
             ),
             self.keys,
             order_by,
-        ).localCheckpoint(eager=True)
+        )
         by_part = self._stage_and_move(merged, txn)
         # staged output only contains partitions with surviving rows;
         # touched partitions absent from it were emptied → dropped by
@@ -3315,9 +3362,7 @@ class AtomicParquetTable:
             raise ValueError(f"no table at {self.path}")
         parent = self.current_version()
         txn = uuid.uuid4().hex[:16]
-        bk_raw, probe_small = _probe_prepared(
-            doomed_keys.select(*self.keys).distinct()
-        )
+        bk_raw, probe_small = _probe_prepared_keys(doomed_keys, self.keys)
         batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
         doomed = batch_keys
 
@@ -3349,7 +3394,6 @@ class AtomicParquetTable:
                     pman.get("stats", {}),
                 )
             kept = existing.join(doomed, self.keys, "left_anti")
-            kept = kept.localCheckpoint(eager=True)
             by_part = self._stage_and_move(kept, txn)
             return self._commit_or_rebase(
                 parent, by_part, {""}, _ddl(kept), batch_keys, remerge,
@@ -3381,7 +3425,6 @@ class AtomicParquetTable:
                 pman.get("stats", {}),
             )
         kept = relevant.join(doomed, self.keys, "left_anti")
-        kept = kept.localCheckpoint(eager=True)
         by_part = self._stage_and_move(kept, txn)
         return self._commit_or_rebase(
             parent, by_part, touched_dirs, _ddl(kept), batch_keys, remerge,
@@ -3433,9 +3476,7 @@ class AtomicParquetTable:
         # a subset of batch_keys, so counting the (join-derived, hence
         # uncacheable) matched side would re-evaluate the semi-join
         # for nothing
-        bk_raw, probe_small = _probe_prepared(
-            src.select(*self.keys).distinct()
-        )
+        bk_raw, probe_small = _probe_prepared_keys(src, self.keys)
         batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
 
         def remerge(retries: int) -> int:
@@ -3446,7 +3487,7 @@ class AtomicParquetTable:
         if existing is None:
             if when_not_matched != "insert":
                 raise ValueError(f"no table at {self.path}")
-            merged = src.localCheckpoint(eager=True)
+            merged = src
             by_part = self._stage_and_move(merged, txn)
             return self._commit_or_rebase(
                 parent, by_part, set(), _ddl(merged), batch_keys, remerge,
@@ -3482,7 +3523,7 @@ class AtomicParquetTable:
                 if new_rows is None
                 else kept.unionByName(new_rows, allowMissingColumns=True)
             )
-            return out.localCheckpoint(eager=True)
+            return out
 
         if not pb:
             if remove_matched and not probe_small:
@@ -3698,18 +3739,24 @@ class AtomicParquetTable:
         # one side — shared chunks never open
         only_a, only_b = self._diff_sides(since, until)
 
-        def read_files(files: set[str]) -> DataFrame | None:
+        def read_files(files: set[str], version: int) -> DataFrame | None:
+            # explicit manifest schema, like read(): footer mergeSchema
+            # costs a schema-inference JOB + a footer read per file on
+            # every feed, and the version's manifest schema is already
+            # the union of its files' schemas (missing columns
+            # null-fill, widened columns promote under the declared
+            # read schema — same contract as read()).
             if not files:
                 return None
             return (
                 self.spark.read
+                .schema(self._manifest_light(version)["schema_ddl"])
                 .option("basePath", f"{self.path}/{DATA_DIR}")
-                .option("mergeSchema", "true")
                 .parquet(*[f"{self.path}/{DATA_DIR}/{f}" for f in files])
             )
 
-        old = read_files({f for s in only_a.values() for f in s})
-        new = read_files({f for s in only_b.values() for f in s})
+        old = read_files({f for s in only_a.values() for f in s}, since)
+        new = read_files({f for s in only_b.values() for f in s}, until)
         if old is None and new is None:
             empty = self.spark.createDataFrame(
                 [], self._manifest_light(until)["schema_ddl"]
@@ -3901,9 +3948,8 @@ class AtomicParquetTable:
             # hash-salting: repartitionByRange(sum of per-partition
             # targets) keeps both the file-count goal and the disjoint
             # per-file stat ranges the skipping index depends on
-            out = df.localCheckpoint(eager=True)
             by_part = self._stage_and_move(
-                out, txn, num_files=sum(wants.values())
+                df, txn, num_files=sum(wants.values())
             )
             return self._commit(
                 man["version"], by_part, set(needs), man["schema_ddl"]
@@ -3948,7 +3994,6 @@ class AtomicParquetTable:
             )
         else:
             out = df.repartition(wants[""])
-        out = out.localCheckpoint(eager=True)
         by_part = self._stage_and_move(out, txn)
         return self._commit(
             man["version"], by_part, set(needs), man["schema_ddl"]
