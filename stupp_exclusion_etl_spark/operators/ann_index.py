@@ -49,7 +49,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from stupp_exclusion_etl_spark.functions.vectors import cosine
-from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+from stupp_exclusion_etl_spark.sinks.atomic import (
+    _PROBE_BROADCAST_CAP,
+    AtomicParquetTable,
+    _local_df,
+)
 
 #: Queries sampled for the once-per-batch recall escalation decision
 #: (_batch_probe_escalation) — bounded however large the batch.
@@ -276,9 +280,12 @@ class PersistedIvfIndex:
             for s in range(len(book))
             for c in range(len(book[s]))
         ]
+        # _local_df: LocalRelation literal batch — the commit's key
+        # probe and broadcast builds run zero Spark jobs (guide §1.2)
         self.codebook.upsert(
-            self.spark.createDataFrame(
-                rows, "s int, c int, centroid array<double>, ts long"
+            _local_df(
+                self.spark, rows,
+                "s int, c int, centroid array<double>, ts long",
             ),
             [F.col("ts").desc()],
         )
@@ -310,8 +317,10 @@ class PersistedIvfIndex:
         return routed.join(codes, self.id_col)
 
     def _put_meta(self, pairs: dict[str, float], ts: int) -> None:
+        # _local_df: see _store_codebook — a zero-probe-job commit
         self.meta.upsert(
-            self.spark.createDataFrame(
+            _local_df(
+                self.spark,
                 [(k, float(v), ts) for k, v in pairs.items()],
                 "key string, val double, ts long",
             ),
@@ -362,12 +371,43 @@ class PersistedIvfIndex:
             stale = prev.select(self.id_col).join(
                 assigned.select(self.id_col), self.id_col, "left_anti"
             )
+        # Baseline quality rides the upsert's own write pass as an
+        # observed metric: post-commit the live index is exactly the
+        # assigned rows (stale keys are retired below), so
+        # avg(cent_cos) over the batch IS quality() — without the
+        # full assignments re-scan + centroid re-join the old
+        # post-commit quality() call paid (guide §1.2: don't recompute
+        # what the write pass already evaluates).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch = assigned.observe(
+            obs, F.avg("cent_cos").alias("q")
+        ).drop("cent_cos")
+        # The batch's distinct keys are the corpus snapshot's keys
+        # (assignment is 1:1), and the manifest's per-file row stats
+        # bound them without a count job — skip the probe's
+        # checkpoint + capped count (at 100 TB: no executor-storage
+        # copy of every corpus key).
+        n_rows = self.corpus.row_count(head)
+        probe = (
+            (snap.select(self.id_col), n_rows <= _PROBE_BROADCAST_CAP)
+            if n_rows is not None
+            else None
+        )
         self.assignments.upsert(
-            assigned.drop("cent_cos"), [F.col("ts").desc()]
+            batch, [F.col("ts").desc()], _probe=probe
         )
         if stale is not None and not stale.isEmpty():
             self.assignments.delete_keys(stale)
-        q = self.quality()
+        qv = obs.get["q"]
+        if qv is None:
+            # avg over zero non-NULL cent_cos rows — same refusal as
+            # quality() on an empty index
+            raise ValueError(
+                "index is empty: no assignment rows to score"
+            )
+        q = float(qv)
         self._put_meta(
             {_META_APPLIED: head, _META_TRAINED: head, _META_BASELINE_Q: q},
             ts=head,
@@ -387,28 +427,41 @@ class PersistedIvfIndex:
             return {"from": applied, "to": applied,
                     "n_deleted": 0, "n_upserted": 0}
         # Materialize the change feed once: its full-outer CDC join
-        # would otherwise re-run for every consumer below (the two
-        # change-kind counts, the delete's key probe + anti-join, the
-        # upsert's probe + merge — six evaluations measured), and both
-        # counts collapse into ONE aggregate over the materialized
-        # increment (guide §1.2: don't recompute what you already
-        # have; the feed is O(churn), never O(corpus)).
-        ch = self.corpus.changes(applied, head).localCheckpoint(
-            eager=True
-        )
-        kinds = {
-            r[0]: r[1]
-            for r in ch.groupBy("_change_type")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        n_del = int(kinds.get("delete", 0))
-        n_up = int(kinds.get("insert", 0) + kinds.get("update", 0))
+        # would otherwise re-run for every consumer below (the
+        # delete's anti-join, the upsert's merge — six evaluations
+        # measured), and BOTH change-kind counts ride the
+        # materialization job itself as observed metrics instead of a
+        # separate aggregate (guide §1.2: don't recompute what you
+        # already have; the feed is O(churn), never O(corpus)).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        ch = self.corpus.changes(applied, head).observe(
+            obs,
+            F.sum(
+                (F.col("_change_type") == "delete").cast("long")
+            ).alias("n_del"),
+            F.sum(
+                F.col("_change_type")
+                .isin("insert", "update")
+                .cast("long")
+            ).alias("n_up"),
+        ).localCheckpoint(eager=True)
+        kinds = obs.get
+        n_del = int(kinds["n_del"] or 0)
+        n_up = int(kinds["n_up"] or 0)
         if n_del:
             doomed = ch.filter(
                 F.col("_change_type") == "delete"
             ).select(self.id_col)
-            self.assignments.delete_keys(doomed)
+            # the CDC feed is keyed (one row per changed key), so
+            # ``doomed`` IS the distinct-key frame and n_del its size:
+            # hand both to the commit so it skips the probe's
+            # checkpoint + capped-count jobs over an uncacheable plan
+            self.assignments.delete_keys(
+                doomed,
+                _probe=(doomed, n_del <= _PROBE_BROADCAST_CAP),
+            )
         changed = ch.filter(
             F.col("_change_type").isin("insert", "update")
         ).select(self.id_col, self.vec_col)
@@ -422,7 +475,15 @@ class PersistedIvfIndex:
                 routed = self._with_codes(
                     routed, changed, self._load_codebook()
                 )
-            self.assignments.upsert(routed, [F.col("ts").desc()])
+            # routing (and PQ encode) is 1:1, so the batch's distinct
+            # keys are exactly the changed keys — same probe skip
+            self.assignments.upsert(
+                routed, [F.col("ts").desc()],
+                _probe=(
+                    changed.select(self.id_col),
+                    n_up <= _PROBE_BROADCAST_CAP,
+                ),
+            )
         self._put_meta({_META_APPLIED: head}, ts=head)
         return {"from": applied, "to": head,
                 "n_deleted": n_del, "n_upserted": n_up}
@@ -849,8 +910,10 @@ class PersistedIvfIndex:
             pq_adc_topk,
         )
 
-        q = self.spark.createDataFrame(
-            [([float(x) for x in query_vec],)], "q array<float>"
+        # LocalRelation literal (zero-job probe collect — see _local_df)
+        q = _local_df(
+            self.spark,
+            [([float(x) for x in query_vec],)], "q array<float>",
         )
         cells = self.probe_cells(q, n_probe)
         cand = self.assignments.read(

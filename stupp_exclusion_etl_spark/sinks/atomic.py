@@ -1007,16 +1007,129 @@ def _local_distinct_rows(df: DataFrame) -> list | None:
         return None
 
 
+def _sql_literal(v, t: str) -> str | None:
+    """Spark-SQL literal text reproducing value ``v`` AS DDL type
+    ``t`` (simpleString form), or None when the (value, type) pair has
+    no safe rendering — the caller falls back to createDataFrame.
+    Doubles render through repr → CAST(string): Python's shortest
+    repr round-trips to the identical IEEE double under Java's
+    correctly-rounded parse, and the string form covers ±Infinity and
+    NaN uniformly. Timestamps are deliberately unsupported (session-
+    timezone interpretation differs between the SQL literal and the
+    createDataFrame path)."""
+    import math
+
+    if v is None:
+        return f"CAST(NULL AS {t})"
+    if t == "string":
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return f"CAST({int(v)} AS {t})"
+    if t in ("float", "double"):
+        f = float(v)
+        if math.isnan(f):
+            body = "NaN"
+        elif math.isinf(f):
+            body = "Infinity" if f > 0 else "-Infinity"
+        else:
+            body = repr(f)
+        return f"CAST('{body}' AS {t})"
+    if t == "boolean":
+        return "TRUE" if v else "FALSE"
+    if t == "date":
+        return f"DATE'{v.isoformat()}'"
+    if t.startswith("decimal("):
+        return f"CAST('{v}' AS {t})"
+    if t == "binary":
+        return "X'" + bytes(v).hex() + "'"
+    if t.startswith("array<") and t.endswith(">"):
+        et = t[6:-1]
+        items = []
+        for x in v:
+            lit = _sql_literal(x, et)
+            if lit is None:
+                return None
+            if x is not None:
+                # DDL array types are always containsNull=true; force
+                # the element expression nullable to match (IF folds
+                # at inline-table resolution — see _local_df)
+                lit = f"IF(TRUE, {lit}, CAST(NULL AS {et}))"
+            items.append(lit)
+        if not items:
+            # ARRAY() has no element type to infer from
+            return f"CAST(ARRAY() AS {t})"
+        return "ARRAY(" + ", ".join(items) + ")"
+    return None
+
+
+#: rows × columns above which a VALUES inline table is not worth the
+#: SQL-text parse (and the plan bloat) — fall back to createDataFrame
+_LOCAL_DF_CELL_CAP = 65536
+
+
+def _local_df(spark, rows, schema) -> DataFrame:
+    """A driver-literal DataFrame whose optimized plan IS a
+    LocalRelation (SQL inline VALUES). createDataFrame(list) always
+    parallelizes to a LogicalRDD, so every downstream key probe,
+    collect and broadcast build over it runs a Spark job — measured 4
+    jobs per literal-batch commit probe (guide §1.2: the fixed
+    per-commit overhead of every meta/codebook upsert the index
+    lifecycle makes). A LocalRelation folds through Project/Filter
+    (ConvertToLocalRelation), collects via executeCollect (zero jobs)
+    and broadcast-builds driver-side. Falls back to createDataFrame
+    when rows are empty, oversized, or a value has no safe SQL
+    rendering — the result is then correct but job-priced."""
+    from pyspark.sql import types as T
+
+    st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    if not rows or len(rows) * len(st.fields) > _LOCAL_DF_CELL_CAP:
+        return spark.createDataFrame(rows, schema)
+    tuples = []
+    for r in rows:
+        vals = []
+        if len(r) != len(st.fields):
+            return spark.createDataFrame(rows, schema)
+        for fld, v in zip(st.fields, r):
+            t = fld.dataType.simpleString()
+            lit = _sql_literal(v, t)
+            if lit is None:
+                return spark.createDataFrame(rows, schema)
+            if fld.nullable and v is not None:
+                # VALUES infers non-null for NULL-free columns;
+                # createDataFrame marks every field nullable. IF's
+                # nullability is the OR of its branches, and inline-
+                # table resolution folds it eagerly, so the schema
+                # matches byte-for-byte while the plan stays a
+                # LocalRelation.
+                lit = f"IF(TRUE, {lit}, CAST(NULL AS {t}))"
+            vals.append(lit)
+        tuples.append("(" + ", ".join(vals) + ")")
+    names = ", ".join(
+        "`" + f.name.replace("`", "``") + "`" for f in st.fields
+    )
+    out = spark.sql(
+        f"SELECT * FROM VALUES {', '.join(tuples)} AS __local({names})"
+    )
+    if out.schema != st:
+        # inference edge (nullability/element-type) the rendering did
+        # not reproduce — correctness first, jobs second
+        return spark.createDataFrame(rows, schema)
+    return out
+
+
 def _probe_prepared_keys(df: DataFrame, keys: list[str]) -> tuple[DataFrame, bool]:
     """_probe_prepared over ``df.select(*keys).distinct()``, with a
     zero-job fast path when the batch is a driver-literal frame (the
     meta/codebook commits every index refresh makes): the distinct is
     computed driver-side from the LocalRelation and re-wrapped as a
-    new local frame, so no checkpoint, no capped-count job."""
+    new LOCAL frame (_local_df — a createDataFrame re-wrap would be a
+    LogicalRDD again, putting a job back under every downstream
+    broadcast build), so no checkpoint, no capped-count job."""
     proj = df.select(*keys)
     rows = _local_distinct_rows(proj)
     if rows is not None and len(rows) <= _PROBE_BROADCAST_CAP:
-        return df.sparkSession.createDataFrame(rows, proj.schema), True
+        return _local_df(df.sparkSession, rows, proj.schema), True
     return _probe_prepared(proj.distinct())
 
 
@@ -1543,6 +1656,27 @@ class AtomicParquetTable:
     def snapshot(self) -> dict | None:
         v = self.current_version()
         return None if v is None else self._manifest(v)
+
+    def row_count(self, version: int | None = None) -> int | None:
+        """EXACT live-row count of a snapshot from manifest stats
+        alone (zero Spark jobs), or None when any live file lacks a
+        recorded row count (pre-stats commits). Keys are unique after
+        keep-latest, so for keyed tables this is also the exact
+        distinct-key count — what the commit protocol's probe-size
+        decision needs without counting (guide §1.2)."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            return None
+        man = self._manifest(v)
+        stats = man.get("stats", {})
+        total = 0
+        for files in man["partitions"].values():
+            for f in files:
+                r = (stats.get(f) or {}).get("rows")
+                if r is None:
+                    return None
+                total += int(r)
+        return total
 
     def _commit_time_ms(self, version: int) -> int:
         """Commit time of a retained version: the commit record's
@@ -3002,7 +3136,10 @@ class AtomicParquetTable:
         and must still select its partition's rows for the re-merge —
         a plain equi-join would silently drop it)."""
         pb = self.partition_by
-        touched_df = self.spark.createDataFrame(typed_rows, schema)
+        # LocalRelation literal frame: the broadcast build below then
+        # collects driver-side instead of running a Spark job per
+        # commit (see _local_df)
+        touched_df = _local_df(self.spark, typed_rows, schema)
         ex = existing.alias("__ex")
         td = F.broadcast(touched_df.alias("__td"))
         cond = None
@@ -3211,6 +3348,8 @@ class AtomicParquetTable:
         order_by: list[Column],
         batch_id: int | None = None,
         max_commit_retries: int = 3,
+        *,
+        _probe: tuple[DataFrame, bool] | None = None,
     ) -> int:
         """Last-write-wins MERGE of one batch, atomically published.
 
@@ -3236,6 +3375,15 @@ class AtomicParquetTable:
         disagree (the gap idempotent_batch_write's separate _SUCCESS
         marker leaves open on plain parquet). Schema may widen across
         batches (unionByName(allowMissingColumns) + mergeSchema read).
+
+        ``_probe`` lets a caller that already KNOWS the batch's
+        distinct-key frame and its probe-size verdict (the index
+        lifecycle: a CDC feed is keyed, and its change counts were
+        just aggregated) supply them, skipping the checkpoint +
+        capped-count jobs `_probe_prepared_keys` pays on uncacheable
+        batch plans. Contract: the frame holds EXACTLY the batch's
+        distinct key tuples under the table's key column names, and
+        the flag soundly means row-count <= _PROBE_BROADCAST_CAP.
         """
         parent = self.current_version()
         if batch_id is not None and parent is not None:
@@ -3244,12 +3392,17 @@ class AtomicParquetTable:
                 return parent  # replayed micro-batch: already committed
         txn = uuid.uuid4().hex[:16]
         existing = self.read()
-        bk_raw, probe_small = _probe_prepared_keys(new_data, self.keys)
+        bk_raw, probe_small = (
+            _probe
+            if _probe is not None
+            else _probe_prepared_keys(new_data, self.keys)
+        )
         batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
 
         def remerge(retries: int) -> int:
             return self.upsert(
-                new_data, order_by, batch_id, max_commit_retries=retries
+                new_data, order_by, batch_id, max_commit_retries=retries,
+                _probe=_probe,
             )
 
         if existing is None:
@@ -3348,7 +3501,9 @@ class AtomicParquetTable:
         )
 
     def delete_keys(
-        self, doomed_keys: DataFrame, max_commit_retries: int = 3
+        self, doomed_keys: DataFrame, max_commit_retries: int = 3,
+        *,
+        _probe: tuple[DataFrame, bool] | None = None,
     ) -> int:
         """Atomic keyed delete (MERGE's WHEN MATCHED DELETE half / the
         right-to-be-forgotten primitive): rewrite ONLY partitions that
@@ -3356,18 +3511,24 @@ class AtomicParquetTable:
         rewrites), publish one manifest. Fully-emptied partitions drop
         out of the manifest; untouched partitions carry forward without
         a read or rewrite. Lost commit races rebase like upsert's.
-        Returns the committed version."""
+        Returns the committed version. ``_probe``: see upsert()."""
         existing = self.read()
         if existing is None:
             raise ValueError(f"no table at {self.path}")
         parent = self.current_version()
         txn = uuid.uuid4().hex[:16]
-        bk_raw, probe_small = _probe_prepared_keys(doomed_keys, self.keys)
+        bk_raw, probe_small = (
+            _probe
+            if _probe is not None
+            else _probe_prepared_keys(doomed_keys, self.keys)
+        )
         batch_keys = F.broadcast(bk_raw) if probe_small else bk_raw
         doomed = batch_keys
 
         def remerge(retries: int) -> int:
-            return self.delete_keys(doomed_keys, max_commit_retries=retries)
+            return self.delete_keys(
+                doomed_keys, max_commit_retries=retries, _probe=_probe
+            )
 
         scoped = self._file_scoped_delete(
             parent, txn, batch_keys, remerge, max_commit_retries
@@ -3962,8 +4123,9 @@ class AtomicParquetTable:
         pb = self.partition_by
         if pb:
             wants_df = F.broadcast(
-                self.spark.createDataFrame(
-                    list(wants.items()), "__pdir string, __want int"
+                _local_df(
+                    self.spark, list(wants.items()),
+                    "__pdir string, __want int",
                 )
             )
             # join on the reconstructed partition-dir string — avoids
