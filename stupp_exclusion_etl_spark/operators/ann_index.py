@@ -153,6 +153,32 @@ class PersistedIvfIndex:
     #: gets unwieldy; fall back to the crossJoin+window route.
     _ASSIGN_FOLD_MAX_CELLS = 64
 
+    def _centroid_rows(self) -> list | None:
+        """(cell, centroid) tuples of the FROZEN centroid table,
+        sorted by cell — memoized per centroids VERSION. The table
+        only changes on build/rebuild, so every assign after the
+        first (each refresh re-routes through the same frozen
+        centroids) reuses the collected k rows instead of paying a
+        read+collect job; a rebuild bumps the version and invalidates
+        (guide §1.2: don't recompute what you already have)."""
+        v = self.centroids.current_version()
+        if v is None:
+            return None
+        cached = getattr(self, "_cent_cache", None)
+        if cached is not None and cached[0] == v:
+            return cached[1]
+        rows = sorted(
+            (
+                (r[0], [float(x) for x in r[1]])
+                for r in self.centroids.read(version=v)
+                .select("cell", "centroid")
+                .collect()
+            ),
+            key=lambda r: r[0],
+        )
+        self._cent_cache = (v, rows)
+        return rows
+
     def _assign(self, vectors: DataFrame) -> DataFrame:
         """Route vectors to their nearest frozen centroid. The
         centroid table is k metadata-scale rows, so it is collected
@@ -169,15 +195,15 @@ class PersistedIvfIndex:
         ties and all-NULL rows (zero vectors) keep the lowest cell.
         Very large k (> _ASSIGN_FOLD_MAX_CELLS) keeps the join+window
         route — codegen'd CASE chains grow O(k)."""
-        cents = self.centroids.read()
-        if cents is None:
+        rows = self._centroid_rows()
+        if rows is None:
             raise ValueError("index not built: no centroids committed")
-        rows = sorted(
-            cents.select("cell", "centroid").collect(), key=lambda r: r[0]
-        )
         if not rows or len(rows) > self._ASSIGN_FOLD_MAX_CELLS:
+            cents = self.centroids.read()
             return self._assign_window(vectors, cents)
-        cell_t = cents.schema["cell"].dataType.simpleString()
+        cell_t = (
+            self.centroids.read().schema["cell"].dataType.simpleString()
+        )
         v = F.col(self.vec_col)
         # argmax via array_max + array_position so every cosine
         # appears in the plan EXACTLY ONCE — a nested CASE fold would
@@ -344,8 +370,29 @@ class PersistedIvfIndex:
         snap = self.corpus.read(version=head)
         if snap is None or snap.isEmpty():
             raise ValueError("empty corpus: nothing to index")
-        cents = self._train_centroids(snap).withColumn(
-            "ts", F.lit(head).cast("long")
+        # Train, then COLLECT the k metadata-scale centroid rows once:
+        # the commit becomes a zero-probe LocalRelation write instead
+        # of re-running the training aggregate inside the write job
+        # (and inside the key probe), and the collected rows seed the
+        # per-version assign cache so the build's own assignment pass
+        # pays no further centroid read (guide §1.2; the old shape
+        # spent 7 jobs here: 6 in centroids.upsert over the live
+        # training lineage + 1 re-collect in _assign).
+        from pyspark.sql import types as T
+
+        tr = self._train_centroids(snap).select("cell", "centroid")
+        got = sorted(
+            ((r[0], [float(x) for x in r[1]]) for r in tr.collect()),
+            key=lambda r: r[0],
+        )
+        sch = T.StructType(
+            list(tr.schema.fields)
+            + [T.StructField("ts", T.LongType(), False)]
+        )
+        cents = _local_df(
+            self.spark,
+            [(c, v, int(head)) for c, v in got],
+            sch,
         )
         if self.centroids.read() is None:
             self.centroids.upsert(cents, [F.col("ts").desc()])
@@ -356,6 +403,7 @@ class PersistedIvfIndex:
             if not doomed.isEmpty():
                 self.centroids.delete_keys(doomed)
             self.centroids.upsert(cents, [F.col("ts").desc()])
+        self._cent_cache = (self.centroids.current_version(), got)
         assigned = self._assign(
             snap.select(self.id_col, self.vec_col)
         ).withColumn("ts", F.lit(head).cast("long"))

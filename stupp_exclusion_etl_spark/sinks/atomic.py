@@ -3665,17 +3665,20 @@ class AtomicParquetTable:
         matched_keys = F.broadcast(mk_raw) if probe_small else mk_raw
         # a "delete"/"skip" source may carry ONLY the key columns, so
         # new_rows (full-schema writes) is built strictly from the
-        # clauses that write
+        # clauses that write. UPDATE+INSERT (the full-upsert merge)
+        # writes (src ⋉ matched) ∪ (src ▷ matched) ≡ src — so that
+        # plan carries NO matched-keys join at all (guide §1.2:
+        # remove work the answer doesn't need; matched_keys is itself
+        # a semi-join + distinct over the table, re-evaluated by
+        # every consumer).
         new_rows = None
         if when_matched == "update":
-            new_rows = src.join(matched_keys, self.keys, "left_semi")
-        if when_not_matched == "insert":
-            ins = src.join(matched_keys, self.keys, "left_anti")
-            new_rows = (
-                ins
-                if new_rows is None
-                else new_rows.unionByName(ins, allowMissingColumns=True)
-            )
+            if when_not_matched == "insert":
+                new_rows = src
+            else:
+                new_rows = src.join(matched_keys, self.keys, "left_semi")
+        elif when_not_matched == "insert":
+            new_rows = src.join(matched_keys, self.keys, "left_anti")
         remove_matched = when_matched in ("update", "delete")
 
         def _merge(kept: DataFrame) -> DataFrame:
@@ -3701,8 +3704,13 @@ class AtomicParquetTable:
                     ],
                     pman.get("stats", {}),
                 )
+            # anti-join the BATCH keys, not the derived matched set:
+            # batch keys absent from the table remove nothing, so the
+            # result is identical and the matched_keys subplan
+            # (semi-join + distinct, re-run per consumer) drops out of
+            # the rewrite entirely
             kept = (
-                existing.join(matched_keys, self.keys, "left_anti")
+                existing.join(batch_keys, self.keys, "left_anti")
                 if remove_matched
                 else existing
             )
@@ -3741,8 +3749,10 @@ class AtomicParquetTable:
                 ],
                 pman.get("stats", {}),
             )
+        # see the unpartitioned branch: anti-join the batch keys —
+        # identical kept set, no matched_keys subplan in the rewrite
         kept = (
-            relevant.join(matched_keys, self.keys, "left_anti")
+            relevant.join(batch_keys, self.keys, "left_anti")
             if remove_matched
             else relevant
         )
