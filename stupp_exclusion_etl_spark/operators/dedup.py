@@ -504,6 +504,8 @@ def connected_components(
     large-star/small-star (Kiveris et al., "Connected Components in
     MapReduce and Beyond"), whose rounds also rebalance high-degree
     nodes; the fixed-point loop and stopping rule stay identical."""
+    from pyspark.sql import Observation
+
     edges = (
         pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
         .unionByName(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
@@ -521,9 +523,10 @@ def connected_components(
             labels, edges["dst"] == labels["node"]
         ).groupBy("src").agg(F.min("label").alias("nl"))
         # Convergence flag is computed IN the label-update select (labels
-        # only ever decrease, so chg := new < old), then read off the
-        # checkpointed blocks with a take-1 scan — one join per round
-        # instead of the former separate new-vs-old join + count job.
+        # only ever decrease, so chg := new < old) and COUNTED as an
+        # observed metric on the round's own checkpoint pass — zero
+        # extra jobs, where the former take-1 scan paid one per round.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
             .select(
@@ -536,9 +539,10 @@ def connected_components(
                 F.col("new_label").alias("label"),
                 (F.col("new_label") < F.col("label")).alias("chg"),
             )
+            .observe(obs, F.sum(F.col("chg").cast("long")).alias("n_chg"))
             .localCheckpoint(eager=True)
         )
-        converged = new_labels.filter("chg").isEmpty()
+        converged = int(obs.get["n_chg"] or 0) == 0
         labels = new_labels.drop("chg")
         if converged:
             break
@@ -568,6 +572,13 @@ def connected_components_star(
     Convergence = round leaves the canonical edge set unchanged
     (count + anti-join emptiness — exact, not a checksum); lineage is
     truncated per round with localCheckpoint like the sibling."""
+    from pyspark.sql import Observation
+
+    # Edge counts ride each checkpoint's own materialization pass as
+    # observed metrics (zero extra jobs); the former shape paid a
+    # count job (and an initial isEmpty probe) per round over the
+    # just-checkpointed blocks.
+    obs0 = Observation()
     edges = (
         pairs.select(F.col(id1).alias("a"), F.col(id2).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -575,10 +586,11 @@ def connected_components_star(
             F.least("a", "b").alias("s"), F.greatest("a", "b").alias("l")
         )
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    converged = edges.isEmpty()  # empty graph is trivially a fixed point
-    n_edges = None  # carried across rounds: nxt.count() is next round's
+    n_edges = int(obs0.get["n"])
+    converged = n_edges == 0  # empty graph is trivially a fixed point
     for _ in range(max_iter):
         # Large-star over symmetric neighborhoods: (v, m) for v > u.
         sym = edges.select(F.col("s").alias("u"), F.col("l").alias("v")).unionAll(
@@ -596,19 +608,17 @@ def connected_components_star(
         # and l itself to m.
         wl = W.partitionBy("l")
         small = large.withColumn("m", F.min("s").over(wl))
+        obs = Observation()
         nxt = (
             small.select(F.col("m").alias("a"), F.col("s").alias("b"))
             .unionAll(small.select(F.col("m").alias("a"), F.col("l").alias("b")))
             .filter(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("s"), F.greatest("a", "b").alias("l"))
             .distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        # edges.count() is last round's nxt.count() — carry the int
-        # instead of re-running a job over the checkpointed blocks
-        if n_edges is None:
-            n_edges = edges.count()
-        n_nxt = nxt.count()
+        n_nxt = int(obs.get["n"])
         same_count = n_nxt == n_edges
         converged = same_count and nxt.join(
             edges, ["s", "l"], "left_anti"

@@ -57,9 +57,19 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
 
     Returns ``(node, pr)`` with ranks summing to ~1 over the node set.
     """
+    from pyspark.sql import Observation
+
     e = edges.select("src", "dst").localCheckpoint(eager=True)
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
+    # node count rides the node-frame checkpoint as an observed
+    # metric — no separate count job over the just-written blocks
+    obs = Observation()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    n = int(obs.get["n"])
     if n == 0:
         return nodes.withColumn("pr", F.lit(0.0))
     # Per-edge transition weight joined ONCE (outdeg is recomputed per
