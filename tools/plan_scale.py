@@ -48,11 +48,19 @@ SNAPSHOT_PATH = os.path.join(REPO, "tests", "plan_snapshots_scale.json")
 FORBIDDEN = ("CartesianProduct", "BatchEvalPython")
 
 #: skew-detection confs for the skew probe — test-scale thresholds,
-#: same rationale as tools/bench_skew.py (defaults fire at 100 TB)
+#: same rationale as tools/bench_skew.py (defaults fire at 100 TB).
+#: AQE only SPLITS a skewed partition into chunks of at least
+#: advisoryPartitionSizeInBytes, so the advisory size must sit WELL
+#: below the hot partition's compressed shuffle bytes (~50-70 KB for
+#: the zipf fixture's hot key) or the "split" yields one chunk and
+#: never engages: at the former 32k advisory the decision sat on the
+#: 2x-advisory boundary and flipped with byte-level compression drift
+#: across machine-days (r14 continuation). 8k advisory / 16k
+#: threshold give ~4x margin on both sides of every comparison.
 _SKEW_CONF = {
-    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16k",
     "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8k",
     "spark.sql.files.maxPartitionBytes": "131072",
 }
 
