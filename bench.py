@@ -230,26 +230,36 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "reps": reps,
+        "queries": times,
+        "queries_build": times_build,
+        "queries_warm": times_warm,
+        "queries_exec": times_exec,
+        "build_total_sec": build_total,
+        "warm_total_sec": warm_total,
+        "exec_total_sec": exec_total,
+        "errors": errors,
+    }
     with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "sf": sf_val,
-                "reps": reps,
-                "queries": times,
-                "queries_build": times_build,
-                "queries_warm": times_warm,
-                "queries_exec": times_exec,
-                "build_total_sec": build_total,
-                "warm_total_sec": warm_total,
-                "exec_total_sec": exec_total,
-                "errors": errors,
-            },
-            fh,
-            indent=1,
-        )
+        json.dump(detail, fh, indent=1)
+    # Per-cpu copy (VERDICT r14 what's-wrong #3): the driver benches at
+    # two core counts and the second run overwrites bench_detail.json,
+    # losing the first run's per-query data. Additions-only insurance —
+    # the one-line JSON contract below is unchanged.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        with open(
+            detail_path.replace(
+                "bench_detail.json", f"bench_detail_c{cpus}.json"
+            ),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
     print(
         json.dumps(
             {

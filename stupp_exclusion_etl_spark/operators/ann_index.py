@@ -80,6 +80,7 @@ class PersistedIvfIndex:
         n_probe: int = 3,
         trainer: str = "modmean",
         pq: tuple[int, int] | None = None,
+        target_cell_rows: int | None = None,
     ) -> None:
         if trainer not in ("modmean", "kmeans"):
             raise ValueError(f"unknown trainer {trainer!r}")
@@ -87,10 +88,26 @@ class PersistedIvfIndex:
             m, kc = pq
             if m < 1 or kc < 2:
                 raise ValueError(f"pq=(m, k) must have m>=1, k>=2: {pq}")
+        if target_cell_rows is not None and target_cell_rows < 1:
+            raise ValueError(
+                f"target_cell_rows must be >= 1: {target_cell_rows}"
+            )
         self.spark = spark
         self.id_col = id_col
         self.vec_col = vec_col
+        # target_cell_rows (VERDICT r14 next-round #1): serving cost is
+        # n_probe × cell_rows PER QUERY, so a fixed k_cells makes cells
+        # — and every probe — grow linearly with the corpus (the sf10
+        # sweep's 86× batch-serve blowup: the query batch AND each cell
+        # both scaled 10×). When set, build()/rebuild derive
+        # k_cells = max(k_cells, ceil(corpus_rows / target_cell_rows))
+        # from the manifest's row stats, so probed-cell size stays
+        # ~constant at any corpus scale; ``k_cells`` becomes the FLOOR
+        # (small corpora keep the configured layout exactly — nothing
+        # changes below k_cells × target_cell_rows rows).
         self.k_cells = k_cells
+        self._k_floor = k_cells
+        self.target_cell_rows = target_cell_rows
         self.n_probe = n_probe
         self.trainer = trainer
         # optional product quantization: the serving layout stores m
@@ -149,35 +166,40 @@ class PersistedIvfIndex:
         )
         return cents
 
-    #: Above this cell count the argmin fold's codegen'd CASE chain
-    #: gets unwieldy; fall back to the crossJoin+window route.
+    #: Above this cell count the literal-fold projection gets unwieldy
+    #: (k×d literal doubles in the plan, k fold expressions per row);
+    #: route through the Arrow/numpy argmax instead (_assign_arrow).
     _ASSIGN_FOLD_MAX_CELLS = 64
 
-    def _centroid_rows(self) -> list | None:
-        """(cell, centroid) tuples of the FROZEN centroid table,
-        sorted by cell — memoized per centroids VERSION. The table
-        only changes on build/rebuild, so every assign after the
-        first (each refresh re-routes through the same frozen
-        centroids) reuses the collected k rows instead of paying a
-        read+collect job; a rebuild bumps the version and invalidates
-        (guide §1.2: don't recompute what you already have)."""
+    def _centroid_state(self) -> tuple[list, str] | None:
+        """((cell, centroid) tuples sorted by cell, cell dtype
+        simpleString) of the FROZEN centroid table — memoized per
+        centroids VERSION. The table only changes on build/rebuild, so
+        every assign after the first (each refresh re-routes through
+        the same frozen centroids) reuses the collected k rows instead
+        of paying a read+collect job; a rebuild bumps the version and
+        invalidates (guide §1.2: don't recompute what you already
+        have). The dtype rides the cache (ADVICE r14): the fold path
+        needs it for the cell cast, and fetching it via a fresh
+        read() per assign re-paid the manifest read the memo exists to
+        avoid."""
         v = self.centroids.current_version()
         if v is None:
             return None
         cached = getattr(self, "_cent_cache", None)
         if cached is not None and cached[0] == v:
-            return cached[1]
+            return cached[1], cached[2]
+        cents = self.centroids.read(version=v)
         rows = sorted(
             (
                 (r[0], [float(x) for x in r[1]])
-                for r in self.centroids.read(version=v)
-                .select("cell", "centroid")
-                .collect()
+                for r in cents.select("cell", "centroid").collect()
             ),
             key=lambda r: r[0],
         )
-        self._cent_cache = (v, rows)
-        return rows
+        cell_t = cents.schema["cell"].dataType.simpleString()
+        self._cent_cache = (v, rows, cell_t)
+        return rows, cell_t
 
     def _assign(self, vectors: DataFrame) -> DataFrame:
         """Route vectors to their nearest frozen centroid. The
@@ -193,17 +215,17 @@ class PersistedIvfIndex:
         row_number over (cosine DESC NULLS LAST, cell ASC): a
         candidate wins only when non-NULL and strictly greater, so
         ties and all-NULL rows (zero vectors) keep the lowest cell.
-        Very large k (> _ASSIGN_FOLD_MAX_CELLS) keeps the join+window
-        route — codegen'd CASE chains grow O(k)."""
-        rows = self._centroid_rows()
-        if rows is None:
+        Very large k (> _ASSIGN_FOLD_MAX_CELLS) routes through ONE
+        numpy matmul per Arrow batch instead (_assign_arrow) — still
+        zero-shuffle map-only, with plan size O(1) in k."""
+        state = self._centroid_state()
+        if state is None:
             raise ValueError("index not built: no centroids committed")
-        if not rows or len(rows) > self._ASSIGN_FOLD_MAX_CELLS:
-            cents = self.centroids.read()
-            return self._assign_window(vectors, cents)
-        cell_t = (
-            self.centroids.read().schema["cell"].dataType.simpleString()
-        )
+        rows, cell_t = state
+        if not rows:
+            raise ValueError("index not built: centroid table is empty")
+        if len(rows) > self._ASSIGN_FOLD_MAX_CELLS:
+            return self._assign_arrow(vectors, rows, cell_t)
         v = F.col(self.vec_col)
         # argmax via array_max + array_position so every cosine
         # appears in the plan EXACTLY ONCE — a nested CASE fold would
@@ -239,29 +261,118 @@ class PersistedIvfIndex:
             best.alias("cent_cos"),
         )
 
-    def _assign_window(
-        self, vectors: DataFrame, cents: DataFrame
+    def _assign_arrow(
+        self, vectors: DataFrame, rows: list, cell_t: str
     ) -> DataFrame:
-        """Join+window assignment route for very large k (see
-        _assign): broadcast the centroid rows, argmax cosine with
-        min-cell tie-break via row_number."""
-        scored = vectors.crossJoin(
-            F.broadcast(cents.select("cell", "centroid"))
-        ).withColumn(
-            "__c", cosine(F.col(self.vec_col), F.col("centroid"))
-        )
-        w = Window.partitionBy(self.id_col).orderBy(
-            F.col("__c").desc_nulls_last(), F.col("cell").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select(
-                self.id_col,
-                "cell",
-                self.vec_col,
-                F.col("__c").alias("cent_cos"),
-            )
+        """Large-k assignment route: one numpy matmul per Arrow batch
+        against the collected k×d centroid matrix — zero-shuffle,
+        map-only, like the literal fold, but the plan carries no
+        centroid literals at all (guide §4.2: hand whole batches to
+        vectorized native code; the pre-r15 fallback here was a
+        crossJoin + row_number window that multiplied the corpus k×
+        and SHUFFLED all of it). Semantics match the fold path:
+        cosines in float64 with try_divide's NULL on zero norms, a
+        NULL cosine never wins, ties take the lowest cell, and rows
+        whose cosine is NULL against EVERY cell (zero vectors, NULL /
+        ragged / null-element embeddings — any of which NULL the
+        fold's zip_with dot too) keep the lowest cell with NULL
+        cent_cos. One documented difference: BLAS pairwise summation
+        can differ from the fold's left-to-right accumulation in the
+        final ulp, so an argmax between two cells whose cosines agree
+        to ~1e-16 could land differently — every oracle-checked layout
+        (k ≤ 64) takes the bit-exact fold path above."""
+        import numpy as np
+        from pyspark.sql import types as T
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        cells_np = np.asarray([r[0] for r in rows])
+        C = np.asarray([r[1] for r in rows], dtype=np.float64)
+        cn = np.linalg.norm(C, axis=1)
+        d = C.shape[1]
+        id_t = vectors.schema[self.id_col].dataType.simpleString()
+        vec_t = vectors.schema[self.vec_col].dataType.simpleString()
+        cell_pa = to_arrow_type(T._parse_datatype_string(cell_t))
+        src = vectors.select(self.id_col, self.vec_col)
+        # plain-value captures only: the task closure must not drag
+        # `self` (and its SparkSession) through pickle
+        id_name, vec_name = self.id_col, self.vec_col
+
+        def route(batches):
+            import pyarrow as pa
+
+            f64 = pa.float64()
+            names = [id_name, "cell", vec_name, "cent_cos"]
+            for b in batches:
+                n = b.num_rows
+                ids, emb = b.column(0), b.column(1)
+                if n == 0:
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            ids,
+                            pa.array([], type=cell_pa),
+                            emb,
+                            pa.array([], type=f64),
+                        ],
+                        names=names,
+                    )
+                    continue
+                if emb.offset != 0:
+                    # rebase a sliced array so offsets index `values`
+                    # directly (Spark emits unsliced batches; guard
+                    # anyway)
+                    emb = emb.take(pa.array(range(n), type=pa.int64()))
+                offs = emb.offsets.to_numpy()
+                lens = offs[1:] - offs[:-1]
+                valid = (~np.asarray(emb.is_null())) & (lens == d)
+                ev = emb.values
+                if ev.null_count and valid.any():
+                    # a null ELEMENT nulls the fold's dot for every
+                    # cell — same all-NULL handling as a null row
+                    evn = np.asarray(ev.is_null())
+                    for i in np.flatnonzero(valid):
+                        if evn[offs[i]:offs[i + 1]].any():
+                            valid[i] = False
+                idx = np.zeros(n, dtype=np.int64)
+                best = np.full(n, np.nan, dtype=np.float64)
+                if valid.any():
+                    vals = ev.to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                    take = (
+                        offs[:-1][valid][:, None]
+                        + np.arange(d)[None, :]
+                    )
+                    V = vals[take]
+                    num = V @ C.T
+                    den = np.linalg.norm(V, axis=1)[:, None] * cn[None, :]
+                    with np.errstate(
+                        divide="ignore", invalid="ignore"
+                    ):
+                        cos = num / den
+                    cos[~np.isfinite(cos)] = -np.inf
+                    vi = np.argmax(cos, axis=1)
+                    vb = cos[np.arange(len(vi)), vi]
+                    dead = ~np.isfinite(vb)  # all cosines NULL
+                    vi[dead] = 0
+                    idx[valid] = vi
+                    bv = best[valid]
+                    bv[~dead] = vb[~dead]
+                    best[valid] = bv
+                null_cos = ~np.isfinite(best)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        pa.array(cells_np[idx], type=cell_pa),
+                        emb,
+                        pa.array(best, type=f64, mask=null_cos),
+                    ],
+                    names=names,
+                )
+
+        return src.mapInArrow(
+            route,
+            f"{self.id_col} {id_t}, cell {cell_t}, "
+            f"{self.vec_col} {vec_t}, cent_cos double",
         )
 
     def _train_codebook(self, snapshot: DataFrame) -> list:
@@ -370,6 +481,18 @@ class PersistedIvfIndex:
         snap = self.corpus.read(version=head)
         if snap is None or snap.isEmpty():
             raise ValueError("empty corpus: nothing to index")
+        if self.target_cell_rows is not None:
+            # scale-adaptive layout (see __init__): cell count derives
+            # from the manifest's per-file row stats — zero jobs — so
+            # probed-cell size stays ~target_cell_rows at any corpus
+            # scale; a rebuild re-derives it for the corpus it sees
+            n = self.corpus.row_count(head)
+            if n is None:
+                n = snap.count()
+            self.k_cells = max(
+                self._k_floor,
+                -(-int(n) // self.target_cell_rows),
+            )
         # Train, then COLLECT the k metadata-scale centroid rows once:
         # the commit becomes a zero-probe LocalRelation write instead
         # of re-running the training aggregate inside the write job
@@ -403,7 +526,11 @@ class PersistedIvfIndex:
             if not doomed.isEmpty():
                 self.centroids.delete_keys(doomed)
             self.centroids.upsert(cents, [F.col("ts").desc()])
-        self._cent_cache = (self.centroids.current_version(), got)
+        self._cent_cache = (
+            self.centroids.current_version(),
+            got,
+            tr.schema["cell"].dataType.simpleString(),
+        )
         assigned = self._assign(
             snap.select(self.id_col, self.vec_col)
         ).withColumn("ts", F.lit(head).cast("long"))

@@ -53,6 +53,13 @@ def register(
 #: slot on `err: no_oracle`. Invariants enforced by
 #: tests/test_driver_window.py: exactly 50 names, all registered, all
 #: with oracles, component/family coverage complete.
+#:
+#: COMPOSITION IS PINNED (tests/test_driver_window.py asserts the
+#: tuple's sha256): swapping a slot changes which queries the driver
+#: hash-verifies round over round, so window edits belong to BUILD
+#: rounds only, made as a deliberate reviewed diff together with the
+#: pinned hash — never as a side effect of registering a new query
+#: (VERDICT r14 what's-wrong #4).
 DRIVER_WINDOW: tuple[str, ...] = (
     # core scan/filter/project/ingest — A1-A10, A15, A17, B1-B3, B7
     "flagship_code_revenue",

@@ -1067,6 +1067,13 @@ def _sql_literal(v, t: str) -> str | None:
 #: SQL-text parse (and the plan bloat) — fall back to createDataFrame
 _LOCAL_DF_CELL_CAP = 65536
 
+#: rendered-SQL-text bound (ADVICE r14): the cell cap counts rows ×
+#: fields but not array LENGTHS — a high-dimensional array<double>
+#: batch can render multi-MB VALUES text whose parse/analysis cost
+#: exceeds the jobs saved. Past this many literal characters, fall
+#: back to createDataFrame.
+_LOCAL_DF_TEXT_CAP = 1 << 20
+
 
 def _local_df(spark, rows, schema) -> DataFrame:
     """A driver-literal DataFrame whose optimized plan IS a
@@ -1085,6 +1092,20 @@ def _local_df(spark, rows, schema) -> DataFrame:
     st = T.StructType.fromDDL(schema) if isinstance(schema, str) else schema
     if not rows or len(rows) * len(st.fields) > _LOCAL_DF_CELL_CAP:
         return spark.createDataFrame(rows, schema)
+    if (
+        str(
+            spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        ).lower()
+        == "true"
+    ):
+        # ADVICE r14: _sql_literal's string escaping (backslash
+        # doubling, \') is only valid under the default parser mode —
+        # with escapedStringLiterals a backslash-bearing string would
+        # silently round-trip WRONG (the post-hoc guard below checks
+        # schema, not values). The engine never sets this conf; a
+        # session that does gets the job-priced-but-correct path.
+        return spark.createDataFrame(rows, schema)
+    text_len = 0
     tuples = []
     for r in rows:
         vals = []
@@ -1094,6 +1115,9 @@ def _local_df(spark, rows, schema) -> DataFrame:
             t = fld.dataType.simpleString()
             lit = _sql_literal(v, t)
             if lit is None:
+                return spark.createDataFrame(rows, schema)
+            text_len += len(lit)
+            if text_len > _LOCAL_DF_TEXT_CAP:
                 return spark.createDataFrame(rows, schema)
             if fld.nullable and v is not None:
                 # VALUES infers non-null for NULL-free columns;

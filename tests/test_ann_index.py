@@ -681,3 +681,116 @@ def test_recall_contract_on_batched_serving(spark, tmp_path):
     inf2 = last_reroute_info("persisted_ivf_topk_batch_adc")
     assert inf2 is not None and inf2["n_probe"] > 1
     assert len(adc) == 30
+
+
+# -- scale-adaptive layout + large-k Arrow assignment (r15) ------------
+
+
+def test_target_cell_rows_derives_k_from_corpus(spark, tmp_path):
+    """target_cell_rows makes the cell count scale with the corpus so
+    probed-cell size stays bounded (VERDICT r14 next-round #1); the
+    configured k_cells is the FLOOR, so small corpora keep the fixed
+    layout byte-identically."""
+    root = str(tmp_path)
+    _mk_corpus(spark, root + "/corpus", n=200)
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx_scaled",
+        k_cells=4, n_probe=2, target_cell_rows=32,
+    )
+    idx.build()
+    assert idx.k_cells == 7  # ceil(200 / 32)
+    assert idx.centroids.read().count() == 7
+    assert idx.assignments.read().count() == 200
+
+    idx_floor = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx_floor",
+        k_cells=4, n_probe=2, target_cell_rows=1000,
+    )
+    idx_floor.build()
+    assert idx_floor.k_cells == 4  # floor wins below k * target rows
+
+
+def test_arrow_assign_matches_join_window_reference(spark, tmp_path):
+    """k > _ASSIGN_FOLD_MAX_CELLS routes assignment through the numpy
+    mapInArrow path; pin it cell-for-cell against the reference
+    crossJoin + row_number argmax (the pre-r15 fallback route),
+    including a zero vector (every cosine NULL under try_divide ->
+    lowest cell, NULL cent_cos)."""
+    from pyspark.sql.window import Window
+
+    from stupp_exclusion_etl_spark.functions.vectors import cosine
+
+    root = str(tmp_path)
+    n = 299
+    rows = [(i, _vec(i % N_CLUSTERS, i), 0) for i in range(1, n + 1)]
+    rows.append((n + 1, [0.0] * DIM, 0))  # zero vector
+    t = AtomicParquetTable(spark, root + "/corpus", keys=["vec_id"])
+    t.upsert(
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, ts long"
+        ),
+        [F.col("ts").desc()],
+    )
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx",
+        k_cells=72, n_probe=3,
+    )
+    assert idx.k_cells > idx._ASSIGN_FOLD_MAX_CELLS
+    idx.build()
+
+    assigned = idx._assign(t.read().select("vec_id", "embedding"))
+    got = {r.vec_id: (r.cell, r.cent_cos) for r in assigned.collect()}
+
+    cents = idx.centroids.read().select("cell", "centroid")
+    scored = (
+        t.read()
+        .select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("__c", cosine(F.col("embedding"), F.col("centroid")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("__c").desc_nulls_last(), F.col("cell").asc()
+    )
+    ref = {
+        r["vec_id"]: (r["cell"], r["__c"])
+        for r in scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert set(got) == set(ref) and len(got) == n + 1
+    for vid, (cell, cos) in got.items():
+        rcell, rcos = ref[vid]
+        assert cell == rcell, f"vec {vid}: arrow cell {cell} != {rcell}"
+        assert (cos is None) == (rcos is None), f"vec {vid} null mismatch"
+        if cos is not None:
+            assert cos == pytest.approx(rcos, abs=1e-12)
+    # the zero vector: all-NULL cosines keep the lowest cell
+    assert got[n + 1][0] == min(r[0] for r in cents.select("cell").collect())
+    assert got[n + 1][1] is None
+
+
+def test_scaled_layout_batch_serving_matches_looped(spark, tmp_path):
+    """End-to-end under an auto-scaled k > 64 layout (arrow-assigned
+    build): batched serving still equals the looped single-query serve
+    per query."""
+    root = str(tmp_path)
+    t = _mk_corpus(spark, root + "/corpus", n=280)
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx",
+        k_cells=8, n_probe=3, target_cell_rows=4,
+    )
+    idx.build()
+    assert idx.k_cells == 70  # ceil(280 / 4) -> arrow assign path
+    qvecs = [(100 + j, _vec(j % N_CLUSTERS, 31 * j + 5)) for j in range(3)]
+    qdf = spark.createDataFrame(qvecs, "qid long, q array<float>")
+    batch = idx.topk_batch(qdf, k=5, n_probe=3).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r.qid, []).append((r.vec_id, r.cell, r.cos_sim))
+    for qid, qv in qvecs:
+        single = spark.createDataFrame([(qv,)], "q array<float>")
+        loop = [
+            (r.vec_id, r.cell, r.cos_sim)
+            for r in idx.topk(single, k=5, n_probe=3).collect()
+        ]
+        assert by_q[qid] == loop, f"query {qid} batch != looped"

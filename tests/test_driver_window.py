@@ -36,6 +36,24 @@ def _load_entry():
     return mod
 
 
+def test_window_composition_is_pinned():
+    """The exact 50-tuple is frozen (VERDICT r14 what's-wrong #4: a
+    window swap during an optimization round makes round-over-round
+    correctness diffs noisy — r14's `queries_dropped` was exactly such
+    a swap). Changing the window is a BUILD-round decision: update this
+    hash in the same reviewed diff that edits DRIVER_WINDOW, never as a
+    side effect of registering a new query."""
+    import hashlib
+
+    digest = hashlib.sha256("\n".join(DRIVER_WINDOW).encode()).hexdigest()
+    assert digest == (
+        "6a65eb3550e54fca1db80ffceb5805339b45ff3574761c2cd107b1ec7902d754"
+    ), (
+        "DRIVER_WINDOW changed — if deliberate (build round only), "
+        f"update the pinned hash to {digest}"
+    )
+
+
 def test_window_is_fifty_registered_fully_oracled():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Dump explain('formatted') for named queries to plans/r14/<q>_<tag>.txt.
+"""Dump explain('formatted') for named queries to plans/r15/<q>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> <query> [<query> ...]
        python tools/dump_plans.py <tag> --sf /root/testdata/sf0.01 q1 q2
@@ -31,7 +31,7 @@ def main() -> None:
     if rest[0] == "--sf":
         sf_dir = rest[1]
         rest = rest[2:]
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(REPO, "plans", "r15")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump-plans")
     for name in rest:
