@@ -2864,6 +2864,7 @@ class AtomicParquetTable:
         batch_keys: DataFrame,
         remerge: Callable[[int], int],
         retries: int,
+        batch_id: int | None = None,
     ) -> int | None:
         """Keyed delete with a file-scoped rewrite set: only files
         whose cluster-key range can hold a doomed key are read,
@@ -2890,7 +2891,7 @@ class AtomicParquetTable:
         touched = set(cand) | set(by_part)
         return self._commit_or_rebase(
             parent, by_part, touched, man["schema_ddl"], batch_keys,
-            remerge, retries, replaced_files=cand,
+            remerge, retries, batch_id, replaced_files=cand,
         )
 
     # -- hash-bucket layout (VERDICT r11 task #5) ----------------------
@@ -3075,6 +3076,7 @@ class AtomicParquetTable:
         doomed: DataFrame,
         remerge: Callable[[int], int],
         retries: int,
+        batch_id: int | None = None,
     ) -> int:
         """Keyed delete scoped to the doomed keys' buckets; rewritten
         buckets stay bucket-routed so the layout claim survives."""
@@ -3118,7 +3120,7 @@ class AtomicParquetTable:
         by_part = self._stage_and_move(kept, txn)
         return self._commit_or_rebase(
             parent, by_part, set(cand) | set(by_part),
-            man["schema_ddl"], batch_keys, remerge, retries,
+            man["schema_ddl"], batch_keys, remerge, retries, batch_id,
             replaced_files=cand,
             file_buckets=self._staged_buckets(by_part),
             claim_layout=True,
@@ -3526,6 +3528,7 @@ class AtomicParquetTable:
 
     def delete_keys(
         self, doomed_keys: DataFrame, max_commit_retries: int = 3,
+        batch_id: int | None = None,
         *,
         _probe: tuple[DataFrame, bool] | None = None,
     ) -> int:
@@ -3535,11 +3538,19 @@ class AtomicParquetTable:
         rewrites), publish one manifest. Fully-emptied partitions drop
         out of the manifest; untouched partitions carry forward without
         a read or rewrite. Lost commit races rebase like upsert's.
-        Returns the committed version. ``_probe``: see upsert()."""
+        Returns the committed version. ``_probe``: see upsert().
+        ``batch_id``: the same replayed-micro-batch idempotence cursor
+        as upsert's — a delete-only CDC consumer (the index lifecycle's
+        delete-churn refresh) records its applied position atomically
+        IN the delete's own commit record."""
         existing = self.read()
         if existing is None:
             raise ValueError(f"no table at {self.path}")
         parent = self.current_version()
+        if batch_id is not None and parent is not None:
+            last = self._manifest_light(parent).get("batch_id")
+            if last is not None and batch_id <= last:
+                return parent  # replayed batch: already committed
         txn = uuid.uuid4().hex[:16]
         bk_raw, probe_small = (
             _probe
@@ -3551,11 +3562,13 @@ class AtomicParquetTable:
 
         def remerge(retries: int) -> int:
             return self.delete_keys(
-                doomed_keys, max_commit_retries=retries, _probe=_probe
+                doomed_keys, max_commit_retries=retries,
+                batch_id=batch_id, _probe=_probe,
             )
 
         scoped = self._file_scoped_delete(
-            parent, txn, batch_keys, remerge, max_commit_retries
+            parent, txn, batch_keys, remerge, max_commit_retries,
+            batch_id=batch_id,
         )
         if scoped is not None:
             return scoped
@@ -3563,7 +3576,7 @@ class AtomicParquetTable:
         if self.bucket_count:
             return self._bucketed_delete(
                 parent, txn, batch_keys, doomed, remerge,
-                max_commit_retries,
+                max_commit_retries, batch_id=batch_id,
             )
 
         if not self.partition_by:
@@ -3582,7 +3595,7 @@ class AtomicParquetTable:
             by_part = self._stage_and_move(kept, txn)
             return self._commit_or_rebase(
                 parent, by_part, {""}, _ddl(kept), batch_keys, remerge,
-                max_commit_retries,
+                max_commit_retries, batch_id,
             )
 
         pb = self.partition_by
@@ -3613,7 +3626,7 @@ class AtomicParquetTable:
         by_part = self._stage_and_move(kept, txn)
         return self._commit_or_rebase(
             parent, by_part, touched_dirs, _ddl(kept), batch_keys, remerge,
-            max_commit_retries,
+            max_commit_retries, batch_id,
         )
 
     def merge_into(
@@ -3786,6 +3799,30 @@ class AtomicParquetTable:
             parent, by_part, touched_dirs, _ddl(merged), batch_keys, remerge,
             max_commit_retries,
         )
+
+    def last_batch_id(self) -> int | None:
+        """The most recent non-None ``batch_id`` in the retained
+        manifest chain (newest first), or None. Metadata-only — zero
+        Spark jobs. This is the durable read side of the batch_id
+        cursor: a CDC consumer that stamps its applied position onto
+        its own data commits (upsert/delete_keys ``batch_id``) recovers
+        it from here, atomically consistent with the data it applied —
+        no separate cursor table, no torn window between "state
+        updated" and "cursor advanced". The walk skips housekeeping
+        versions (compaction/gc commit with batch_id None) and stops at
+        the first expired manifest (older history is gone — anything
+        before it is older than every retained batch_id anyway)."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        for v in range(cur, -1, -1):
+            try:
+                b = self._manifest_light(v).get("batch_id")
+            except Exception:
+                return None  # expired by gc(): nothing newer carried one
+            if b is not None:
+                return int(b)
+        return None
 
     def history(self) -> list[dict]:
         """Commit log, newest first (DESCRIBE HISTORY): one record per

@@ -23,6 +23,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+# oracle-parity matrix over adversarial fixtures — round-exit tier (see pytest.ini)
+pytestmark = pytest.mark.slow
+
 from tests import harness
 from tests.conftest import SF_SMALL
 

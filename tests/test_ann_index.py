@@ -794,3 +794,116 @@ def test_scaled_layout_batch_serving_matches_looped(spark, tmp_path):
             for r in idx.topk(single, k=5, n_probe=3).collect()
         ]
         assert by_q[qid] == loop, f"query {qid} batch != looped"
+
+
+def test_stored_cent_cos_equals_recomputed_quality(spark, tmp_path):
+    """quality() now aggregates the STORED cent_cos column; pin it
+    bit-for-bit against the pre-r15 recompute (broadcast centroid join
+    + cosine re-fold) after build AND after churn refreshes, and pin
+    the drift check's job count (manifest-stats emptiness + one
+    single-column aggregate + the meta lookup)."""
+    from stupp_exclusion_etl_spark.functions.vectors import cosine
+
+    root = str(tmp_path)
+    t = _mk_corpus(spark, root + "/corpus", n=120)
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx",
+        k_cells=N_CLUSTERS, n_probe=2,
+    )
+    idx.build()
+
+    def recomputed() -> float:
+        a = idx.assignments.read()
+        cents = idx.centroids.read().select("cell", "centroid")
+        return float(
+            a.join(F.broadcast(cents), "cell")
+            .select(
+                cosine(F.col("embedding"), F.col("centroid")).alias("c")
+            )
+            .agg(F.avg("c"))
+            .collect()[0][0]
+        )
+
+    assert idx.quality() == recomputed()
+
+    # churn: re-embed a stripe, refresh, metric must track the stored
+    # column identically
+    upd = [
+        (i, _vec((i + 1) % N_CLUSTERS, i + 7), 1)
+        for i in range(1, 121, 9)
+    ]
+    t.upsert(
+        spark.createDataFrame(
+            upd, "vec_id long, embedding array<float>, ts long"
+        ),
+        [F.col("ts").desc()],
+    )
+    idx.refresh()
+    assert idx.quality() == recomputed()
+
+    jobs = _jobs_for(
+        spark, "drift-check", lambda: idx.maybe_rebuild(max_drop=0.9)
+    )
+    assert jobs <= 4, f"drift check ran {jobs} jobs (want <= 4)"
+
+
+def test_cursor_rides_final_commit_and_crash_replays(spark, tmp_path):
+    """The applied cursor rides the refresh's FINAL data commit as its
+    batch_id (no separate meta commit, no torn window). Pin:
+    (a) a refresh writes NO meta version — the cursor is recovered
+        from assignments.last_batch_id() and a fresh handle still
+        no-ops on an unchanged corpus;
+    (b) a refresh that crashes between its delete and upsert commits
+        replays to exactly the uninterrupted outcome (the cursor only
+        advances with the final commit);
+    (c) a replayed refresh after success is a no-op."""
+    root = str(tmp_path)
+    corpus = _mk_corpus(spark, root + "/corpus", n=100)
+    idx = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx",
+        k_cells=N_CLUSTERS, n_probe=2,
+    )
+    idx.build()
+    meta_v_after_build = idx.meta.current_version()
+
+    # churn with BOTH deletes and upserts in one commit window
+    corpus.delete_keys(
+        spark.createDataFrame([(i,) for i in (3, 7)], "vec_id long")
+    )
+    corpus.upsert(
+        spark.createDataFrame(
+            [(i, _vec((i + 1) % N_CLUSTERS, i + 11), 5) for i in (4, 8, 101)],
+            "vec_id long, embedding array<float>, ts long",
+        ),
+        [F.col("ts").desc()],
+    )
+
+    # simulate the crash: run ONLY the delete half of the refresh the
+    # way refresh() does (no batch_id on the non-final commit), then
+    # "crash" before the upsert — the cursor must NOT have advanced
+    head = corpus.current_version()
+    doomed = spark.createDataFrame([(3,), (7,)], "vec_id long")
+    idx.assignments.delete_keys(doomed, batch_id=None, _probe=(doomed, True))
+    assert idx.assignments.last_batch_id() is None  # cursor unmoved
+
+    # replay: the full refresh re-consumes the SAME feed idempotently
+    r = idx.refresh()
+    assert (r["n_deleted"], r["n_upserted"]) == (2, 3)
+    live = {row.vec_id for row in idx.assignments.read().collect()}
+    assert live == {row.vec_id for row in corpus.read().collect()}
+    assert 3 not in live and 7 not in live and 101 in live
+
+    # (a) cursor rode the data commit: meta untouched since build,
+    # last_batch_id is the corpus head
+    assert idx.meta.current_version() == meta_v_after_build
+    assert idx.assignments.last_batch_id() == head
+
+    # (c) replay after success: no-op, and a FRESH handle agrees
+    r2 = idx.refresh()
+    assert (r2["n_deleted"], r2["n_upserted"]) == (0, 0)
+    idx2 = PersistedIvfIndex(
+        spark, root + "/corpus", root + "/idx",
+        k_cells=N_CLUSTERS, n_probe=2,
+    )
+    r3 = idx2.refresh()
+    assert (r3["n_deleted"], r3["n_upserted"]) == (0, 0)

@@ -31,9 +31,14 @@ import subprocess
 import sys
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
+
 from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
+
+# two-process serializability soaks — round-exit tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 
 WRITER = os.path.join(os.path.dirname(__file__), "_concurrent_writer.py")
 

@@ -28,6 +28,9 @@ from __future__ import annotations
 import random
 
 import pytest
+
+# random-walk model checks over every table shape — round-exit tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.sinks.atomic import (

@@ -687,6 +687,7 @@ def test_racing_writers_recency_wins_regardless_of_commit_order(
     assert not any(r[2] == "stale" for r in rows)
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_auto_compaction_policy_bounds_live_files(spark, tmp_path):
     """Auto-compaction (VERDICT r8 task #4): a CDC-shaped workload —
     many small file-scoped appends, each carrying prior files forward

@@ -278,6 +278,7 @@ def test_corrupt_manifest_is_not_reported_as_expired(spark, table):
         table._manifest(v + 999)
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_auto_gc_retention_policy(spark, tmp_path):
     """VERDICT r9 task #4: with auto_gc (+ auto_compact, whose job is
     to ACCRETE dead versions), an unattended commit stream keeps a

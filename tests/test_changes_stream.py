@@ -407,6 +407,7 @@ def test_date_and_timestamp_partition_columns_stream(spark, tmp_path):
     assert isinstance(rows2[0][3], dt.datetime)
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_incremental_dedup_stream_capstone(spark, tmp_path):
     """CDC → near-dedup as ONE continuous job (VERDICT r8 task #7):
     a foreachBatch consumer of the partitioned CDC source maintains
@@ -651,6 +652,7 @@ def test_rate_cap_checkpoint_restart_ratchets_not_stalls(
     assert second_ends == [6, 8], second_ends
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_incremental_dedup_capped_drain_matches_uncapped(spark, tmp_path):
     """max_versions_per_trigger plumbed through the continuous
     maintenance job: a 4-commit backlog behind the bootstrap drains as

@@ -345,6 +345,7 @@ def test_neardup_configs_never_empty():
     )
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_adversarial_reroute_estimates_and_escalation(spark):
     """The r8 silent-quality-cliff gate (VERDICT r8 wrong #1): on the
     ADVERSARIAL-random fixture — uniform vectors with no locality, the
@@ -398,6 +399,7 @@ def test_adversarial_reroute_estimates_and_escalation(spark):
     assert esc_kr >= 0.75, f"escalated knn recall@5 floor: {esc_kr}"
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_budget_escalation_opt_in(spark):
     """VERDICT r9 task #3: within the fixed budget the adversarial
     fixture tops out near the information-theoretic LSH ceiling

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import tracemalloc
 
+import pytest
 from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.sinks.atomic import AtomicParquetTable
@@ -129,6 +130,7 @@ def test_end_to_end_reads_through_distributed_path(spark, tmp_path):
     assert t.read(where=[("k", "=", 99999)]).count() == 0
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_million_entry_planning_bounded_driver_alloc(spark, tmp_path):
     """≥1M synthetic entries (VERDICT done-criterion): a point probe
     through the distributed path succeeds, returns the single

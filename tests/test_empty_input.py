@@ -44,6 +44,7 @@ def empty_sf_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_every_query_survives_empty_tables(spark, empty_sf_dir):
     failures = []
     for name in sorted(REGISTRY):

@@ -22,6 +22,9 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# maintenance soak: multi-policy interplay over many commits — round-exit tier (see pytest.ini)
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from stupp_exclusion_etl_spark.sinks.atomic import (

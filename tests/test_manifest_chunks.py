@@ -474,6 +474,7 @@ def _kstats(lo: int, hi: int) -> dict:
                                        "nulls": 0}}}
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_cluster_aware_packing_keeps_point_probes_o1(
     spark, tmp_path, read_log
 ):

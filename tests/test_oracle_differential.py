@@ -17,6 +17,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not problems, f"{name}:\n" + "\n".join(problems)
 
 
+@pytest.mark.slow  # round-exit tier (see pytest.ini)
 def test_every_query_has_rows(spark, sf_dir):
     """Smoke: queries should produce ≥1 row at sf0.001 so the
     comparison is meaningful (empty-vs-empty passes trivially)."""

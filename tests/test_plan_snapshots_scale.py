@@ -46,10 +46,14 @@ from tools.plan_scale import (
     SNAPSHOT_PATH,
 )
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(SF1),
-    reason="sf1 fixture missing — python tools/gen_scale.py",
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(SF1),
+        reason="sf1 fixture missing — python tools/gen_scale.py",
+    ),
+    # sf1 capture sessions — round-exit tier (see pytest.ini)
+    pytest.mark.slow,
+]
 
 SNAPS = (
     json.load(open(SNAPSHOT_PATH)) if os.path.exists(SNAPSHOT_PATH) else {}
